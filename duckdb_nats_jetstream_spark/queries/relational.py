@@ -1,0 +1,403 @@
+"""Relational capability surface (SURVEY.md §2.B) — the operator classes the
+reference exercises *through* its host engine (projection, filters, casts,
+aggregates, grouping, sort/limit, distinct, windows, joins, set ops, CTEs),
+expressed Spark-first on the TPC-H-ish driver tables.
+
+Scale notes (these run on local[32] here, but are written for 1000
+executors): small dimensions (region/nation/customer/supplier/part) broadcast
+— no shuffle of the fact side; fact-fact joins (orders↔lineitem) shuffle on
+the join key, which AQE right-sizes; windows partition by a key, never a
+global ORDER BY over the fact table.
+
+Float discipline: every SUM/AVG over doubles uses the decimal-exact pattern
+from ``functions.exact`` so values hash-match the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from duckdb_nats_jetstream_spark.functions.exact import (
+    NET_PRICE_SQL,
+    davg,
+    decsum,
+    dsum,
+    net_price,
+)
+from duckdb_nats_jetstream_spark.session import read_table
+
+DSUM = "CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+DAVG = DSUM + " / count({x})"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate grouping. Partial (map-side)
+    aggregation + 6-group final: no data-size-proportional shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            decsum(net_price(), "sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM.format(x='l_quantity')} AS sum_qty,
+       {DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       CAST(sum({NET_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+       {DAVG.format(x='l_quantity')} AS avg_qty,
+       {DAVG.format(x='l_extendedprice')} AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension broadcast + fact-fact shuffle join
+    + top-k (Spark plans TakeOrderedAndProject — no global sort)."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(decsum(net_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_REVENUE_SQL = f"""
+SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority,
+       CAST(sum({NET_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join (region→nation→customer→orders→lineitem)
+    with every dimension broadcast; only orders↔lineitem shuffles."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(decsum(net_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+NATION_REVENUE_SQL = f"""
+SELECT n_name, CAST(sum({NET_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def filter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's filter-predicate classes in one query: BETWEEN, IN,
+    LIKE, OR/AND, IS NULL (test_protobuf.sql:147-203 pattern)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_quantity").between(10, 20))
+        & (F.col("l_returnflag").isin("A", "R"))
+        & ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.02))
+        & (F.col("l_shipdate").isNotNull())
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount"
+    )
+
+
+FILTER_MATRIX_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_returnflag IN ('A', 'R')
+  AND (l_discount > 0.05 OR l_tax < 0.02)
+  AND l_shipdate IS NOT NULL
+"""
+
+
+def cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast surface: double→int/long/string, string ops
+    (test_json_extraction.sql:45-51 pattern)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+        # round() on *decimal* is half-up in both engines (double round is not)
+        F.round(net_price(), 2).cast("double").alias("net_rounded"),
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
+    )
+
+
+CAST_PROJECTION_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS INTEGER) AS qty_int,
+       CAST(l_extendedprice AS VARCHAR) AS price_str,
+       CAST(round({NET_PRICE_SQL}, 2) AS DOUBLE) AS net_rounded,
+       l_returnflag || '/' || l_linestatus AS flag_status
+FROM lineitem
+"""
+
+
+def count_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain aggregates per group
+    (test_timestamp_queries.sql:202-207 pattern)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+COUNT_DISTINCT_SQL = f"""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       {DSUM.format(x='o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN ...) conditional aggregation
+    (test_subject_filtering.sql:209-218 pattern)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+            "n_urgent"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_final"),
+        F.count("*").alias("n_total"),
+    )
+
+
+CONDITIONAL_AGG_SQL = """
+SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       count(*) AS n_total
+FROM orders
+"""
+
+
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER window, partitioned by key (scales: no global sort)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+FIRST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) t
+WHERE rn = 1
+"""
+
+
+def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window per customer: days between consecutive orders."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+            .cast("long")
+            .alias("gap_days"),
+        )
+    )
+
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       datediff('day', prev_date, o_orderdate) AS gap_days
+FROM (SELECT *, lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders) t
+WHERE prev_date IS NOT NULL
+"""
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (test_subject_filtering.sql:32-42 pattern)."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment", "c_nationkey").distinct()
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL building a combined relation
+    (test_json_extraction.sql:230-235 pattern)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return cust.unionAll(supp)
+
+
+UNION_ENTITIES_SQL = """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+"""
+
+
+def balance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two scalar aggregates
+    (test_connection_errors.sql:150-162 pattern)."""
+    cust = read_table(spark, sf_dir, "customer").agg(davg("c_acctbal", "cust_avg"))
+    supp = read_table(spark, sf_dir, "supplier").agg(davg("s_acctbal", "supp_avg"))
+    return cust.crossJoin(supp).select(
+        "cust_avg",
+        "supp_avg",
+        (F.col("cust_avg") / F.col("supp_avg")).alias("ratio"),
+    )
+
+
+BALANCE_RATIO_SQL = f"""
+SELECT cust_avg, supp_avg, cust_avg / supp_avg AS ratio
+FROM (SELECT {DAVG.format(x='c_acctbal')} AS cust_avg FROM customer) a
+CROSS JOIN (SELECT {DAVG.format(x='s_acctbal')} AS supp_avg FROM supplier) b
+"""
+
+
+def top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = ORDER BY + LIMIT (docs/EXAMPLES.md:329-338 pattern)."""
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(15)
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in WHERE (test_sequence_ranges.sql:49-68 pattern) —
+    expressed as a broadcast cross join against the 1-row aggregate."""
+    cust = read_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(davg("c_acctbal", "avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+ABOVE_AVG_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT {DAVG.format(x='c_acctbal')} FROM customer)
+"""
+
+
+def parts_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE patterns + grouping by type."""
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%widget%"))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"), davg("p_retailprice", "avg_price"))
+        .orderBy("p_type")
+    )
+
+
+PARTS_LIKE_SQL = f"""
+SELECT p_type, count(*) AS n_parts, {DAVG.format(x='p_retailprice')} AS avg_price
+FROM part WHERE p_name LIKE '%widget%'
+GROUP BY p_type ORDER BY p_type
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_SQL),
+    "rel_nation_revenue": (nation_revenue, NATION_REVENUE_SQL),
+    "rel_filter_matrix": (filter_matrix, FILTER_MATRIX_SQL),
+    "rel_cast_projection": (cast_projection, CAST_PROJECTION_SQL),
+    "rel_count_distinct": (count_distinct_by_status, COUNT_DISTINCT_SQL),
+    "rel_conditional_agg": (conditional_aggregates, CONDITIONAL_AGG_SQL),
+    "rel_first_order_per_customer": (first_order_per_customer, FIRST_ORDER_SQL),
+    "rel_order_date_gaps": (order_date_gaps, ORDER_GAPS_SQL),
+    "rel_distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
+    "rel_union_entities": (union_entities, UNION_ENTITIES_SQL),
+    "rel_balance_ratio": (balance_ratio, BALANCE_RATIO_SQL),
+    "rel_top_parts": (top_parts, TOP_PARTS_SQL),
+    "rel_above_avg_customers": (above_average_customers, ABOVE_AVG_SQL),
+    "rel_parts_like": (parts_like, PARTS_LIKE_SQL),
+}

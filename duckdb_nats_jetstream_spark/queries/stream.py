@@ -1,0 +1,160 @@
+"""Stream-table (message log) queries — the ``nats_scan`` capability surface
+exercised by the reference's SQL test suites (test_sequence_ranges.sql,
+test_timestamp_queries.sql, test_subject_filtering.sql,
+test_json_extraction.sql, test_payload_blob.sql), expressed over the driver's
+``events`` table via :func:`message_scan`.
+
+Every oracle embeds ``EVENTS_ORACLE_SCAN_SQL`` as the ``scan`` CTE so both
+engines agree on the events→message mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from duckdb_nats_jetstream_spark.sources.message_scan import (
+    EVENTS_ORACLE_SCAN_SQL,
+    message_scan,
+)
+
+_SCAN_CTE = f"WITH scan AS ({EVENTS_ORACLE_SCAN_SQL}) "
+
+
+def scan_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan, base metadata projection (ref nats_scan base columns)."""
+    return message_scan(spark, sf_dir).select("stream", "subject", "seq", "ts_nats")
+
+
+def scan_seq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive sequence-range pushdown (ref:src/nats_scan.cpp:234-237)."""
+    return message_scan(spark, sf_dir, start_seq=100, end_seq=1000).select(
+        "seq", "subject"
+    )
+
+
+def scan_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range scan with clean end-bound semantics (§2.A3)."""
+    df = message_scan(
+        spark, sf_dir, start_time="2024-01-05 00:00:00", end_time="2024-01-12 00:00:00"
+    )
+    return df.agg(
+        F.count("*").alias("n_msgs"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+    )
+
+
+def scan_subject_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject substring filter + per-subject counts
+    (test_subject_filtering.sql:209-218 pattern)."""
+    return (
+        message_scan(spark, sf_dir, subject="purchase")
+        .groupBy("subject")
+        .agg(F.count("*").alias("n_msgs"))
+    )
+
+
+def scan_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction to VARCHAR (§2.A5)."""
+    return message_scan(spark, sf_dir, json_fields=["k"]).select("seq", "k")
+
+
+def scan_json_cast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GUIDE marquee query shape (ref:docs/GUIDE.md:203-215): time-range
+    scan + JSON extract + cast + GROUP BY + AVG/MAX/COUNT + ORDER BY."""
+    df = message_scan(
+        spark,
+        sf_dir,
+        start_time="2024-01-03 00:00:00",
+        end_time="2024-01-25 00:00:00",
+        json_fields=["k"],
+    )
+    return (
+        df.groupBy("subject")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.avg(F.col("k").cast("double")).alias("avg_k"),
+            F.max(F.col("k").cast("double")).alias("max_k"),
+        )
+        .orderBy("subject")
+    )
+
+
+def scan_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOB payload mode + octet_length histogram
+    (test_payload_blob.sql:11-17 pattern)."""
+    df = message_scan(spark, sf_dir)  # payload is binary here
+    return (
+        df.select(F.length("payload").cast("long").alias("payload_bytes"))
+        .groupBy("payload_bytes")
+        .agg(F.count("*").alias("n_msgs"))
+    )
+
+
+def scan_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity invariant via LAG
+    (test_sequence_ranges.sql:92-107,166-183)."""
+    df = message_scan(spark, sf_dir).withColumn(
+        "prev_seq", F.lag("seq").over(W.orderBy("seq"))
+    )
+    return df.agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(
+            F.when(F.col("seq") - F.col("prev_seq") > 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_gaps"),
+        (F.max("seq") - F.min("seq") + F.lit(1)).alias("span"),
+    )
+
+
+QUERIES = {
+    "scan_base": (
+        scan_base,
+        _SCAN_CTE + "SELECT stream, subject, seq, ts_nats FROM scan",
+    ),
+    "scan_seq_range": (
+        scan_seq_range,
+        _SCAN_CTE + "SELECT seq, subject FROM scan WHERE seq BETWEEN 100 AND 1000",
+    ),
+    "scan_time_range": (
+        scan_time_range,
+        _SCAN_CTE
+        + "SELECT count(*) AS n_msgs, min(seq) AS min_seq, max(seq) AS max_seq "
+        "FROM scan WHERE ts_nats >= TIMESTAMP '2024-01-05 00:00:00' "
+        "AND ts_nats <= TIMESTAMP '2024-01-12 00:00:00'",
+    ),
+    "scan_subject_filter": (
+        scan_subject_filter,
+        _SCAN_CTE
+        + "SELECT subject, count(*) AS n_msgs FROM scan "
+        "WHERE subject LIKE '%purchase%' GROUP BY subject",
+    ),
+    "scan_json_extract": (
+        scan_json_extract,
+        _SCAN_CTE
+        + "SELECT seq, json_extract_string(payload, '$.k') AS k FROM scan",
+    ),
+    "scan_json_cast_agg": (
+        scan_json_cast_agg,
+        _SCAN_CTE
+        + "SELECT subject, count(*) AS n_msgs, "
+        "avg(CAST(json_extract_string(payload, '$.k') AS DOUBLE)) AS avg_k, "
+        "max(CAST(json_extract_string(payload, '$.k') AS DOUBLE)) AS max_k "
+        "FROM scan WHERE ts_nats >= TIMESTAMP '2024-01-03 00:00:00' "
+        "AND ts_nats <= TIMESTAMP '2024-01-25 00:00:00' "
+        "GROUP BY subject ORDER BY subject",
+    ),
+    "scan_payload_sizes": (
+        scan_payload_sizes,
+        _SCAN_CTE
+        + "SELECT octet_length(CAST(payload AS BLOB)) AS payload_bytes, "
+        "count(*) AS n_msgs FROM scan GROUP BY 1",
+    ),
+    "scan_gap_detection": (
+        scan_gap_detection,
+        _SCAN_CTE
+        + "SELECT count(*) AS n_msgs, "
+        "CAST(sum(CASE WHEN seq - prev_seq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, "
+        "max(seq) - min(seq) + 1 AS span FROM "
+        "(SELECT seq, lag(seq) OVER (ORDER BY seq) AS prev_seq FROM scan) t",
+    ),
+}

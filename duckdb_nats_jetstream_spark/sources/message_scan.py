@@ -1,0 +1,156 @@
+"""``message_scan`` — the Spark-native equivalent of the reference's
+``nats_scan`` table function (ref:src/nats_scan.cpp:879-897; parameter table
+ref:docs/GUIDE.md:418-432).
+
+The reference scans one JetStream stream as a table: five fixed metadata
+columns per message, sequence-range / timestamp-range pushdown, subject
+substring filtering, then JSON or typed payload extraction. Here the durable
+message log is a parquet table (the driver's ``events`` table plays the
+stream), and the scan is a declarative DataFrame read so Catalyst pushes the
+range predicates into the parquet scan (row-group min/max pruning replaces the
+reference's broker binary search, ref:src/nats_scan.cpp:546-595 — same
+O(skip-the-irrelevant-data) effect, but distributed and parallel instead of
+the reference's single-threaded per-message fetch loop,
+ref:src/nats_scan.cpp:197-199).
+
+Semantics preserved (and one deliberately not):
+
+- ``start_seq``/``end_seq`` are *inclusive* bounds (ref:src/nats_scan.cpp:
+  234-237,703-713).
+- ``subject`` is a *substring* match, not NATS wildcards (ref:src/nats_scan.
+  cpp:741-746; docs/GUIDE.md:404).
+- seq and time ranges are mutually exclusive (ref:src/nats_scan.cpp:267-270).
+- ``start_time`` means first message with ts >= start_time. The reference's
+  ``end_time`` wart — including one message *after* the bound when nothing
+  falls exactly on it (ref:src/nats_scan.cpp:685-698) — is intentionally NOT
+  replicated; we use the clean predicate ``ts_nats <= end_time``.
+- payload is string in JSON-extraction mode, binary otherwise
+  (ref:src/nats_scan.cpp:379-385).
+
+Stream-log mapping of the driver's ``events`` table (FIXTURES.md):
+``event_id``→``seq`` (shifted +1 so sequences start at 1 like JetStream),
+``ts``→``ts_nats``, subject = ``events.<event_type>.u<user_id>`` (hierarchical
+dotted token), ``props``→payload.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from duckdb_nats_jetstream_spark.errors import require
+from duckdb_nats_jetstream_spark.functions.json_extract import json_extract
+from duckdb_nats_jetstream_spark.session import table_path
+
+#: DuckDB-oracle equivalent of the events→message-log mapping. Kept here as
+#: the single source of truth; every oracle SQL that scans the stream embeds
+#: this CTE so Spark and DuckDB agree byte-for-byte on the mapping.
+EVENTS_ORACLE_SCAN_SQL = (
+    "SELECT 'events' AS stream, "
+    "'events.' || event_type || '.u' || CAST(user_id AS VARCHAR) AS subject, "
+    "event_id + 1 AS seq, "
+    "CAST(ts AS TIMESTAMP) AS ts_nats, "  # ns→µs truncation, matches Spark read
+    "props AS payload "
+    "FROM events"
+)
+
+
+def _as_timestamp(v) -> _dt.datetime:
+    if isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    return v
+
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _micros(t: _dt.datetime) -> int:
+    return (t - _EPOCH) // _dt.timedelta(microseconds=1)
+
+
+def message_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    stream: str = "events",
+    *,
+    subject: str | None = None,
+    start_seq: int | None = None,
+    end_seq: int | None = None,
+    start_time=None,
+    end_time=None,
+    json_fields: list[str] | None = None,
+    payload_binary: bool | None = None,
+) -> DataFrame:
+    """Scan the message log as a DataFrame with the fixed base schema plus
+    optional JSON-extraction columns.
+
+    Bind-time validation mirrors ref:src/nats_scan.cpp:207-285.
+    """
+    require(bool(stream), "nats_scan requires a stream name")
+    has_seq = start_seq is not None or end_seq is not None
+    has_time = start_time is not None or end_time is not None
+    require(
+        not (has_seq and has_time),
+        "Cannot specify both sequence range (start_seq/end_seq) and "
+        "time range (start_time/end_time)",
+    )
+    # Payload mode: string only when JSON extraction is active
+    # (ref:src/nats_scan.cpp:379-385).
+    if payload_binary is None:
+        payload_binary = not json_fields
+
+    # Read the raw log and apply range predicates on the *stored* columns so
+    # they reach the parquet scan as PushedFilters (row-group min/max pruning
+    # — the distributed analogue of the reference's cursor bounds + broker
+    # binary search). Filtering on derived columns (seq = event_id+1, the
+    # ns→µs timestamp conversion) would defeat pushdown, which at 100 TB is
+    # the difference between scanning one row group and scanning the table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    ts_raw_ns = isinstance(ev.schema["ts"].dataType, T.LongType)
+
+    if start_seq is not None:
+        ev = ev.filter(F.col("event_id") >= F.lit(int(start_seq) - 1))
+    if end_seq is not None:
+        ev = ev.filter(F.col("event_id") <= F.lit(int(end_seq) - 1))
+    # Time bounds at µs granularity (ts_nats is µs-truncated, the same ns→µs
+    # narrowing the reference does at ref:src/nats_scan.cpp:749):
+    # µs-trunc(x) >= t0  ⟺  x_ns >= t0µs·1000;
+    # µs-trunc(x) <= t1  ⟺  x_ns <  (t1µs+1)·1000.
+    if start_time is not None:
+        t0 = _as_timestamp(start_time)
+        bound = F.lit(_micros(t0) * 1000) if ts_raw_ns else F.lit(t0)
+        ev = ev.filter(F.col("ts") >= bound)
+    if end_time is not None:
+        t1 = _as_timestamp(end_time)
+        if ts_raw_ns:
+            ev = ev.filter(F.col("ts") < F.lit((_micros(t1) + 1) * 1000))
+        else:
+            ev = ev.filter(F.col("ts") <= F.lit(t1))
+
+    if ts_raw_ns:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    df = ev.select(
+        F.lit(stream).alias("stream"),
+        F.concat(
+            F.lit(f"{stream}."),
+            F.col("event_type"),
+            F.lit(".u"),
+            F.col("user_id").cast("string"),
+        ).alias("subject"),
+        (F.col("event_id") + F.lit(1)).cast("long").alias("seq"),
+        F.col("ts").alias("ts_nats"),
+        F.col("props").alias("payload"),
+    )
+    if subject is not None:
+        # substring containment, evaluated post-scan exactly like the
+        # reference's post-fetch filter (ref:src/nats_scan.cpp:741-746).
+        df = df.filter(F.col("subject").contains(subject))
+
+    if json_fields:
+        df = json_extract(df, json_fields, payload_col="payload")
+    if payload_binary:
+        df = df.withColumn("payload", F.col("payload").cast("binary"))
+    return df

@@ -1,0 +1,88 @@
+"""message_scan semantics: base schema, range inclusivity, subject substring,
+payload mode switching, bind-error matrix — the invariant-style tests from the
+reference suites (test_sequence_ranges.sql, test_timestamp_queries.sql,
+test_subject_filtering.sql, test_payload_blob.sql) as pytest asserts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from duckdb_nats_jetstream_spark.errors import BindError
+from duckdb_nats_jetstream_spark.sources import message_scan
+
+
+def test_base_schema_binary_payload_default(spark, sf_dir):
+    df = message_scan(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "stream", "subject", "seq", "ts_nats", "payload",
+    ]
+    # payload is BLOB when no extraction is specified (ref v0.1.1 semantics)
+    assert isinstance(df.schema["payload"].dataType, T.BinaryType)
+    assert isinstance(df.schema["seq"].dataType, T.LongType)
+    assert isinstance(df.schema["ts_nats"].dataType, T.TimestampType)
+
+
+def test_json_mode_payload_is_string(spark, sf_dir):
+    df = message_scan(spark, sf_dir, json_fields=["k"])
+    assert isinstance(df.schema["payload"].dataType, T.StringType)
+    assert isinstance(df.schema["k"].dataType, T.StringType)
+
+
+def test_seq_range_inclusive(spark, sf_dir):
+    df = message_scan(spark, sf_dir, start_seq=10, end_seq=20)
+    seqs = sorted(r.seq for r in df.select("seq").collect())
+    assert seqs == list(range(10, 21))  # inclusive both ends
+
+
+def test_seq_starts_at_one(spark, sf_dir):
+    row = message_scan(spark, sf_dir).agg(F.min("seq").alias("m")).collect()[0]
+    assert row.m == 1
+
+
+def test_time_range_clean_end_semantics(spark, sf_dir):
+    t0 = dt.datetime(2024, 1, 5)
+    t1 = dt.datetime(2024, 1, 10)
+    df = message_scan(spark, sf_dir, start_time=t0, end_time=t1)
+    rows = df.agg(
+        F.min("ts_nats").alias("lo"), F.max("ts_nats").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert rows.n > 0
+    assert rows.lo >= t0
+    assert rows.hi <= t1  # NOT the reference's one-past-the-end wart
+
+
+def test_subject_substring_filter(spark, sf_dir):
+    df = message_scan(spark, sf_dir, subject="purchase")
+    subs = [r.subject for r in df.select("subject").distinct().collect()]
+    assert subs and all("purchase" in s for s in subs)
+
+
+def test_mixed_seq_and_time_is_bind_error(spark, sf_dir):
+    with pytest.raises(BindError, match="Cannot specify both"):
+        message_scan(spark, sf_dir, start_seq=1, end_time=dt.datetime(2024, 1, 2))
+
+
+def test_missing_stream_is_bind_error(spark, sf_dir):
+    with pytest.raises(BindError, match="stream"):
+        message_scan(spark, sf_dir, stream="")
+
+
+def test_ordering_invariant_lag(spark, sf_dir):
+    # reference invariant: ts non-decreasing when ordered by seq
+    # (test_timestamp_queries.sql:140-159)
+    from pyspark.sql import Window as W
+
+    df = message_scan(spark, sf_dir).withColumn(
+        "prev_ts", F.lag("ts_nats").over(W.orderBy("seq"))
+    )
+    bad = df.filter(F.col("prev_ts") > F.col("ts_nats")).count()
+    assert bad == 0
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = message_scan(spark, sf_dir, start_seq=100, end_seq=200)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_id" in plan
