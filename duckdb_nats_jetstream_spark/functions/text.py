@@ -1,0 +1,211 @@
+"""Text analysis for training-data pipelines (north-star surface — not in the
+reference, which stops at payload extraction; these extend the engine for
+LLM-corpus work): normalization, tokenization, token counting, language ID,
+quality scoring, fingerprinting, shingling, MinHash.
+
+Every helper has an exact DuckDB SQL mirror (the ``sql_*`` twin) so the
+driver's oracle gate can verify values bit-for-bit:
+
+- hashing is md5 (present and identical in both engines); MinHash uses the
+  *lexicographic minimum of md5 hex strings* per seed — a valid min-hash
+  (uniform over a total order) that needs no cross-engine integer hash;
+- set operations (intersect/union/distinct) have identical dedup semantics
+  in both engines (verified);
+- ratios are single IEEE divisions of exact integers — bit-identical;
+- composite scores evaluate in a fixed textual op order both sides.
+
+All of this is built-in column expressions (JVM codegen in Spark, vectorized
+C++ in DuckDB) — no Python UDFs anywhere in the hot path, so the same code
+scales from 500 rows to 100 TB with nothing but partition count changing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# --- normalization / tokens ---------------------------------------------------
+
+
+def norm_text(c: Column) -> Column:
+    """lower + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def sql_norm(x: str) -> str:
+    return f"trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+
+def tokens(c: Column) -> Column:
+    return F.split(norm_text(c), " ")
+
+
+def sql_tokens(x: str) -> str:
+    return f"string_split({sql_norm(x)}, ' ')"
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def sql_token_count(x: str) -> str:
+    return f"len({sql_tokens(x)})"
+
+
+def bpe_token_estimate(c: Column) -> Column:
+    """Cheap BPE-ish token estimate: ceil(chars/4) on normalized text."""
+    return F.ceil(F.length(norm_text(c)) / 4).cast("long")
+
+
+def sql_bpe_token_estimate(x: str) -> str:
+    return f"CAST(ceil(length({sql_norm(x)}) / 4) AS BIGINT)"
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic content fingerprint of the normalized text."""
+    return F.md5(norm_text(c))
+
+
+def sql_fingerprint(x: str) -> str:
+    return f"md5({sql_norm(x)})"
+
+
+# --- shingles / MinHash -------------------------------------------------------
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when fewer than n tokens.
+
+    (Guarded: Spark's ``sequence(1, 0)`` would produce a *descending* range.)
+    """
+    count = F.size(toks) - (n - 1)
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731
+    return F.when(
+        count >= 1, F.transform(F.sequence(F.lit(1), count), gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_shingles(toks: str, n: int = 3) -> str:
+    # DuckDB list slice is 1-based inclusive: toks[i : i+n-1]
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(({toks})[i : i + {n - 1}], ' ')) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def _seeded_md5(seed: int):
+    # single-arg closure: a 2-arg lambda would make pyspark's transform()
+    # pass the ARRAY INDEX as the second argument, clobbering the seed
+    return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+
+def minhash_signature(sh: Column, k: int = 8) -> list[Column]:
+    """k min-hash values: per seed, the lexicographic min of md5(seed:shingle)
+    hex digests. NULL on empty shingle sets (docs shorter than the gram)."""
+    return [F.array_min(F.transform(sh, _seeded_md5(i))) for i in range(k)]
+
+
+def sql_minhash_signature(sh: str, k: int = 8) -> list[str]:
+    return [
+        f"list_min(list_transform({sh}, s -> md5('{i}:' || s)))" for i in range(k)
+    ]
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard over shingle arrays (both engines dedup in
+    intersect/distinct; division is one IEEE op — bit-identical)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return inter / union
+
+
+def sql_jaccard(a: str, b: str) -> str:
+    return f"len(list_intersect({a}, {b})) / len(list_distinct(list_concat({a}, {b})))"
+
+
+# --- language ID --------------------------------------------------------------
+
+#: tiny per-language stopword lists for the heuristic scorer
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "von", "nicht", "ein"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
+    "es": ["el", "los", "las", "y", "es", "por", "una", "con"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他", "这"],
+}
+
+
+def lang_score(toks: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def sql_lang_score(toks: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({toks}, t -> t IN ({lst})))"
+
+
+def predicted_lang(toks: Column) -> Column:
+    """Argmax over language scores with a fixed priority order on ties
+    (alphabetical) — mirrored exactly by a CASE chain in SQL."""
+    langs = sorted(LANG_STOPWORDS)
+    scores = {lang: lang_score(toks, lang) for lang in langs}
+    expr = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def sql_predicted_lang(toks: str) -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score = {lang: sql_lang_score(toks, lang) for lang in langs}
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+# --- quality ------------------------------------------------------------------
+
+
+def quality_score(toks: Column, all_stop: list[str] | None = None) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.3·min(1, n_tokens/200) + 0.4·stopword_ratio + 0.3·distinct_ratio.
+
+    Fixed op order; every term is a single IEEE op on exact ints."""
+    if all_stop is None:
+        all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n = F.size(toks).cast("long")
+    stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop))).cast("long")
+    dist = F.size(F.array_distinct(toks)).cast("long")
+    return (
+        F.lit(0.3) * F.least(F.lit(1.0), n / F.lit(200.0))
+        + F.lit(0.4) * (stop / n)
+        + F.lit(0.3) * (dist / n)
+    )
+
+
+def sql_quality_score(toks: str, all_stop: list[str] | None = None) -> str:
+    if all_stop is None:
+        all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    lst = ", ".join(f"'{w}'" for w in all_stop)
+    n = f"len({toks})"
+    stop = f"len(list_filter({toks}, t -> t IN ({lst})))"
+    dist = f"len(list_distinct({toks}))"
+    # explicit DOUBLE literals — bare 0.3 is DECIMAL in DuckDB, and
+    # decimal-vs-double arithmetic would diverge from Spark's double math
+    d = "CAST({} AS DOUBLE)".format
+    return (
+        f"{d('0.3')} * least({d('1.0')}, {n} / {d('200.0')}) "
+        f"+ {d('0.4')} * ({stop} / {n}) + {d('0.3')} * ({dist} / {n})"
+    )

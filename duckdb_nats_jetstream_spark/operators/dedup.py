@@ -1,0 +1,203 @@
+"""Deduplication operators for training-data pipelines (north-star surface):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All pure DataFrame compositions — shuffles only on the blocking/bucket keys,
+which is the scale path: at 100 TB the LSH band join shuffles only
+(doc_id, band_key) pairs plus shingle arrays, never all-pairs.
+
+Float discipline: Jaccard and cosine are exact integer ratios / ordered
+folds (see ``functions.text`` / ``functions.vector``), so the DuckDB oracle
+mirrors match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from duckdb_nats_jetstream_spark.functions.text import (
+    fingerprint,
+    jaccard,
+    minhash_signature,
+    shingles,
+    tokens,
+)
+from duckdb_nats_jetstream_spark.functions.vector import cosine, dot
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-content match.
+    One shuffle (window by fingerprint); no join."""
+    w = W.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups: canonical id + member count per distinct content."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    sh = shingles(tokens(F.col(text_col)), n)
+    return df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs.
+
+    shingle → k-seed min-hash signature → k/band_size band keys → self-join
+    on band key (the only shuffle proportional to corpus size) → exact
+    Jaccard verification of candidates. Returns (id_a, id_b, jaccard_r).
+    """
+    docs = _with_shingles(df, text_col, id_col, n)
+    sig = minhash_signature(F.col("sh"), k)
+    sigs = docs.select(id_col, "sh", *[c.alias(f"sig_{i}") for i, c in enumerate(sig)])
+    n_bands = k // band_size
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)],
+            )
+        ).alias("band_key")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(id_col, "sh", F.explode(F.array(*band_keys)).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard_r"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.05,
+    n: int = 3,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard. ``block_col`` bounds the pair
+    explosion (at scale, block on an LSH bucket or length band — never
+    all-pairs). Returns (id_a, id_b, jaccard_r)."""
+    sh = shingles(tokens(F.col(text_col)), n)
+    cols = [F.col(id_col), sh.alias("sh")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    docs = df.select(*cols).filter(F.size("sh") > 0)
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col is not None:
+        cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    return (
+        a.join(b, cond)
+        .withColumn("jac", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("jac") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("jac", 6).alias("jaccard_r"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Per-document SimHash: bit j is the sign of the ±1 majority vote over
+    tokens, where token bit j = parity of hex digit j of md5(token) (each
+    token hashed once, digits reused across bits). Integer math only —
+    exactly mirrorable in SQL. Returns (id, simhash)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), F.md5).alias("hs"),
+    )
+    def _bit_vote(j: int):
+        # single-arg closure — a 2-arg lambda would receive the array index
+        return lambda h: F.when(
+            F.ascii(F.substring(h, j + 1, 1)) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(
+            F.transform(F.col("hs"), _bit_vote(j)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0)))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return hashed.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def sql_simhash(md5_list_expr: str, bits: int = 16) -> str:
+    """DuckDB mirror of :func:`simhash` over a token-md5-list expression."""
+    parts = []
+    for j in range(bits):
+        vote = (
+            f"list_reduce(list_prepend(0, list_transform({md5_list_expr}, "
+            f"h -> CASE WHEN ascii(substr(h, {j + 1}, 1)) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)), (acc, v) -> acc + v)"
+        )
+        parts.append(f"CASE WHEN {vote} > 0 THEN {2**j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs cosine near-duplicates (norms precomputed once per vector).
+    Quadratic by construction — at scale, feed it LSH buckets instead of the
+    whole corpus (see ``operators.similarity.srp_bucket``). Returns
+    (id_a, id_b, cos_r)."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cos", 6).alias("cos_r"),
+        )
+    )

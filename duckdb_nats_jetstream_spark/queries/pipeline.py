@@ -1,11 +1,279 @@
-"""Training-data pipeline operators (the north-star surface): deduplication,
-similarity search, and text analysis over ``documents`` / ``embeddings``.
+"""Training-data pipeline queries (north-star surface): text analysis,
+deduplication, similarity search over ``documents`` / ``embeddings``.
 
-Filled in incrementally; every entry gets a DuckDB oracle where the semantics
-are SQL-expressible (deterministic md5-based hashing keeps both engines
-bit-identical), rows-only otherwise.
+Every query has an exact DuckDB oracle: deterministic md5-based hashing,
+integer-ratio similarities, and ordered double folds keep both engines
+bit-identical (see ``functions.text`` / ``functions.vector`` docstrings).
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from duckdb_nats_jetstream_spark.functions import text as TX
+from duckdb_nats_jetstream_spark.functions.vector import sql_dot
+from duckdb_nats_jetstream_spark.operators import dedup as D
+from duckdb_nats_jetstream_spark.operators import similarity as S
+from duckdb_nats_jetstream_spark.session import read_table
+
+_TOKS = TX.sql_tokens("text")
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_estimate(t).alias("n_bpe_est"),
+        TX.fingerprint(t).alias("fp"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       {TX.sql_token_count('text')} AS n_tokens,
+       {TX.sql_bpe_token_estimate('text')} AS n_bpe_est,
+       {TX.sql_fingerprint('text')} AS fp
+FROM documents
+"""
+
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang — confusion-matrix counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return (
+        docs.select(F.col("lang"), TX.predicted_lang(toks).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+TEXT_LANG_SQL = f"""
+SELECT lang, {TX.sql_predicted_lang(_TOKS)} AS pred_lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length/stopword/distinctness blend)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(TX.quality_score(toks), 6).alias("quality_r"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, source, round({TX.sql_quality_score(_TOKS)}, 6) AS quality_r
+FROM documents
+"""
+
+
+# --- dedup --------------------------------------------------------------------
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(read_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {TX.sql_fingerprint('text')} AS fp,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), k=8, band_size=2, threshold=0.2
+    )
+
+
+def _minhash_lsh_sql(k: int = 8, band_size: int = 2, threshold: float = 0.2) -> str:
+    sig = TX.sql_minhash_signature("sh", k)
+    sig_cols = ", ".join(f"{s} AS sig_{i}" for i, s in enumerate(sig))
+    n_bands = k // band_size
+    band_selects = []
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"sig_{b * band_size + j}" for j in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT doc_id, sh, md5('{b}' || '|' || {parts}) AS band_key FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    jac = TX.sql_jaccard("a.sh", "b.sh")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {TX.sql_shingles(_TOKS)} AS sh FROM documents
+), nonempty AS (
+  SELECT * FROM docs WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, sh, {sig_cols} FROM nonempty
+), banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard_r
+FROM (SELECT id_a, id_b, {TX.sql_jaccard('sh_a', 'sh_b')} AS jac FROM cand) t
+WHERE jac >= {threshold}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise Jaccard with exact-length blocking — the cheap
+    blocker (pair count stays near-linear). Near-dups across *different*
+    lengths are the LSH query's job (``dedup_minhash_lsh``)."""
+    return D.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), block_col="n_chars", threshold=0.05
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, n_chars AS blk,
+         {TX.sql_shingles(_TOKS)} AS sh
+  FROM documents
+), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
+SELECT id_a, id_b, round(jac, 6) AS jaccard_r
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {TX.sql_jaccard('a.sh', 'b.sh')} AS jac
+  FROM nonempty a JOIN nonempty b ON a.blk = b.blk AND a.doc_id < b.doc_id
+) t
+WHERE jac >= 0.05
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(read_table(spark, sf_dir, "documents"))
+
+
+SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS hs FROM documents
+)
+SELECT doc_id, {D.sql_simhash('hs')} AS simhash FROM hashed
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding AS v, sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT id_a, id_b, round(cos, 6) AS cos_r
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+) t
+WHERE cos >= 0.4
+"""
+
+
+# --- similarity search --------------------------------------------------------
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(read_table(spark, sf_dir, "embeddings"), query_max_id=10, k=5)
+
+
+SIM_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding AS v, sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM base WHERE vec_id < 10),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos
+  FROM q JOIN base c ON q.vec_id != c.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, round(cos, 6) AS cos_r
+FROM r WHERE rn <= 5
+"""
+
+
+def sim_srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram — the data layout the approximate path shuffles on."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        S.with_srp_bucket(emb, n_bits=8, dim=64)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+SRP_BUCKET_SQL = f"""
+SELECT {S.sql_srp_bucket('embedding', 8, 64)} AS bucket, count(*) AS n_vecs
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.srp_topk(
+        read_table(spark, sf_dir, "embeddings"), query_max_id=10, k=5, n_bits=8, dim=64
+    )
+
+
+SRP_TOPK_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({sql_dot('embedding', 'embedding')}) AS nrm,
+         {S.sql_srp_bucket('embedding', 8, 64)} AS bucket
+  FROM embeddings
+), q AS (SELECT * FROM bucketed WHERE vec_id < 10),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos
+  FROM q JOIN bucketed c ON q.vec_id != c.vec_id AND q.bucket = c.bucket
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, round(cos, 6) AS cos_r
+FROM r WHERE rn <= 5
+"""
+
+
+QUERIES = {
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_sql()),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEAR_DUP_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_srp_bucket_stats": (sim_srp_bucket_stats, SRP_BUCKET_SQL),
+    "sim_srp_topk": (sim_srp_topk, SRP_TOPK_SQL),
+}

@@ -1,0 +1,93 @@
+"""Invariant tests for the training-data pipeline operators: dedup actually
+dedups, MinHash-LSH finds planted near-duplicates, SRP-LSH has sane recall
+against the brute-force baseline, text metrics behave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from duckdb_nats_jetstream_spark.operators import dedup as D
+from duckdb_nats_jetstream_spark.operators import similarity as S
+from duckdb_nats_jetstream_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                      # exact duplicate
+        Row(doc_id=3, text=base + " again"),           # near duplicate
+        Row(doc_id=4, text="completely different words about spark engines and shuffles everywhere"),
+        Row(doc_id=5, text="short"),                   # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = D.exact_dedup(docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 removed, representative is min id
+
+
+def test_exact_dup_groups_counts(spark, docs):
+    groups = {r.canonical_id: r.n_docs for r in D.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard_r for r in D.minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0     # identical text
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.8      # planted near-dup
+    assert not any({a, b} & {4} for a, b in pairs)      # unrelated doc not paired
+
+
+def test_ngram_jaccard_pairs_unblocked(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard_r for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0 and (1, 3) in pairs
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**16
+    # near-dup should be close in Hamming distance
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    assert ham <= 4
+
+
+def test_srp_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, 10, 5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.srp_topk(emb, 10, 5, n_bits=2).collect()}
+    assert exact and approx
+    recall = len(exact & approx) / len(exact)
+    # random near-orthogonal vectors: per-bit collision ~0.6 → 2-bit ~0.36;
+    # this guards "bucketing isn't degenerate", not a quality bar
+    assert recall > 0.1
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, 3, 5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.cos_r))
+    for q, rows in by_q.items():
+        rows.sort()
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+
+
+def test_embedding_near_dup_threshold(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),   # near-dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}
