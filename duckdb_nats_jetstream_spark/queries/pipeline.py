@@ -264,8 +264,22 @@ FROM r WHERE rn <= 5
 """
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction (stub decoder) over payload
+    binaries — non-SQL-expressible (mapInPandas), rows-only check."""
+    from duckdb_nats_jetstream_spark.operators.multimodal import (
+        as_media,
+        extract_features,
+    )
+    from duckdb_nats_jetstream_spark.sources import message_scan
+
+    media = as_media(message_scan(spark, sf_dir), id_col="seq", bytes_col="payload")
+    return extract_features(media, dim=16)
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "multimodal_features": (multimodal_features, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),

@@ -106,7 +106,55 @@ def scan_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (epoch-aligned, like streaming's window()) —
+    the batch twin of streaming.windowed_message_counts, oracle-checked."""
+    df = message_scan(spark, sf_dir)
+    return (
+        df.groupBy(F.window("ts_nats", "6 hours").alias("win"), F.col("subject"))
+        .agg(F.count("*").alias("n_msgs"), F.max("seq").alias("max_seq"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "subject",
+            "n_msgs",
+            "max_seq",
+        )
+    )
+
+
+def nats_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nats_jetstream Python DataSource (replay transport) — proves the
+    connector path yields exactly what the oracle mapping defines."""
+    from duckdb_nats_jetstream_spark.sources.nats_source import register
+
+    register(spark)
+    return (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", f"{sf_dir}/events.parquet")
+        .option("json_extract", "k")
+        .option("partitions", "8")
+        .load()
+        .select("seq", "subject", "ts_nats", "k")
+    )
+
+
 QUERIES = {
+    "scan_windowed_rollup": (
+        scan_windowed_rollup,
+        _SCAN_CTE
+        + "SELECT time_bucket(INTERVAL '6 hours', ts_nats) AS window_start, "
+        "time_bucket(INTERVAL '6 hours', ts_nats) + INTERVAL '6 hours' AS window_end, "
+        "subject, count(*) AS n_msgs, max(seq) AS max_seq "
+        "FROM scan GROUP BY 1, 2, 3",
+    ),
+    "nats_source_scan": (
+        nats_source_scan,
+        _SCAN_CTE
+        + "SELECT seq, subject, ts_nats, "
+        "json_extract_string(payload, '$.k') AS k FROM scan",
+    ),
     "scan_base": (
         scan_base,
         _SCAN_CTE + "SELECT stream, subject, seq, ts_nats FROM scan",

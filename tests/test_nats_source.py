@@ -1,0 +1,135 @@
+"""The nats_jetstream Python DataSource: batch reads through format(), seq
+range splits, option-driven schema, streaming tail with checkpointed offsets
+— all against the parquet replay transport."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from duckdb_nats_jetstream_spark.errors import BindError
+from duckdb_nats_jetstream_spark.sources import message_scan
+from duckdb_nats_jetstream_spark.sources.nats_source import (
+    NatsScanBatchReader,
+    register,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _events(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def test_batch_read_matches_message_scan(spark, sf_dir):
+    df = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .load()
+    )
+    want = message_scan(spark, sf_dir).collect()
+    got = df.collect()
+    assert sorted((r.seq, r.subject, r.ts_nats, bytes(r.payload)) for r in got) == sorted(
+        (r.seq, r.subject, r.ts_nats, bytes(r.payload)) for r in want
+    )
+
+
+def test_schema_modes(spark, sf_dir):
+    plain = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .load()
+    )
+    assert isinstance(plain.schema["payload"].dataType, T.BinaryType)
+    js = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .option("json_extract", "k")
+        .load()
+    )
+    assert isinstance(js.schema["payload"].dataType, T.StringType)
+    assert isinstance(js.schema["k"].dataType, T.StringType)
+    row = js.filter(F.col("seq") == 1).collect()[0]
+    assert row.k is not None and row.k.isdigit()
+
+
+def test_seq_range_and_subject_options(spark, sf_dir):
+    df = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .option("start_seq", "10")
+        .option("end_seq", "50")
+        .option("subject", "purchase")
+        .load()
+    )
+    rows = df.collect()
+    assert all(10 <= r.seq <= 50 for r in rows)
+    assert all("purchase" in r.subject for r in rows)
+
+
+def test_partition_splits(spark, sf_dir):
+    reader = NatsScanBatchReader(
+        {"stream": "events", "replay_path": _events(sf_dir), "partitions": "4"}
+    )
+    parts = reader.partitions()
+    assert len(parts) == 4
+    spans = [(p.start_seq, p.end_seq) for p in parts]
+    # contiguous, non-overlapping, covering [first, last]
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert s2 == e1 + 1
+    assert spans[0][0] == 1
+
+
+def test_missing_stream_option_is_bind_error(spark, sf_dir):
+    with pytest.raises(Exception, match="stream"):
+        (
+            spark.read.format("nats_jetstream")
+            .option("replay_path", _events(sf_dir))
+            .load()
+            .collect()
+        )
+
+
+def test_mixed_range_options_bind_error(spark, sf_dir):
+    with pytest.raises(Exception, match="[Cc]annot specify both"):
+        (
+            spark.read.format("nats_jetstream")
+            .option("stream", "events")
+            .option("replay_path", _events(sf_dir))
+            .option("start_seq", "1")
+            .option("end_time", "2024-01-05 00:00:00")
+            .load()
+            .collect()
+        )
+
+
+def test_live_transport_gated(spark):
+    with pytest.raises(BindError, match="nats-py"):
+        NatsScanBatchReader({"stream": "s"}).partitions()
+
+
+def test_streaming_tail(spark, sf_dir, tmp_path):
+    stream = (
+        spark.readStream.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nats_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, max(seq) AS m FROM nats_tail").collect()[0]
+    want = message_scan(spark, sf_dir).count()
+    assert got.n == want and got.m == want
