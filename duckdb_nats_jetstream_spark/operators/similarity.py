@@ -51,7 +51,7 @@ def with_srp_bucket(
     planes = srp_hyperplanes(n_bits, dim)
     bucket = None
     for j, plane in enumerate(planes):
-        bit = F.when(dot(F.col(vec_col), _lit_vec(plane)) >= 0, F.lit(2**j)).otherwise(
+        bit = F.when(dot(F.col(vec_col), _lit_vec(plane), dim) >= 0, F.lit(2**j)).otherwise(
             F.lit(0)
         )
         bucket = bit if bucket is None else bucket + bit
@@ -67,11 +67,11 @@ def sql_srp_bucket(vec: str, n_bits: int = 8, dim: int = 64) -> str:
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
-def _scored_pairs(queries: DataFrame, corpus: DataFrame, id_col: str, extra_cond=None):
+def _scored_pairs(queries: DataFrame, corpus: DataFrame, id_col: str, extra_cond=None, dim: int = 64):
     cond = F.col(f"q.{id_col}") != F.col(f"c.{id_col}")
     if extra_cond is not None:
         cond = cond & extra_cond
-    score = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
+    score = dot(F.col("q.v"), F.col("c.v"), dim) / (F.col("q.nrm") * F.col("c.nrm"))
     return (
         F.broadcast(queries.alias("q"))
         .join(corpus.alias("c"), cond)
@@ -83,11 +83,11 @@ def _scored_pairs(queries: DataFrame, corpus: DataFrame, id_col: str, extra_cond
     )
 
 
-def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def _prep(df: DataFrame, vec_col: str, id_col: str, dim: int = 64) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
     )
 
 
@@ -111,12 +111,13 @@ def cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact brute-force top-k neighbors for the query set
     (vec_id < query_max_id), deterministic tie-break on neighbor id."""
-    base = _prep(df, vec_col, id_col)
+    base = _prep(df, vec_col, id_col, dim)
     queries = base.filter(F.col(id_col) < query_max_id)
-    scored = _scored_pairs(queries, base, id_col)
+    scored = _scored_pairs(queries, base, id_col, dim=dim)
     return _rank_topk(scored, k)
 
 
@@ -133,11 +134,12 @@ def srp_topk(
     exact cosine re-rank inside. Recall < 1 by design; compare against
     :func:`cosine_topk` to measure."""
     bucketed = with_srp_bucket(df, vec_col, n_bits, dim)
-    base = _prep(bucketed, vec_col, id_col).join(
+    base = _prep(bucketed, vec_col, id_col, dim).join(
         bucketed.select(id_col, "bucket"), id_col
     )
     queries = base.filter(F.col(id_col) < query_max_id)
     scored = _scored_pairs(
-        queries, base, id_col, extra_cond=F.col("q.bucket") == F.col("c.bucket")
+        queries, base, id_col,
+        extra_cond=F.col("q.bucket") == F.col("c.bucket"), dim=dim,
     )
     return _rank_topk(scored, k)

@@ -384,7 +384,101 @@ GROUP BY p_type ORDER BY p_type
 """
 
 
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: length, round, upper, interval arithmetic,
+    date parts (test_payload_blob.sql:11-17 / test_timestamp_queries.sql:19-20
+    patterns)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), -2)
+        .cast("double")
+        .alias("price_hundreds"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    )
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       length(o_orderpriority) AS prio_len,
+       upper(o_orderstatus) AS status_u,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), -2) AS DOUBLE) AS price_hundreds,
+       CAST(o_orderdate AS TIMESTAMP) + INTERVAL '30 days' AS due_date,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month
+FROM orders
+"""
+
+
+def cte_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: temp views + WITH clause (the reference's CTE /
+    CREATE TEMP TABLE patterns, test_sequence_ranges.sql:49-68,
+    test_json_extraction.sql:230) — same Catalyst plan as the DataFrame API."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM orders_v GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment, count(*) AS n_customers,
+               CAST(sum(co.n_orders) AS BIGINT) AS total_orders,
+               CAST(sum(CAST(co.spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM cust_orders co JOIN customer_v c ON co.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
+
+
+CTE_SQL = """
+WITH cust_orders AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment, count(*) AS n_customers,
+       CAST(sum(co.n_orders) AS BIGINT) AS total_orders,
+       CAST(sum(CAST(co.spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM cust_orders co JOIN customer c ON co.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins — beyond the
+    reference's surface, standard for any engine swap."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).agg(F.count("*").alias("n_with_orders"))
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count("*").alias("n_without_orders"))
+    return with_orders.crossJoin(without)
+
+
+SEMI_ANTI_SQL = """
+SELECT
+  (SELECT count(*) FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+  (SELECT count(*) FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+"""
+
+
 QUERIES = {
+    "rel_scalar_functions": (scalar_functions, SCALAR_FUNCTIONS_SQL),
+    "rel_cte_sql_api": (cte_sql_api, CTE_SQL),
+    "rel_semi_anti_customers": (semi_anti_customers, SEMI_ANTI_SQL),
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_top_revenue_orders": (top_revenue_orders, TOP_REVENUE_SQL),
     "rel_nation_revenue": (nation_revenue, NATION_REVENUE_SQL),

@@ -52,6 +52,11 @@ _EPOCH = _dt.datetime(1970, 1, 1)
 # --- transports ---------------------------------------------------------------
 
 
+#: per-worker decoded-log cache — Spark reuses Python workers across tasks,
+#: so the replay log decodes once per worker, not once per partition
+_REPLAY_CACHE: dict = {}
+
+
 class ParquetReplayTransport:
     """Replay a parquet events log as a JetStream stream. Lazy-opens in each
     task (the object that crosses the pickle boundary is just config)."""
@@ -59,38 +64,62 @@ class ParquetReplayTransport:
     def __init__(self, path: str, stream: str):
         self.path = path
         self.stream = stream
-        self._rows = None
 
-    def _load(self):
-        if self._rows is None:
-            import pyarrow.parquet as pq
+    def _read(self, start_seq: int | None = None, end_seq: int | None = None):
+        key = (self.path, self.stream, start_seq, end_seq)
+        if key in _REPLAY_CACHE:
+            return _REPLAY_CACHE[key]
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
 
-            t = pq.read_table(self.path, columns=["event_id", "ts", "user_id", "event_type", "props"])
-            d = t.to_pydict()
-            rows = {}
-            for eid, ts, uid, etype, props in zip(
-                d["event_id"], d["ts"], d["user_id"], d["event_type"], d["props"]
-            ):
-                seq = int(eid) + 1  # sequences start at 1, like JetStream
-                ts_ns = ts.value if hasattr(ts, "value") else int(ts)
-                rows[seq] = (
-                    f"{self.stream}.{etype}.u{uid}",
-                    ts_ns,
-                    props.encode("utf-8"),
-                )
-            self._rows = rows
-        return self._rows
+        t = pq.read_table(
+            self.path,
+            columns=["event_id", "ts", "user_id", "event_type", "props"],
+        )
+        # vectorized slice before the per-row python decode — each partition
+        # pays only for its own sequence range
+        if start_seq is not None:
+            t = t.filter(pc.field("event_id") >= start_seq - 1)
+        if end_seq is not None:
+            t = t.filter(pc.field("event_id") <= end_seq - 1)
+        d = t.to_pydict()
+        rows = {}
+        for eid, ts, uid, etype, props in zip(
+            d["event_id"], d["ts"], d["user_id"], d["event_type"], d["props"]
+        ):
+            seq = int(eid) + 1  # sequences start at 1, like JetStream
+            ts_ns = ts.value if hasattr(ts, "value") else int(ts)
+            rows[seq] = (
+                f"{self.stream}.{etype}.u{uid}",
+                ts_ns,
+                props.encode("utf-8"),
+            )
+        _REPLAY_CACHE[key] = rows
+        return rows
 
     def stream_info(self) -> tuple[int, int]:
-        rows = self._load()
-        if not rows:
-            return (0, 0)
-        return (min(rows), max(rows))
+        import pyarrow.parquet as pq
+
+        # min/max from parquet row-group statistics — no data read
+        pf = pq.ParquetFile(self.path)
+        lo, hi = None, None
+        for rg in range(pf.metadata.num_row_groups):
+            col = pf.metadata.row_group(rg).column(0)
+            if col.statistics is not None:
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+        if lo is None:
+            rows = self._read()
+            if not rows:
+                return (0, 0)
+            return (min(rows), max(rows))
+        return (int(lo) + 1, int(hi) + 1)
 
     def fetch(self, start_seq: int, end_seq: int) -> Iterator[tuple[int, str, int, bytes]]:
         """Yield (seq, subject, ts_ns, payload) for the inclusive range,
         skipping gaps."""
-        rows = self._load()
+        rows = self._read(start_seq, end_seq)
         for seq in range(start_seq, end_seq + 1):
             msg = rows.get(seq)
             if msg is None:
@@ -266,6 +295,11 @@ class NatsScanBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SeqRangePartition):
+        """Yield Arrow RecordBatches (the DataSource fast path — per-row
+        tuple yields cost ~10× in pickling) built vectorized from the
+        transport's messages."""
+        import pyarrow as pa
+
         transport = _make_transport(self.options)
         t0 = self.options.get("start_time")
         t1 = self.options.get("end_time")
@@ -280,6 +314,11 @@ class NatsScanBatchReader(DataSourceReader):
             else None
         )
         json_mode = bool(self.json_fields)
+
+        seqs: list[int] = []
+        subjects: list[str] = []
+        ts_us_l: list[int] = []
+        payloads: list[bytes] = []
         for seq, subject, ts_ns, payload in transport.fetch(
             partition.start_seq, partition.end_seq
         ):
@@ -290,20 +329,36 @@ class NatsScanBatchReader(DataSourceReader):
                 continue
             if hi_us is not None and ts_us > hi_us:
                 continue
-            ts = _EPOCH + _dt.timedelta(microseconds=ts_us)
-            base = (
-                self.stream,
-                subject,
-                seq,
-                ts,
-                payload.decode("utf-8", "replace") if json_mode else payload,
+            seqs.append(seq)
+            subjects.append(subject)
+            ts_us_l.append(ts_us)
+            payloads.append(payload)
+
+        if not seqs:
+            return
+        cols = [
+            pa.array([self.stream] * len(seqs), pa.string()),
+            pa.array(subjects, pa.string()),
+            pa.array(seqs, pa.int64()),
+            pa.array(ts_us_l, pa.timestamp("us")),
+        ]
+        names = ["stream", "subject", "seq", "ts_nats"]
+        if json_mode:
+            cols.append(
+                pa.array([p.decode("utf-8", "replace") for p in payloads], pa.string())
             )
-            if json_mode:
-                yield base + tuple(
-                    _json_extract_value(payload, f) for f in self.json_fields
+            for f in self.json_fields:
+                cols.append(
+                    pa.array(
+                        [_json_extract_value(p, f) for p in payloads], pa.string()
+                    )
                 )
-            else:
-                yield base
+                names.append(f.replace(".", "_"))
+            names.insert(4, "payload")
+        else:
+            cols.append(pa.array(payloads, pa.binary()))
+            names.append("payload")
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 class NatsScanStreamReader(DataSourceStreamReader):

@@ -1,0 +1,70 @@
+"""Physical-plan discipline: these fail when a change degrades pushdown,
+pruning, broadcast choice, or codegen — the properties that decide whether a
+query survives a 100× scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_pruned,
+    assert_wholestage_codegen,
+)
+from duckdb_nats_jetstream_spark.queries.relational import (
+    nation_revenue,
+    pricing_summary,
+    top_revenue_orders,
+)
+from duckdb_nats_jetstream_spark.queries.stream import scan_json_cast_agg
+from duckdb_nats_jetstream_spark.sources import message_scan
+
+
+def test_seq_range_pushed_to_parquet(spark, sf_dir):
+    df = message_scan(spark, sf_dir, start_seq=100, end_seq=200)
+    assert_pushed_filter(df, "event_id")
+
+
+def test_time_range_pushed_to_parquet(spark, sf_dir):
+    df = message_scan(spark, sf_dir, start_time="2024-01-05", end_time="2024-01-10")
+    assert_pushed_filter(df, "ts")
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    df = message_scan(spark, sf_dir).select("seq", "subject")
+    # value and props are never needed for this projection
+    assert_read_schema_pruned(df, ["value", "props"])
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    assert_broadcast_join(top_revenue_orders(spark, sf_dir))
+    assert_broadcast_join(nation_revenue(spark, sf_dir))
+
+
+def test_no_cartesian_in_joins(spark, sf_dir):
+    assert_no_cartesian(top_revenue_orders(spark, sf_dir))
+    assert_no_cartesian(nation_revenue(spark, sf_dir))
+
+
+def test_codegen_on_hot_paths(spark, sf_dir):
+    assert_wholestage_codegen(lambda: pricing_summary(spark, sf_dir), spark)
+    assert_wholestage_codegen(lambda: scan_json_cast_agg(spark, sf_dir), spark)
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.relational import top_parts
+
+    plan = physical_plan(top_parts(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
+
+
+def test_filter_on_extracted_json_stays_codegen(spark, sf_dir):
+    assert_wholestage_codegen(
+        lambda: message_scan(spark, sf_dir, json_fields=["k"]).filter(
+            F.col("k").cast("int") > 50
+        ),
+        spark,
+    )
