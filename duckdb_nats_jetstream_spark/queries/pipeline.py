@@ -277,8 +277,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, dim=16)
 
 
+def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token stats (the DF half of tf-idf): term count + document
+    frequency, top 50 with deterministic tie-break."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_count").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+TOKEN_FREQUENCY_SQL = f"""
+SELECT token, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) t
+GROUP BY token
+ORDER BY term_count DESC, token
+LIMIT 50
+"""
+
+
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling (reproducible data selection — no
+    engine RNG): keep docs whose salted md5 starts with 0 or 1 (≈12.5%)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 1)
+    return (
+        docs.withColumn("b", bucket)
+        .filter(F.col("b").isin("0", "1"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("source")
+    )
+
+
+HASH_SAMPLE_SQL = """
+SELECT source, count(*) AS n_sampled, min(doc_id) AS min_doc_id
+FROM documents
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_token_frequency": (text_token_frequency, TOKEN_FREQUENCY_SQL),
+    "docs_hash_sample": (docs_hash_sample, HASH_SAMPLE_SQL),
     "multimodal_features": (multimodal_features, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -140,7 +140,77 @@ def nats_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the message stream: a >30-minute silence
+    per user starts a new session (the classic stateful-streaming op,
+    expressed with windows for the batch/oracle path; the streaming path
+    would use applyInPandasWithState)."""
+    df = message_scan(spark, sf_dir).select(
+        "seq",
+        "ts_nats",
+        F.regexp_extract("subject", r"\.u(\d+)$", 1).cast("long").alias("user_id"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_nats", "seq")
+    sessions = (
+        df.withColumn("prev_ts", F.lag("ts_nats").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts_nats") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.min("seq").alias("first_seq"),
+            # integer div: Spark's double->long cast truncates but DuckDB's
+            # rounds, so never cast a fractional division cross-engine
+            F.expr(
+                "(unix_micros(max(ts_nats)) - unix_micros(min(ts_nats))) div 1000000"
+            ).alias("duration_secs"),
+        )
+    )
+
+
+SESSIONIZATION_SQL = (
+    _SCAN_CTE
+    + """
+, enriched AS (
+  SELECT seq, ts_nats,
+         CAST(regexp_extract(subject, '\\.u(\\d+)$', 1) AS BIGINT) AS user_id
+  FROM scan
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts_nats > prev_ts + INTERVAL '30 minutes'
+            THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT *, lag(ts_nats) OVER (PARTITION BY user_id
+                                     ORDER BY ts_nats, seq) AS prev_ts
+        FROM enriched) t
+), numbered AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_nats, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_msgs, min(seq) AS first_seq,
+       (epoch_us(max(ts_nats)) - epoch_us(min(ts_nats))) // 1000000
+         AS duration_secs
+FROM numbered
+GROUP BY user_id, session_no
+"""
+)
+
+
 QUERIES = {
+    "scan_sessionization": (scan_sessionization, SESSIONIZATION_SQL),
     "scan_windowed_rollup": (
         scan_windowed_rollup,
         _SCAN_CTE

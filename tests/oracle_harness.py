@@ -57,10 +57,15 @@ def compare(spark_df, con, sql: str, name: str) -> list[str]:
 
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     o_order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
+    # sort key tolerant of NULLs mixed with values (rollup/grouping sets)
+    key = lambda t: tuple((v is None, str(type(v)), str(v)) for v in t)  # noqa: E731
     s_vals = sorted(
-        tuple(_norm(r[i]) for i in order) for r in (tuple(x) for x in spark_rows)
+        (tuple(_norm(r[i]) for i in order) for r in (tuple(x) for x in spark_rows)),
+        key=key,
     )
-    o_vals = sorted(tuple(_norm(r[i]) for i in o_order) for r in oracle_rows)
+    o_vals = sorted(
+        (tuple(_norm(r[i]) for i in o_order) for r in oracle_rows), key=key
+    )
     if s_vals != o_vals:
         diffs = [
             (a, b) for a, b in zip(s_vals, o_vals) if a != b
