@@ -209,7 +209,80 @@ GROUP BY user_id, session_no
 )
 
 
+EVENTS_PROTO = """
+syntax = "proto3";
+message Event {
+  int64 seq = 1;
+  int64 user_id = 2;
+  double value = 3;
+  string event_type = 4;
+  Props props = 5;
+}
+message Props { int64 k = 1; }
+"""
+
+
+def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end protobuf path (§2.A6 without external libs): encode each
+    event into proto wire format, then decode with the bind-time-validated
+    extractor into typed columns — oracle-checked against the raw table, so
+    any codec asymmetry fails the gate."""
+    import json as _json
+
+    from duckdb_nats_jetstream_spark.functions.proto import (
+        encode_message,
+        parse_proto,
+        proto_extract,
+    )
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    messages, enums = parse_proto(EVENTS_PROTO)
+    desc = messages["Event"]
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for eid, uid, val, etype, props in zip(
+                pdf["event_id"], pdf["user_id"], pdf["value"],
+                pdf["event_type"], pdf["props"],
+            ):
+                k = _json.loads(props).get("k")
+                payloads.append(
+                    encode_message(
+                        dict(
+                            seq=int(eid) + 1,
+                            user_id=int(uid),
+                            value=float(val),
+                            event_type=etype,
+                            props=dict(k=int(k)) if k is not None else None,
+                        ),
+                        desc, messages, enums,
+                    )
+                )
+            import pandas as pd
+
+            yield pd.DataFrame({"payload": payloads})
+
+    encoded = ev.select("event_id", "user_id", "value", "event_type", "props").mapInPandas(
+        encode, "payload binary"
+    )
+    return proto_extract(
+        encoded, EVENTS_PROTO, "Event",
+        ["seq", "user_id", "value", "event_type", "props.k"],
+    ).select("seq", "user_id", "value", "event_type", "props_k")
+
+
+PROTO_ROUNDTRIP_SQL = """
+SELECT event_id + 1 AS seq, user_id, value, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+"""
+
+
 QUERIES = {
+    "scan_proto_roundtrip": (proto_roundtrip, PROTO_ROUNDTRIP_SQL),
     "scan_sessionization": (scan_sessionization, SESSIONIZATION_SQL),
     "scan_windowed_rollup": (
         scan_windowed_rollup,
