@@ -121,6 +121,71 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans-partition the corpus (the inverted
+    file), then search only the ``n_probe`` clusters nearest each query and
+    re-rank with exact cosine inside.
+
+    The scale shape: the corpus shuffles once by cluster id; each query
+    touches n_probe/n_clusters of the data. Not oracle-expressible (KMeans),
+    so the registry records it rows-only; tests verify recall against
+    :func:`cosine_topk`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ml_df = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__features").fit(ml_df)
+    assigned = model.transform(ml_df).withColumnRenamed("prediction", "cluster")
+
+    centers = model.clusterCenters()
+    base = _prep(assigned, vec_col, id_col, dim).join(
+        assigned.select(id_col, "cluster"), id_col
+    )
+    queries = base.filter(F.col(id_col) < query_max_id)
+
+    # driver-side: the n_probe nearest centroids per query vector
+    import numpy as np
+
+    qrows = queries.select(id_col, "v").collect()
+    probe_pairs = []
+    C = np.array([c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in centers])
+    for r in qrows:
+        qv = np.asarray(r.v, dtype=float)
+        d2 = ((C - qv) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:n_probe]:
+            probe_pairs.append((r[0], int(c)))
+    probes = df.sparkSession.createDataFrame(
+        probe_pairs, schema=f"{id_col} long, cluster int"
+    )
+
+    cand = (
+        F.broadcast(queries.join(probes.withColumnRenamed("cluster", "probe_cluster"), id_col))
+        .alias("q")
+        .join(
+            base.alias("c"),
+            (F.col("q.probe_cluster") == F.col("c.cluster"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            (dot(F.col("q.v"), F.col("c.v"), dim) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cos"),
+        )
+        .distinct()
+    )
+    return _rank_topk(cand, k)
+
+
 def srp_topk(
     df: DataFrame,
     query_max_id: int = 10,

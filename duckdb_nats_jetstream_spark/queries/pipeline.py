@@ -326,7 +326,17 @@ GROUP BY source ORDER BY source
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted-file) approximate top-k — rows-only (KMeans has
+    no SQL oracle); recall vs brute force is test-verified."""
+    return S.ivf_topk(
+        read_table(spark, sf_dir, "embeddings"), query_max_id=10, k=5,
+        n_clusters=16, n_probe=4,
+    )
+
+
 QUERIES = {
+    "sim_ivf_topk": (sim_ivf_topk, None),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_token_frequency": (text_token_frequency, TOKEN_FREQUENCY_SQL),
     "docs_hash_sample": (docs_hash_sample, HASH_SAMPLE_SQL),

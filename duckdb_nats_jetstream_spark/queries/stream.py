@@ -281,7 +281,44 @@ FROM events
 """
 
 
+def scan_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient per-subject rollup: two-phase salted aggregation whose
+    decimal-exact partials make it value-identical to a direct GROUP BY (the
+    oracle). The shape that survives a hot subject at 100 TB."""
+    from duckdb_nats_jetstream_spark.operators.skew import salted_agg
+
+    df = message_scan(spark, sf_dir, json_fields=["k"]).select(
+        "subject", "seq", F.col("k").cast("double").alias("kd")
+    )
+    return salted_agg(
+        df,
+        keys=["subject"],
+        partial_aggs=[
+            F.count("*").alias("pn"),
+            F.sum(F.col("kd").cast("decimal(18,2)")).alias("psum"),
+            F.max("seq").alias("pmax"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_msgs"),
+            F.sum("psum").cast("double").alias("sum_k"),
+            F.max("pmax").alias("max_seq"),
+        ],
+        n_salts=16,
+        salt_source="seq",
+    )
+
+
+SALTED_AGG_SQL = (
+    _SCAN_CTE
+    + "SELECT subject, count(*) AS n_msgs, "
+    "CAST(sum(CAST(CAST(json_extract_string(payload, '$.k') AS DOUBLE) "
+    "AS DECIMAL(18,2))) AS DOUBLE) AS sum_k, "
+    "max(seq) AS max_seq FROM scan GROUP BY subject"
+)
+
+
 QUERIES = {
+    "scan_salted_agg": (scan_salted_agg, SALTED_AGG_SQL),
     "scan_proto_roundtrip": (proto_roundtrip, PROTO_ROUNDTRIP_SQL),
     "scan_sessionization": (scan_sessionization, SESSIONIZATION_SQL),
     "scan_windowed_rollup": (

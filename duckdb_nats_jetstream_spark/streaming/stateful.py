@@ -1,0 +1,119 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState`` — the
+slot the reference's roadmap leaves open (it has no streaming state at all;
+ref:docs/GUIDE.md:461-482 lists durable consumers and live tail as future
+work). Spark's GroupState gives checkpointed per-key state with timeouts.
+
+``streaming_sessionize`` is the streaming twin of the batch
+``scan_sessionization`` query: per-user sessions close when the *event-time*
+watermark passes ``last message + gap`` (EventTimeTimeout), so closed
+streaming sessions equal their batch twins exactly; at most one still-open
+session per user remains unemitted when input ends.
+
+Gotcha (cost a debugging loop): re-arming a timeout on every invocation
+keeps availableNow's "cleaning up state" phase alive forever. The timeout
+branch must flush + ``state.remove()``, never re-arm.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.LongType()),
+        T.StructField("n_msgs", T.LongType()),
+        T.StructField("first_seq", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_no", T.LongType()),
+        T.StructField("n_msgs", T.LongType()),
+        T.StructField("first_seq", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _us_to_ts(us: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(microseconds=us)
+
+
+def _sessionize_fn(gap_minutes: int):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        cols = ["user_id", "session_no", "n_msgs", "first_seq", "last_ts"]
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: flush the open session and
+            # drop the state — do NOT re-arm, or availableNow never drains
+            session_no, n_msgs, first_seq, last_ts_us = state.get
+            state.remove()
+            if n_msgs:
+                yield pd.DataFrame(
+                    [(user_id, session_no, n_msgs, first_seq, _us_to_ts(last_ts_us))],
+                    columns=cols,
+                )
+            return
+
+        if state.exists:
+            session_no, n_msgs, first_seq, last_ts_us = state.get
+        else:
+            session_no, n_msgs, first_seq, last_ts_us = 0, 0, None, None
+
+        events = []
+        for pdf in pdfs:
+            for seq, ts in zip(pdf["seq"], pdf["ts_nats"]):
+                events.append((int(pd.Timestamp(ts).value) // 1000, int(seq)))
+        events.sort()
+
+        rows = []
+        for ts_us, seq in events:
+            if last_ts_us is None or ts_us - last_ts_us > gap_us:
+                if n_msgs:  # close the previous session
+                    rows.append(
+                        (user_id, session_no, n_msgs, first_seq, _us_to_ts(last_ts_us))
+                    )
+                session_no += 1
+                n_msgs, first_seq = 0, seq
+            n_msgs += 1
+            last_ts_us = ts_us
+        state.update((session_no, n_msgs, first_seq, last_ts_us))
+        # close via event time: fires when the watermark passes last + gap
+        state.setTimeoutTimestamp(last_ts_us // 1000 + gap_minutes * 60 * 1000)
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def streaming_sessionize(stream_df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user gap sessions over a streaming message scan."""
+    return (
+        stream_df.withWatermark("ts_nats", "0 seconds")
+        .selectExpr(
+            "CAST(regexp_extract(subject, '\\\\.u(\\\\d+)$', 1) AS BIGINT) AS user_id",
+            "seq",
+            "ts_nats",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_minutes),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

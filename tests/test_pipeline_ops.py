@@ -68,6 +68,18 @@ def test_srp_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 0.1
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, 10, 5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, 10, 5, n_clusters=8, n_probe=4).collect()
+    }
+    assert exact and approx
+    # probing half the clusters on near-random vectors: expect decent recall
+    assert len(exact & approx) / len(exact) > 0.3
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     out = S.cosine_topk(emb, 3, 5).collect()
