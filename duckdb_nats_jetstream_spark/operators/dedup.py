@@ -17,11 +17,9 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from duckdb_nats_jetstream_spark.functions.text import (
     fingerprint,
     jaccard,
-    minhash_signature,
     shingles,
     tokens,
 )
-from duckdb_nats_jetstream_spark.functions.vector import cosine, dot
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -527,7 +527,71 @@ ORDER BY returnflag, linestatus
 """
 
 
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops: nations having customers vs suppliers."""
+    cust_nations = (
+        read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp_nations = (
+        read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("setop", F.lit("both"))
+    # subtract == EXCEPT (set semantics); exceptAll would keep bag leftovers
+    cust_only = (
+        cust_nations.distinct()
+        .subtract(supp_nations.distinct())
+        .withColumn("setop", F.lit("customer_only"))
+    )
+    return both.unionAll(cust_only)
+
+
+INTERSECT_EXCEPT_SQL = """
+SELECT nationkey, 'both' AS setop FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT
+   SELECT s_nationkey FROM supplier) t
+UNION ALL
+SELECT nationkey, 'customer_only' AS setop FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   EXCEPT
+   SELECT DISTINCT s_nationkey FROM supplier) u
+"""
+
+
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by market segment × order status (oracle via
+    conditional aggregation — same relation, engine-neutral)."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .select(
+            "c_mktsegment",
+            F.col("O").alias("n_open"),
+            F.col("F").alias("n_final"),
+            F.col("P").alias("n_partial"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+PIVOT_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "rel_intersect_except": (intersect_except, INTERSECT_EXCEPT_SQL),
+    "rel_pivot_status": (pivot_status_by_segment, PIVOT_SQL),
     "rel_percentiles": (percentiles, PERCENTILES_SQL),
     "rel_rollup": (rollup_aggregates, ROLLUP_SQL),
     "rel_scalar_functions": (scalar_functions, SCALAR_FUNCTIONS_SQL),
