@@ -143,6 +143,9 @@ def decode_message(
         if wire == 0:
             raw, pos = _read_varint(data, pos)
             if field:
+                # wire-type/declared-type mismatches are skipped as unknown
+                # fields (assigning through the wire type would corrupt the
+                # typed output — found by hypothesis)
                 name, ftype, _rep = field
                 if ftype == "bool":
                     out[name] = bool(raw)
@@ -154,8 +157,6 @@ def decode_message(
                     out[name] = raw  # uint64 > 2^63-1 out of scope (long narrow)
                 elif ftype in enums:
                     out[name] = enums[ftype].get(raw)
-                else:
-                    out[name] = raw
         elif wire == 1:
             if pos + 8 > len(data):
                 raise ValueError("truncated fixed64")
@@ -167,7 +168,7 @@ def decode_message(
                     out[name] = struct.unpack("<d", chunk)[0]
                 elif ftype == "sfixed64":
                     out[name] = _to_signed(int.from_bytes(chunk, "little"), 64)
-                else:  # fixed64
+                elif ftype == "fixed64":
                     out[name] = int.from_bytes(chunk, "little")
         elif wire == 2:
             ln, pos = _read_varint(data, pos)
@@ -183,8 +184,6 @@ def decode_message(
                     out[name] = chunk
                 elif ftype in messages:
                     out[name] = decode_message(chunk, messages[ftype], messages, enums)
-                else:
-                    raise ValueError(f"bad length-delimited field type {ftype}")
         elif wire == 5:
             if pos + 4 > len(data):
                 raise ValueError("truncated fixed32")
@@ -196,7 +195,7 @@ def decode_message(
                     out[name] = struct.unpack("<f", chunk)[0]
                 elif ftype == "sfixed32":
                     out[name] = _to_signed(int.from_bytes(chunk, "little"), 32)
-                else:  # fixed32
+                elif ftype == "fixed32":
                     out[name] = int.from_bytes(chunk, "little")
         else:
             raise ValueError(f"unsupported wire type {wire}")

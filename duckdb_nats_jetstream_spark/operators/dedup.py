@@ -130,7 +130,7 @@ def minhash_lsh_pairs(
         .join(sh_b, "id_b")
         .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jac") >= threshold)
-        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard_r"))
+        .select("id_a", "id_b", F.col("jac").alias("jaccard_r"))
     )
 
 
@@ -161,7 +161,7 @@ def ngram_jaccard_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round("jac", 6).alias("jaccard_r"),
+            F.col("jac").alias("jaccard_r"),
         )
     )
 
@@ -259,7 +259,7 @@ def embedding_near_dup_pairs(
                 {
                     "id_a": a_ids[ai],
                     "id_b": c_ids[bj],
-                    "cos_r": np.round(cos[ai, bj], 6),
+                    "cos_r": cos[ai, bj],
                 }
             )
 

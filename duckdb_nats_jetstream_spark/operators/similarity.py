@@ -100,7 +100,7 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("rnk").cast("long").alias("rnk"),
-            F.round("cos", 6).alias("cos_r"),
+            F.col("cos").alias("cos_r"),
         )
     )
 

@@ -69,12 +69,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "source",
-        F.round(TX.quality_score(toks), 6).alias("quality_r"),
+        TX.quality_score(toks).alias("quality_r"),
     )
 
 
 TEXT_QUALITY_SQL = f"""
-SELECT doc_id, source, round({TX.sql_quality_score(_TOKS)}, 6) AS quality_r
+SELECT doc_id, source, {TX.sql_quality_score(_TOKS)} AS quality_r
 FROM documents
 """
 
@@ -128,7 +128,7 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, round(jac, 6) AS jaccard_r
+SELECT id_a, id_b, jac AS jaccard_r
 FROM (SELECT id_a, id_b, {TX.sql_jaccard('sh_a', 'sh_b')} AS jac FROM cand) t
 WHERE jac >= {threshold}
 """
@@ -149,7 +149,7 @@ WITH docs AS (
          {TX.sql_shingles(_TOKS)} AS sh
   FROM documents
 ), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
-SELECT id_a, id_b, round(jac, 6) AS jaccard_r
+SELECT id_a, id_b, jac AS jaccard_r
 FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          {TX.sql_jaccard('a.sh', 'b.sh')} AS jac
@@ -182,7 +182,7 @@ WITH base AS (
   SELECT vec_id, embedding AS v, sqrt({sql_dot('embedding', 'embedding')}) AS nrm
   FROM embeddings
 )
-SELECT id_a, id_b, round(cos, 6) AS cos_r
+SELECT id_a, id_b, cos AS cos_r
 FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
@@ -214,7 +214,7 @@ s AS (
                             ORDER BY cos DESC, neighbor_id) AS rn
   FROM s
 )
-SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, round(cos, 6) AS cos_r
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, cos AS cos_r
 FROM r WHERE rn <= 5
 """
 
@@ -259,7 +259,7 @@ s AS (
                             ORDER BY cos DESC, neighbor_id) AS rn
   FROM s
 )
-SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, round(cos, 6) AS cos_r
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, cos AS cos_r
 FROM r WHERE rn <= 5
 """
 
