@@ -141,7 +141,7 @@ def ivf_topk(
     so the registry records it rows-only; tests verify recall against
     :func:`cosine_topk`."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     ml_df = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__features").fit(ml_df)

@@ -335,7 +335,65 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone data-cleaning pipeline (C4-style): length bounds +
+    repetition/stopword-ratio filters + exact dedup (keep min doc_id per
+    content fingerprint), composed from the text operators. One pass +
+    one fingerprint window — the shape you'd run on 100 TB of raw crawl."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    stop = sorted({w for ws in TX.LANG_STOPWORDS.values() for w in ws})
+    n = F.size(toks).cast("long")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("long") / n).alias("distinct_ratio"),
+        (F.size(F.filter(toks, lambda t: t.isin(*stop))).cast("long") / n).alias(
+            "stopword_ratio"
+        ),
+    )
+    kept = enriched.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("distinct_ratio") > 0.05)
+        & (F.col("stopword_ratio") < 0.6)
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens", "distinct_ratio", "stopword_ratio")
+    )
+
+
+def _corpus_clean_sql() -> str:
+    stop = sorted({w for ws in TX.LANG_STOPWORDS.values() for w in ws})
+    lst = ", ".join(f"'{w}'" for w in stop)
+    return f"""
+WITH enriched AS (
+  SELECT doc_id, source, {TX.sql_fingerprint('text')} AS fp,
+         len({_TOKS}) AS n_tokens,
+         len(list_distinct({_TOKS})) / len({_TOKS}) AS distinct_ratio,
+         len(list_filter({_TOKS}, t -> t IN ({lst}))) / len({_TOKS}) AS stopword_ratio
+  FROM documents
+), kept AS (
+  SELECT * FROM enriched
+  WHERE n_tokens >= 20 AND n_tokens <= 1000
+    AND distinct_ratio > CAST(0.05 AS DOUBLE)
+    AND stopword_ratio < CAST(0.6 AS DOUBLE)
+)
+SELECT doc_id, source, n_tokens, distinct_ratio, stopword_ratio
+FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept) t
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "corpus_clean": (corpus_clean, _corpus_clean_sql()),
     "sim_ivf_topk": (sim_ivf_topk, None),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_token_frequency": (text_token_frequency, TOKEN_FREQUENCY_SQL),
