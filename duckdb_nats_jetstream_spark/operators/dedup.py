@@ -125,13 +125,18 @@ def minhash_lsh_pairs(
     )
     sh_a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", F.col("jac").alias("jaccard_r"))
     )
+    # release the shingle cache once the result is materialized; blocking=False
+    # so a consumer that hasn't run yet just recomputes
+    out = out.localCheckpoint(eager=True)
+    docs.unpersist(blocking=False)
+    return out
 
 
 def ngram_jaccard_pairs(

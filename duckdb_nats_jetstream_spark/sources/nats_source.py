@@ -239,7 +239,26 @@ class SeqRangePartition(InputPartition):
         self.end_seq = end_seq
 
 
+#: every option the source understands — unknown options are bind errors so a
+#: typo'd "strat_seq" can't silently widen a range scan into a full scan
+KNOWN_OPTIONS = {
+    "stream", "url", "subject", "start_seq", "end_seq", "start_time",
+    "end_time", "json_extract", "partitions", "replay_path", "batch_size",
+    # spark adds its own bookkeeping options on load(); ignore lowercase path
+    "path", "paths",
+}
+
+
 def _parse_options(options: dict):
+    unknown = {
+        k for k in options
+        if k.lower() not in KNOWN_OPTIONS and not k.lower().startswith("spark.")
+    }
+    if unknown:
+        raise BindError(
+            f"unknown nats_jetstream option(s) {sorted(unknown)}; "
+            f"valid options: {sorted(KNOWN_OPTIONS - {'path', 'paths'})}"
+        )
     stream = options.get("stream")
     if not stream:
         raise BindError("nats_jetstream requires a 'stream' option")
