@@ -9,7 +9,10 @@ the same capability with zero dependencies:
 
 - a minimal .proto parser for the subset the reference supports: proto3
   messages, all 15 scalar wire types, nested messages, enums
-  (ref:test/proto/telemetry.proto, test/proto/types_test.proto);
+  (ref:test/proto/telemetry.proto, test/proto/types_test.proto) — plus
+  ``repeated`` (packed and unpacked), ``map<K,V>``, and ``oneof``, which the
+  reference lists as unimplemented roadmap (ref:docs/GUIDE.md:466-472):
+  repeated leaves extract as Spark arrays, maps as Spark maps;
 - a proto wire-format decoder (varint / zigzag / fixed32 / fixed64 /
   length-delimited) and encoder (for tests and roundtrips);
 - ``proto_extract``: bind-time path validation with the reference's error
@@ -36,19 +39,26 @@ from duckdb_nats_jetstream_spark.schema import PROTO_TO_SPARK
 SCALARS = set(PROTO_TO_SPARK) - {"enum"}
 
 _TOKEN = re.compile(
-    r"message\s+(\w+)\s*\{|enum\s+(\w+)\s*\{|\}|"
-    r"(repeated\s+|optional\s+|required\s+)?(\w[\w.]*)\s+(\w+)\s*=\s*(\d+)\s*(?:\[[^\]]*\])?\s*;|"
-    r"(\w+)\s*=\s*(\d+)\s*;"
+    r"message\s+(?P<msg>\w+)\s*\{|enum\s+(?P<enm>\w+)\s*\{|"
+    r"(?P<oneof>oneof)\s+\w+\s*\{|\}|"
+    r"map\s*<\s*(?P<mk>\w[\w.]*)\s*,\s*(?P<mv>\w[\w.]*)\s*>\s+(?P<mname>\w+)"
+    r"\s*=\s*(?P<mnum>\d+)\s*(?:\[[^\]]*\])?\s*;|"
+    r"(?P<label>repeated\s+|optional\s+|required\s+)?(?P<ftype>\w[\w.]*)\s+"
+    r"(?P<fname>\w+)\s*=\s*(?P<fnum>\d+)\s*(?:\[[^\]]*\])?\s*;|"
+    r"(?P<ename>\w+)\s*=\s*(?P<enum>\d+)\s*;"
 )
 
 
 class Descriptor:
-    """One message type: fields by name and number."""
+    """One message type: fields by name and number. ``map_kv`` is set on the
+    synthetic entry descriptor of a ``map<K,V>`` field (key=1, value=2 — the
+    protobuf map wire representation)."""
 
     def __init__(self, name: str):
         self.name = name
         self.fields: dict[str, tuple[int, str, bool]] = {}  # name -> (number, type, repeated)
         self.by_number: dict[int, tuple[str, str, bool]] = {}
+        self.map_kv: tuple[str, str] | None = None
 
     def add(self, fname: str, number: int, ftype: str, repeated: bool):
         self.fields[fname] = (number, ftype, repeated)
@@ -67,8 +77,8 @@ def parse_proto(text: str) -> tuple[dict[str, Descriptor], dict[str, dict[int, s
     enums: dict[str, dict[int, str]] = {}
     stack: list[tuple[str, object]] = []  # ("message", Descriptor) | ("enum", dict)
     for m in _TOKEN.finditer(text):
-        if m.group(1):  # message X {
-            name = m.group(1)
+        if m.group("msg"):  # message X {
+            name = m.group("msg")
             full = ".".join(
                 [n for k, d in stack if k == "message" for n in [d.name.split(".")[-1]]]
                 + [name]
@@ -77,23 +87,43 @@ def parse_proto(text: str) -> tuple[dict[str, Descriptor], dict[str, dict[int, s
             messages[full] = d
             messages.setdefault(name, d)
             stack.append(("message", d))
-        elif m.group(2):  # enum X {
-            name = m.group(2)
+        elif m.group("enm"):  # enum X {
+            name = m.group("enm")
             e: dict[int, str] = {}
             enums[name] = e
             stack.append(("enum", e))
+        elif m.group("oneof"):
+            # oneof is a transparent scope: its fields belong to the
+            # enclosing message (wire format is identical; last-set-wins is
+            # native to our dict decode)
+            if stack and stack[-1][0] == "message":
+                stack.append(("message", stack[-1][1]))
+            else:
+                stack.append(("enum", {}))  # malformed placement; swallow
         elif m.group(0) == "}":
             if stack:
                 stack.pop()
-        elif m.group(5):  # field
+        elif m.group("mname"):  # map<K,V> field
             if not stack or stack[-1][0] != "message":
                 continue
-            repeated = bool(m.group(3) and "repeated" in m.group(3))
-            ftype, fname, num = m.group(4), m.group(5), int(m.group(6))
+            ktype, vtype = m.group("mk"), m.group("mv")
+            fname, num = m.group("mname"), int(m.group("mnum"))
+            parent = stack[-1][1]
+            entry = Descriptor(f"{parent.name}.{fname}$map_entry")
+            entry.add("key", 1, ktype, False)
+            entry.add("value", 2, vtype, False)
+            entry.map_kv = (ktype, vtype)
+            messages[entry.name] = entry
+            parent.add(fname, num, entry.name, True)
+        elif m.group("fname"):  # field
+            if not stack or stack[-1][0] != "message":
+                continue
+            repeated = bool(m.group("label") and "repeated" in m.group("label"))
+            ftype, fname, num = m.group("ftype"), m.group("fname"), int(m.group("fnum"))
             stack[-1][1].add(fname, num, ftype, repeated)
-        elif m.group(7):  # enum value
+        elif m.group("ename"):  # enum value
             if stack and stack[-1][0] == "enum":
-                stack[-1][1][int(m.group(8))] = m.group(7)
+                stack[-1][1][int(m.group("enum"))] = m.group("ename")
     return messages, enums
 
 
@@ -126,6 +156,80 @@ def _to_signed(v: int, bits: int) -> int:
     return v
 
 
+_VARINT_TYPES = {"bool", "sint32", "sint64", "int32", "int64", "uint32", "uint64"}
+_FIXED64_TYPES = {"double", "sfixed64", "fixed64"}
+_FIXED32_TYPES = {"float", "sfixed32", "fixed32"}
+_SKIP = object()  # wire/declared type mismatch sentinel
+
+
+def _varint_value(ftype: str, raw: int, enums: dict):
+    if ftype == "bool":
+        return bool(raw)
+    if ftype in ("sint32", "sint64"):
+        return _zigzag_decode(raw)
+    if ftype in ("int32", "int64"):
+        return _to_signed(raw, 64)
+    if ftype in ("uint32", "uint64"):
+        return raw  # uint64 > 2^63-1 out of scope (long narrow)
+    if ftype in enums:
+        return enums[ftype].get(raw)
+    return _SKIP
+
+
+def _fixed64_value(ftype: str, chunk: bytes):
+    if ftype == "double":
+        return struct.unpack("<d", chunk)[0]
+    if ftype == "sfixed64":
+        return _to_signed(int.from_bytes(chunk, "little"), 64)
+    if ftype == "fixed64":
+        return int.from_bytes(chunk, "little")
+    return _SKIP
+
+
+def _fixed32_value(ftype: str, chunk: bytes):
+    if ftype == "float":
+        return struct.unpack("<f", chunk)[0]
+    if ftype == "sfixed32":
+        return _to_signed(int.from_bytes(chunk, "little"), 32)
+    if ftype == "fixed32":
+        return int.from_bytes(chunk, "little")
+    return _SKIP
+
+
+def _decode_packed(chunk: bytes, ftype: str, enums: dict) -> list:
+    """Packed repeated scalars: the proto3 default encoding — one wire-2
+    blob of back-to-back values with no per-element tags."""
+    vals = []
+    pos = 0
+    if ftype in _VARINT_TYPES or ftype in enums:
+        while pos < len(chunk):
+            raw, pos = _read_varint(chunk, pos)
+            vals.append(_varint_value(ftype, raw, enums))
+    elif ftype in _FIXED64_TYPES:
+        if len(chunk) % 8:
+            raise ValueError("truncated packed fixed64")
+        for pos in range(0, len(chunk), 8):
+            vals.append(_fixed64_value(ftype, chunk[pos : pos + 8]))
+    elif ftype in _FIXED32_TYPES:
+        if len(chunk) % 4:
+            raise ValueError("truncated packed fixed32")
+        for pos in range(0, len(chunk), 4):
+            vals.append(_fixed32_value(ftype, chunk[pos : pos + 4]))
+    return vals
+
+
+def _put(out: dict, name: str, repeated: bool, value):
+    if value is _SKIP:
+        # wire-type/declared-type mismatches are skipped as unknown fields
+        # (assigning through the wire type would corrupt the typed output —
+        # found by hypothesis)
+        return
+    if repeated:
+        out.setdefault(name, []).append(value)
+    else:
+        out[name] = value
+
+
 def decode_message(
     data: bytes,
     desc: Descriptor,
@@ -133,7 +237,8 @@ def decode_message(
     enums: dict[str, dict[int, str]],
 ) -> dict:
     """Wire decode → python dict (enum → name string; nested → dict;
-    unknown field numbers skipped; raises ValueError on malformed input)."""
+    repeated → list; map → dict; unknown field numbers skipped; raises
+    ValueError on malformed input)."""
     out: dict = {}
     pos = 0
     while pos < len(data):
@@ -143,33 +248,16 @@ def decode_message(
         if wire == 0:
             raw, pos = _read_varint(data, pos)
             if field:
-                # wire-type/declared-type mismatches are skipped as unknown
-                # fields (assigning through the wire type would corrupt the
-                # typed output — found by hypothesis)
-                name, ftype, _rep = field
-                if ftype == "bool":
-                    out[name] = bool(raw)
-                elif ftype in ("sint32", "sint64"):
-                    out[name] = _zigzag_decode(raw)
-                elif ftype in ("int32", "int64"):
-                    out[name] = _to_signed(raw, 64)
-                elif ftype in ("uint32", "uint64"):
-                    out[name] = raw  # uint64 > 2^63-1 out of scope (long narrow)
-                elif ftype in enums:
-                    out[name] = enums[ftype].get(raw)
+                name, ftype, rep = field
+                _put(out, name, rep, _varint_value(ftype, raw, enums))
         elif wire == 1:
             if pos + 8 > len(data):
                 raise ValueError("truncated fixed64")
             chunk = data[pos : pos + 8]
             pos += 8
             if field:
-                name, ftype, _rep = field
-                if ftype == "double":
-                    out[name] = struct.unpack("<d", chunk)[0]
-                elif ftype == "sfixed64":
-                    out[name] = _to_signed(int.from_bytes(chunk, "little"), 64)
-                elif ftype == "fixed64":
-                    out[name] = int.from_bytes(chunk, "little")
+                name, ftype, rep = field
+                _put(out, name, rep, _fixed64_value(ftype, chunk))
         elif wire == 2:
             ln, pos = _read_varint(data, pos)
             if pos + ln > len(data):
@@ -177,26 +265,32 @@ def decode_message(
             chunk = data[pos : pos + ln]
             pos += ln
             if field:
-                name, ftype, _rep = field
+                name, ftype, rep = field
+                ent = messages.get(ftype)
                 if ftype == "string":
-                    out[name] = chunk.decode("utf-8")
+                    _put(out, name, rep, chunk.decode("utf-8"))
                 elif ftype == "bytes":
-                    out[name] = chunk
-                elif ftype in messages:
-                    out[name] = decode_message(chunk, messages[ftype], messages, enums)
+                    _put(out, name, rep, chunk)
+                elif ent is not None and ent.map_kv is not None:
+                    entry = decode_message(chunk, ent, messages, enums)
+                    ktype, vtype = ent.map_kv
+                    k = entry.get("key", _proto3_default(ktype, messages, enums))
+                    v = entry.get("value", _proto3_default(vtype, messages, enums))
+                    out.setdefault(name, {})[k] = v
+                elif ent is not None:
+                    _put(out, name, rep, decode_message(chunk, ent, messages, enums))
+                elif rep and (ftype in _VARINT_TYPES or ftype in _FIXED64_TYPES
+                              or ftype in _FIXED32_TYPES or ftype in enums):
+                    for v in _decode_packed(chunk, ftype, enums):
+                        _put(out, name, True, v)
         elif wire == 5:
             if pos + 4 > len(data):
                 raise ValueError("truncated fixed32")
             chunk = data[pos : pos + 4]
             pos += 4
             if field:
-                name, ftype, _rep = field
-                if ftype == "float":
-                    out[name] = struct.unpack("<f", chunk)[0]
-                elif ftype == "sfixed32":
-                    out[name] = _to_signed(int.from_bytes(chunk, "little"), 32)
-                elif ftype == "fixed32":
-                    out[name] = int.from_bytes(chunk, "little")
+                name, ftype, rep = field
+                _put(out, name, rep, _fixed32_value(ftype, chunk))
         else:
             raise ValueError(f"unsupported wire type {wire}")
     return out
@@ -216,44 +310,76 @@ def _write_varint(v: int) -> bytes:
             return bytes(out)
 
 
+def _scalar_wire_payload(
+    ftype: str, v, enums: dict[str, dict[int, str]]
+) -> tuple[int, bytes]:
+    """(wire type, untagged payload bytes) for one scalar value."""
+    if ftype in ("int32", "int64", "uint32", "uint64", "bool"):
+        return 0, _write_varint(int(v))
+    if ftype in ("sint32", "sint64"):
+        return 0, _write_varint((int(v) << 1) ^ (int(v) >> 63))
+    if ftype in ("fixed64", "sfixed64"):
+        return 1, int(v).to_bytes(8, "little", signed=v < 0)
+    if ftype == "double":
+        return 1, struct.pack("<d", float(v))
+    if ftype == "string":
+        b = str(v).encode("utf-8")
+        return 2, _write_varint(len(b)) + b
+    if ftype == "bytes":
+        return 2, _write_varint(len(v)) + bytes(v)
+    if ftype in ("fixed32", "sfixed32"):
+        return 5, int(v).to_bytes(4, "little", signed=v < 0)
+    if ftype == "float":
+        return 5, struct.pack("<f", float(v))
+    if ftype in enums:
+        rev = {n: k for k, n in enums[ftype].items()}
+        return 0, _write_varint(rev[v])
+    raise BindError(f"cannot encode field type {ftype}")
+
+
 def encode_message(
     values: dict,
     desc: Descriptor,
     messages: dict[str, Descriptor],
     enums: dict[str, dict[int, str]],
 ) -> bytes:
-    """Deterministic encoder (fields in number order) — for tests/roundtrips."""
+    """Deterministic encoder (fields in number order; map keys sorted;
+    repeated numerics packed) — for tests/roundtrips."""
     out = bytearray()
     for num in sorted(desc.by_number):
-        name, ftype, _rep = desc.by_number[num]
+        name, ftype, rep = desc.by_number[num]
         if name not in values or values[name] is None:
             continue
         v = values[name]
-        if ftype in ("int32", "int64", "uint32", "uint64", "bool"):
-            out += _write_varint(num << 3) + _write_varint(int(v))
-        elif ftype in ("sint32", "sint64"):
-            out += _write_varint(num << 3) + _write_varint((int(v) << 1) ^ (int(v) >> 63))
-        elif ftype in ("fixed64", "sfixed64"):
-            out += _write_varint((num << 3) | 1) + int(v).to_bytes(8, "little", signed=v < 0)
-        elif ftype == "double":
-            out += _write_varint((num << 3) | 1) + struct.pack("<d", float(v))
-        elif ftype == "string":
-            b = str(v).encode("utf-8")
+        ent = messages.get(ftype)
+        if ent is not None and ent.map_kv is not None:
+            ktype, vtype = ent.map_kv
+            for k in sorted(v):
+                b = encode_message(
+                    {"key": k, "value": v[k]}, ent, messages, enums
+                )
+                out += _write_varint((num << 3) | 2) + _write_varint(len(b)) + b
+        elif rep:
+            if ent is not None:  # repeated nested message: one tag per element
+                for item in v:
+                    b = encode_message(item, ent, messages, enums)
+                    out += _write_varint((num << 3) | 2) + _write_varint(len(b)) + b
+            elif ftype in ("string", "bytes"):  # never packed
+                for item in v:
+                    _w, payload = _scalar_wire_payload(ftype, item, enums)
+                    out += _write_varint((num << 3) | 2) + payload
+            else:  # packed numerics/bools/enums (proto3 default)
+                body = b"".join(
+                    _scalar_wire_payload(ftype, item, enums)[1] for item in v
+                )
+                if body:
+                    out += _write_varint((num << 3) | 2) + _write_varint(len(body)) + body
+        elif ent is not None:
+            b = encode_message(v, ent, messages, enums)
             out += _write_varint((num << 3) | 2) + _write_varint(len(b)) + b
-        elif ftype == "bytes":
-            out += _write_varint((num << 3) | 2) + _write_varint(len(v)) + bytes(v)
-        elif ftype in ("fixed32", "sfixed32"):
-            out += _write_varint((num << 3) | 5) + int(v).to_bytes(4, "little", signed=v < 0)
-        elif ftype == "float":
-            out += _write_varint((num << 3) | 5) + struct.pack("<f", float(v))
-        elif ftype in messages:
-            b = encode_message(v, messages[ftype], messages, enums)
-            out += _write_varint((num << 3) | 2) + _write_varint(len(b)) + b
-        elif ftype in enums:
-            rev = {n: k for k, n in enums[ftype].items()}
-            out += _write_varint(num << 3) + _write_varint(rev[v])
         else:
-            raise BindError(f"cannot encode field type {ftype}")
+            wire, payload = _scalar_wire_payload(ftype, v, enums)
+            out += _write_varint((num << 3) | wire) + payload
     return bytes(out)
 
 
@@ -307,15 +433,39 @@ def validate_proto_path(
             raise BindError(
                 f"Field '{part}' not found in message '{cur.name}' (path '{path}')"
             )
-        _num, ftype, _rep = cur.fields[part]
+        _num, ftype, rep = cur.fields[part]
+        ent = messages.get(ftype)
+        is_map = ent is not None and ent.map_kv is not None
         last = i == len(parts) - 1
         if last:
+            if is_map:
+                ktype, vtype = ent.map_kv
+                kt = _leaf_spark_type(ktype, enums)
+                vt = _leaf_spark_type(vtype, enums)
+                if vt is None:
+                    raise BindError(
+                        f"map field '{part}' has message values "
+                        f"({vtype}); extract a scalar-valued map instead"
+                    )
+                # valueContainsNull stays True: an unknown enum number
+                # decodes to a NULL name
+                return T.MapType(kt, vt)
             t = _leaf_spark_type(ftype, enums)
             if t is None:
+                if rep:
+                    raise BindError(
+                        f"repeated message field '{part}' is not extractable "
+                        f"as a leaf (path '{path}'); extract scalar paths"
+                    )
                 # terminal nested message → reference maps to VARCHAR w/ NULL
                 # values (ref:src/nats_scan.cpp:159-161,534-536)
                 return T.StringType()
-            return t
+            return T.ArrayType(t) if rep else t
+        if rep or is_map:
+            raise BindError(
+                f"Cannot navigate through {'map' if is_map else 'repeated'} "
+                f"field '{part}' in path '{path}'"
+            )
         if ftype not in messages:
             raise BindError(
                 f"Cannot navigate through non-message field '{part}' "
@@ -358,18 +508,33 @@ def proto_extract(
     # Reference reflection semantics (ref:src/nats_scan.cpp:456-544): an
     # absent *scalar* reads as its proto3 default; NULL only when an
     # ancestor nested message is unset (ref:487-499) or the leaf is itself a
-    # message (ref:534-536). Precompute each path's leaf default.
+    # singular message (ref:534-536). Absent repeated → []; absent map → {}.
+    # Precompute each path's leaf default and whether the leaf is a terminal
+    # (non-map) message — a runtime isinstance(dict) check can't tell a map
+    # value from a nested-message dict.
     defaults = []
+    leaf_is_msg = []
     for p in paths:
         cur = desc
         dval = None
-        for i, part in enumerate(p.split(".")):
-            _num, ftype, _rep = cur.fields[part]
-            if i == len(p.split(".")) - 1:
-                dval = _proto3_default(ftype, messages, enums)
+        is_msg = False
+        parts_p = p.split(".")
+        for i, part in enumerate(parts_p):
+            _num, ftype, rep = cur.fields[part]
+            if i == len(parts_p) - 1:
+                ent = messages.get(ftype)
+                if ent is not None and ent.map_kv is not None:
+                    dval = {}
+                elif rep:
+                    dval = []
+                elif ent is not None:
+                    is_msg = True  # terminal message → always NULL
+                else:
+                    dval = _proto3_default(ftype, messages, enums)
             else:
                 cur = messages[ftype]
         defaults.append(dval)
+        leaf_is_msg.append(is_msg)
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -382,7 +547,7 @@ def proto_extract(
             except (ValueError, UnicodeDecodeError):
                 return [None] * len(paths)  # undecodable → all-NULL
             row = []
-            for p, dval in zip(paths, defaults):
+            for p, dval, is_msg in zip(paths, defaults, leaf_is_msg):
                 node = msg
                 unset_parent = False
                 parts = p.split(".")
@@ -391,14 +556,11 @@ def proto_extract(
                     if node is None:
                         unset_parent = True
                         break
-                if unset_parent:
-                    row.append(None)
+                if unset_parent or is_msg:
+                    row.append(None)  # unset ancestor / terminal message
                     continue
                 leaf = node.get(parts[-1]) if isinstance(node, dict) else None
-                if isinstance(leaf, dict):
-                    row.append(None)  # terminal message → NULL
-                else:
-                    row.append(dval if leaf is None else leaf)
+                row.append(dval if leaf is None else leaf)
             return row
 
         for pdf in it:

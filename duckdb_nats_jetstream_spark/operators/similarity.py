@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
+
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from duckdb_nats_jetstream_spark.functions.vector import dot, sql_dot
@@ -121,6 +123,35 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+def _kmeans_sample(X, n_clusters: int, seed: int, iters: int = 20):
+    """Lloyd's k-means with k-means++ init on a driver-side sample —
+    deterministic for a fixed seed. Sized for samples up to ~100k×dim."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = [X[rng.randint(len(X))]]
+    for _ in range(n_clusters - 1):
+        C = np.asarray(centers)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(axis=1)
+        total = d2.sum()
+        if total <= 0:
+            centers.append(X[rng.randint(len(X))])
+        else:
+            centers.append(X[rng.choice(len(X), p=d2 / total)])
+    C = np.asarray(centers, dtype=float)
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        new_c = C.copy()
+        for j in range(n_clusters):
+            pts = X[assign == j]
+            if len(pts):
+                new_c[j] = pts.mean(axis=0)
+        if np.allclose(new_c, C):
+            break
+        C = new_c
+    return C
+
+
 def ivf_topk(
     df: DataFrame,
     query_max_id: int = 10,
@@ -131,45 +162,63 @@ def ivf_topk(
     id_col: str = "vec_id",
     dim: int = 64,
     seed: int = 42,
+    fit_sample_size: int = 100_000,
 ) -> DataFrame:
-    """IVF-style approximate top-k: KMeans-partition the corpus (the inverted
-    file), then search only the ``n_probe`` clusters nearest each query and
-    re-rank with exact cosine inside.
+    """IVF-style approximate top-k: train centroids on a bounded driver-side
+    sample (the way production IVF indexes are built — training never scans
+    the full corpus), broadcast them, assign every corpus vector to its
+    nearest centroid with one Arrow-vectorized pass, then search only the
+    ``n_probe`` clusters nearest each query and re-rank with exact cosine.
 
-    The scale shape: the corpus shuffles once by cluster id; each query
-    touches n_probe/n_clusters of the data. Not oracle-expressible (KMeans),
-    so the registry records it rows-only; tests verify recall against
+    The scale shape: centroid training is O(sample); the corpus is touched
+    by exactly one distributed map (assignment) plus the probed fraction
+    (n_probe/n_clusters) of the candidate join — no ML-pipeline iteration
+    jobs over the full data. Not oracle-expressible (k-means), so the
+    registry records it rows-only; tests verify recall against
     :func:`cosine_topk`."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    ml_df = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__features").fit(ml_df)
-    assigned = model.transform(ml_df).withColumnRenamed("prediction", "cluster")
+    # bounded deterministic sample: TakeOrderedAndProject, not a full sort
+    sample = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .sort(id_col)
+        .limit(fit_sample_size)
+        .collect()
+    )
+    C = _kmeans_sample(
+        np.asarray([r.v for r in sample], dtype=float), n_clusters, seed
+    )
+    c_list = C.tolist()  # closure-captured; broadcast with the udf
 
-    centers = model.clusterCenters()
-    base = _prep(assigned, vec_col, id_col, dim).join(
-        assigned.select(id_col, "cluster"), id_col
+    @pandas_udf("int")
+    def nearest_centroid(vs: pd.Series) -> pd.Series:
+        carr = np.asarray(c_list)
+        xs = np.stack(vs.to_numpy())
+        a = ((xs[:, None, :] - carr[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        return pd.Series(a.astype("int32"))
+
+    base = _prep(df, vec_col, id_col, dim).withColumn(
+        "cluster", nearest_centroid(F.col("v").cast("array<double>"))
     )
     queries = base.filter(F.col(id_col) < query_max_id)
 
     # driver-side: the n_probe nearest centroids per query vector
-    import numpy as np
-
     qrows = queries.select(id_col, "v").collect()
     probe_pairs = []
-    C = np.array([c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in centers])
     for r in qrows:
         qv = np.asarray(r.v, dtype=float)
         d2 = ((C - qv) ** 2).sum(axis=1)
         for c in np.argsort(d2)[:n_probe]:
             probe_pairs.append((r[0], int(c)))
     probes = df.sparkSession.createDataFrame(
-        probe_pairs, schema=f"{id_col} long, cluster int"
+        probe_pairs, schema=f"{id_col} long, probe_cluster int"
     )
 
+    # (query, candidate) pairs are unique by construction — a candidate
+    # lives in exactly one cluster and a query's probe clusters are distinct
     cand = (
-        F.broadcast(queries.join(probes.withColumnRenamed("cluster", "probe_cluster"), id_col))
+        F.broadcast(queries.join(probes, id_col))
         .alias("q")
         .join(
             base.alias("c"),
@@ -181,7 +230,6 @@ def ivf_topk(
             F.col(f"c.{id_col}").alias("neighbor_id"),
             (dot(F.col("q.v"), F.col("c.v"), dim) / (F.col("q.nrm") * F.col("c.nrm"))).alias("cos"),
         )
-        .distinct()
     )
     return _rank_topk(cand, k)
 

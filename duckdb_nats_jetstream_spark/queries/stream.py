@@ -281,6 +281,84 @@ FROM events
 """
 
 
+REPEATED_EVENTS_PROTO = """
+syntax = "proto3";
+message EventR {
+  int64 seq = 1;
+  repeated int64 vals = 2;
+  repeated string tags = 3;
+  map<string, int64> attrs = 4;
+}
+"""
+
+
+def proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated/map protobuf fields — the reference's unimplemented roadmap
+    (ref:docs/GUIDE.md:466-472): encode each event with packed repeated
+    int64s, repeated strings, and a string→int64 map; extract as native
+    Spark array/map columns; reduce to scalars so the DuckDB oracle checks
+    every element's value."""
+    from duckdb_nats_jetstream_spark.functions.proto import (
+        encode_message,
+        parse_proto,
+        proto_extract,
+    )
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    messages, enums = parse_proto(REPEATED_EVENTS_PROTO)
+    desc = messages["EventR"]
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for eid, uid, etype in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"]
+            ):
+                eid, uid = int(eid), int(uid)
+                payloads.append(
+                    encode_message(
+                        dict(
+                            seq=eid,
+                            vals=[eid, uid, eid % 7],
+                            tags=[etype, etype.upper()],
+                            attrs={"u": uid, "m": eid % 5},
+                        ),
+                        desc, messages, enums,
+                    )
+                )
+            yield pd.DataFrame({"payload": payloads})
+
+    encoded = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .mapInPandas(encode, "payload binary")
+    )
+    ex = proto_extract(
+        encoded, REPEATED_EVENTS_PROTO, "EventR", ["seq", "vals", "tags", "attrs"]
+    )
+    return ex.select(
+        "seq",
+        F.size("vals").alias("n_vals"),
+        F.aggregate("vals", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_vals"
+        ),
+        F.element_at("tags", 2).alias("tag_upper"),
+        F.element_at("attrs", F.lit("u")).alias("attr_u"),
+        F.element_at("attrs", F.lit("m")).alias("attr_m"),
+    )
+
+
+PROTO_REPEATED_SQL = """
+SELECT event_id AS seq, 3 AS n_vals,
+       event_id + user_id + (event_id % 7) AS sum_vals,
+       upper(event_type) AS tag_upper,
+       user_id AS attr_u, event_id % 5 AS attr_m
+FROM events
+"""
+
+
 def scan_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient per-subject rollup: two-phase salted aggregation whose
     decimal-exact partials make it value-identical to a direct GROUP BY (the
@@ -320,6 +398,7 @@ SALTED_AGG_SQL = (
 QUERIES = {
     "scan_salted_agg": (scan_salted_agg, SALTED_AGG_SQL),
     "scan_proto_roundtrip": (proto_roundtrip, PROTO_ROUNDTRIP_SQL),
+    "scan_proto_repeated": (proto_repeated, PROTO_REPEATED_SQL),
     "scan_sessionization": (scan_sessionization, SESSIONIZATION_SQL),
     "scan_windowed_rollup": (
         scan_windowed_rollup,

@@ -190,3 +190,116 @@ def test_unknown_message_bind_error(spark):
     df = spark.createDataFrame([Row(payload=bytearray(b""))], schema="payload binary")
     with pytest.raises(BindError, match="Message type"):
         proto_extract(df, TYPES_PROTO, "NoSuchMessage", ["x"])
+
+
+# --- repeated / map / oneof (reference roadmap parity-plus,
+# ref:docs/GUIDE.md:466-472 lists these as unimplemented) -----------------
+
+REPEATED_PROTO = """
+syntax = "proto3";
+message Doc {
+  string id = 1;
+  repeated int64 vals = 2;
+  repeated string tags = 3;
+  repeated Point points = 4;
+  map<string, int64> attrs = 5;
+  repeated double scores = 6;
+  oneof body {
+    string text = 7;
+    bytes blob = 8;
+  }
+}
+message Point { sint32 x = 1; sint32 y = 2; }
+"""
+
+
+def test_parse_repeated_map_oneof():
+    messages, enums = parse_proto(REPEATED_PROTO)
+    doc = messages["Doc"]
+    assert doc.fields["vals"] == (2, "int64", True)
+    assert doc.fields["tags"] == (3, "string", True)
+    # oneof members are plain fields of the enclosing message
+    assert doc.fields["text"] == (7, "string", False)
+    assert doc.fields["blob"] == (8, "bytes", False)
+    # map synthesizes an entry descriptor
+    entry_name = doc.fields["attrs"][1]
+    assert messages[entry_name].map_kv == ("string", "int64")
+    # Point survived the oneof block (stack stayed balanced)
+    assert messages["Point"].fields["x"] == (1, "sint32", True) or messages[
+        "Point"
+    ].fields["x"] == (1, "sint32", False)
+    assert messages["Point"].fields["x"][1] == "sint32"
+
+
+def test_repeated_map_roundtrip():
+    messages, enums = parse_proto(REPEATED_PROTO)
+    desc = messages["Doc"]
+    v = dict(
+        id="d1",
+        vals=[1, -2, 3_000_000_000],
+        tags=["a", "b", ""],
+        points=[dict(x=-1, y=2), dict(x=3, y=-4)],
+        attrs={"k1": 10, "k2": -20},
+        scores=[1.5, -2.25],
+        text="hello",
+    )
+    out = decode_message(encode_message(v, desc, messages, enums), desc, messages, enums)
+    assert out == v
+    # empty containers serialize to nothing → absent on decode
+    out2 = decode_message(
+        encode_message(dict(id="d2", vals=[], attrs={}), desc, messages, enums),
+        desc, messages, enums,
+    )
+    assert out2 == {"id": "d2"}
+
+
+def test_unpacked_repeated_decode():
+    # one tag per element (proto2 style / non-default proto3) must decode
+    # identically to packed
+    from duckdb_nats_jetstream_spark.functions.proto import _write_varint
+
+    messages, enums = parse_proto(REPEATED_PROTO)
+    desc = messages["Doc"]
+    wire = b"".join(_write_varint(2 << 3) + _write_varint(n) for n in [7, 8, 9])
+    assert decode_message(wire, desc, messages, enums) == {"vals": [7, 8, 9]}
+
+
+def test_repeated_navigation_bind_errors():
+    messages, enums = parse_proto(REPEATED_PROTO)
+    desc = messages["Doc"]
+    with pytest.raises(BindError, match="repeated"):
+        validate_proto_path("points.x", desc, messages, enums)
+    with pytest.raises(BindError, match="map"):
+        validate_proto_path("attrs.k1", desc, messages, enums)
+    with pytest.raises(BindError, match="repeated message"):
+        validate_proto_path("points", desc, messages, enums)
+    assert isinstance(
+        validate_proto_path("vals", desc, messages, enums), T.ArrayType
+    )
+    mt = validate_proto_path("attrs", desc, messages, enums)
+    assert isinstance(mt, T.MapType) and isinstance(mt.valueType, T.LongType)
+
+
+def test_spark_proto_extract_repeated_and_map(spark):
+    messages, enums = parse_proto(REPEATED_PROTO)
+    desc = messages["Doc"]
+    rows = [
+        Row(seq=1, payload=bytearray(encode_message(
+            dict(id="d1", vals=[1, 2, 3], tags=["x", "y"],
+                 attrs={"u": 7}, text="t1"),
+            desc, messages, enums,
+        ))),
+        Row(seq=2, payload=bytearray(encode_message(
+            dict(id="d2"), desc, messages, enums,  # all containers absent
+        ))),
+    ]
+    df = spark.createDataFrame(rows, schema="seq long, payload binary")
+    out = proto_extract(df, REPEATED_PROTO, "Doc", ["id", "vals", "tags", "attrs", "text"])
+    assert isinstance(out.schema["vals"].dataType, T.ArrayType)
+    assert isinstance(out.schema["attrs"].dataType, T.MapType)
+    got = {r.seq: r for r in out.collect()}
+    assert got[1].vals == [1, 2, 3] and got[1].tags == ["x", "y"]
+    assert got[1].attrs == {"u": 7} and got[1].text == "t1"
+    # absent repeated/map → proto3 default (empty), absent oneof str → ""
+    assert got[2].vals == [] and got[2].tags == [] and got[2].attrs == {}
+    assert got[2].text == ""
