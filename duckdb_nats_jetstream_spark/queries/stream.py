@@ -359,6 +359,71 @@ FROM events
 """
 
 
+def scan_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time alignment: each error event joined to the user's most
+    recent click at-or-before it (time-aligned feature lookup). The oracle
+    is DuckDB's native ASOF LEFT JOIN; ours is the union+window shape in
+    :mod:`operators.asof` — one shuffle by user, no range explosion."""
+    from duckdb_nats_jetstream_spark.operators.asof import asof_join
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"event_id": "click_id", "value": "click_value"},
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.event_id AS click_id, r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def scan_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without a nested loop: purchases inside the 1-hour window
+    opened by each signup of the same user. The oracle runs the plain
+    inequality join; ours bins time so Spark plans a hash equi-join on
+    (user, bin) — see :mod:`operators.interval_join`."""
+    from duckdb_nats_jetstream_spark.operators.interval_join import interval_join
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return interval_join(
+        purchases, signups, on="user_id", point_ts="p_ts",
+        start_col="win_start", end_col="win_end",
+    ).select("signup_id", "purchase_id", "user_id", "p_ts", "p_value")
+
+
+INTERVAL_JOIN_SQL = """
+SELECT i.event_id AS signup_id, p.event_id AS purchase_id, p.user_id,
+       p.ts AS p_ts, p.value AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') i
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON i.user_id = p.user_id
+ AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR
+"""
+
+
 def scan_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient per-subject rollup: two-phase salted aggregation whose
     decimal-exact partials make it value-identical to a direct GROUP BY (the
@@ -399,6 +464,8 @@ QUERIES = {
     "scan_salted_agg": (scan_salted_agg, SALTED_AGG_SQL),
     "scan_proto_roundtrip": (proto_roundtrip, PROTO_ROUNDTRIP_SQL),
     "scan_proto_repeated": (proto_repeated, PROTO_REPEATED_SQL),
+    "scan_asof_join": (scan_asof_join, ASOF_JOIN_SQL),
+    "scan_interval_join": (scan_interval_join, INTERVAL_JOIN_SQL),
     "scan_sessionization": (scan_sessionization, SESSIONIZATION_SQL),
     "scan_windowed_rollup": (
         scan_windowed_rollup,
