@@ -1,0 +1,93 @@
+"""Distributed operators over a globally ordered column.
+
+A plain ``lag().over(Window.orderBy(col))`` collapses the whole dataset into
+ONE partition (Spark warns ``WindowExec: No Partition Defined``) — fine at
+sf0.001, fatal at 100 TB. The scalable shape is the classic two-level
+decomposition:
+
+1. bucket rows into coarse **chunks** of the ordering key (``floor(key /
+   chunk_size)``) and run the window *partitioned by chunk* — each chunk is
+   an independent, bounded unit of work;
+2. fix up chunk boundaries with a second window over the **per-chunk
+   aggregates** — one row per non-empty chunk, orders of magnitude smaller
+   than the data, and broadcast back onto the fact side.
+
+The reference engine never needs this (it scans a single NATS stream on one
+node, ref:src/nats_scan.cpp sequential consume loop); on Spark it is what
+makes sequence-continuity audits (`scan_gap_detection`) cluster-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# 2^20 ordering-key values per chunk: at seq densities near 1 row/value this
+# bounds a chunk's window sort to ~1M rows, while the boundary table stays
+# ~1e6x smaller than the input.
+DEFAULT_CHUNK_SIZE = 1 << 20
+
+_CHUNK, _PREV_IN, _CMAX, _PREV_CHUNK_MAX = (
+    "__ord_chunk",
+    "__ord_prev_in_chunk",
+    "__ord_chunk_max",
+    "__ord_prev_chunk_max",
+)
+
+
+def chunked_lag(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "prev_value",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+) -> DataFrame:
+    """Equivalent of ``F.lag(order_col).over(Window.orderBy(order_col))``
+    without the single-partition collapse.
+
+    ``order_col`` must be a non-negative integral column (a log sequence
+    number). Within each chunk the lag is a normal partitioned window; the
+    first row of every chunk takes the max of the *previous non-empty chunk*
+    from a tiny chunk-level window, joined back via broadcast. Rows tied on
+    ``order_col`` receive the same predecessor either way, so any aggregate
+    over ``out_col`` differences matches the global-window answer exactly.
+    """
+    chunked = df.withColumn(
+        _CHUNK, (F.col(order_col) / F.lit(chunk_size)).cast("long")
+    )
+    in_chunk = W.partitionBy(_CHUNK).orderBy(order_col)
+
+    # One row per non-empty chunk; the chunk-level window IS single-partition
+    # but over ~input/chunk_size rows — the intended tiny fix-up table.
+    boundaries = (
+        chunked.groupBy(_CHUNK)
+        .agg(F.max(order_col).alias(_CMAX))
+        .withColumn(_PREV_CHUNK_MAX, F.lag(_CMAX).over(W.orderBy(_CHUNK)))
+        .select(_CHUNK, _PREV_CHUNK_MAX)
+    )
+
+    return (
+        chunked.join(F.broadcast(boundaries), _CHUNK, "left")
+        .withColumn(_PREV_IN, F.lag(order_col).over(in_chunk))
+        .withColumn(out_col, F.coalesce(_PREV_IN, F.col(_PREV_CHUNK_MAX)))
+        .drop(_CHUNK, _PREV_IN, _PREV_CHUNK_MAX)
+    )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    seq_col: str = "seq",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+) -> DataFrame:
+    """Continuity audit over a sequence column: total rows, count of gaps
+    (places where the next stored seq jumps by >1), and the covered span —
+    the distributed twin of the reference's LAG-based continuity check
+    (ref:test/sql/test_sequence_ranges.sql:92-107)."""
+    with_prev = chunked_lag(df, seq_col, out_col="__prev_seq", chunk_size=chunk_size)
+    return with_prev.agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(
+            F.when(F.col(seq_col) - F.col("__prev_seq") > 1, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_gaps"),
+        (F.max(seq_col) - F.min(seq_col) + F.lit(1)).alias("span"),
+    )

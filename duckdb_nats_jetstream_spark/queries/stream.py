@@ -92,18 +92,14 @@ def scan_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scan_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-continuity invariant via LAG
-    (test_sequence_ranges.sql:92-107,166-183)."""
-    df = message_scan(spark, sf_dir).withColumn(
-        "prev_seq", F.lag("seq").over(W.orderBy("seq"))
-    )
-    return df.agg(
-        F.count("*").alias("n_msgs"),
-        F.sum(
-            F.when(F.col("seq") - F.col("prev_seq") > 1, F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_gaps"),
-        (F.max("seq") - F.min("seq") + F.lit(1)).alias("span"),
-    )
+    """Sequence-continuity invariant (test_sequence_ranges.sql:92-107,166-183).
+
+    The oracle uses a global LAG; ours is :func:`operators.ordered.
+    sequence_gaps` — chunk-partitioned lag + tiny boundary fix-up, so no
+    single-partition WindowExec at scale. Values are identical."""
+    from duckdb_nats_jetstream_spark.operators.ordered import sequence_gaps
+
+    return sequence_gaps(message_scan(spark, sf_dir), "seq")
 
 
 def scan_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
