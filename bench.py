@@ -31,16 +31,43 @@ def main() -> None:
     spark = get_spark("bench")
     registry = full_registry()
 
-    # warm the JVM + parquet footers once so timings measure query execution
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the harness once so timings measure query execution, not startup:
+    # parquet footers for every table, the shuffle machinery, whole-stage
+    # codegen, and the Python worker pool (first mapInPandas otherwise costs
+    # whichever query alphabetically happens to hit it first ~1-2s).
+    from pyspark.sql import functions as F
 
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    for fname in os.listdir(sf_dir):
+        if fname.endswith(".parquet"):
+            read_table(spark, sf_dir, fname[: -len(".parquet")]).count()
+    spark.range(100000).repartition(8).groupBy(
+        (F.col("id") % 10).alias("k")
+    ).count().write.mode("overwrite").format("noop").save()
+
+    def _identity(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(1000).repartition(8).mapInPandas(_identity, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # Best-of-2 per query: single-shot timings on this rig show random
+    # 5-10s spikes on a rotating victim query (host jitter / GC pauses),
+    # which would mis-rank queries run-to-run. Each attempt executes the
+    # full query plan end-to-end (noop sink).
     timings: dict[str, float] = {}
     for name in sorted(registry):
         fn, _sql = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

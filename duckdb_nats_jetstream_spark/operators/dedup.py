@@ -47,8 +47,12 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    from duckdb_nats_jetstream_spark.session import spread
+
     sh = shingles(tokens(F.col(text_col)), n)
-    return df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+    # tokenize+shingle is the expensive per-row stage of every shingle-based
+    # dedup — spread first so a few-file input doesn't serialize it
+    return spread(df).select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
 
 
 def minhash_lsh_pairs(
@@ -150,11 +154,13 @@ def ngram_jaccard_pairs(
     """Blocked pairwise n-gram Jaccard. ``block_col`` bounds the pair
     explosion (at scale, block on an LSH bucket or length band — never
     all-pairs). Returns (id_a, id_b, jaccard_r)."""
+    from duckdb_nats_jetstream_spark.session import spread
+
     sh = shingles(tokens(F.col(text_col)), n)
     cols = [F.col(id_col), sh.alias("sh")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("blk"))
-    docs = df.select(*cols).filter(F.size("sh") > 0)
+    docs = spread(df).select(*cols).filter(F.size("sh") > 0)
     a, b = docs.alias("a"), docs.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col is not None:
@@ -176,7 +182,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     tokens, where token bit j = parity of hex digit j of md5(token) (each
     token hashed once, digits reused across bits). Integer math only —
     exactly mirrorable in SQL. Returns (id, simhash)."""
-    hashed = df.select(
+    from duckdb_nats_jetstream_spark.session import spread
+
+    hashed = spread(df).select(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), F.md5).alias("hs"),
     )
@@ -268,5 +276,7 @@ def embedding_near_dup_pairs(
                 }
             )
 
+    from duckdb_nats_jetstream_spark.session import spread
+
     out_schema = "id_a long, id_b long, cos_r double"
-    return df.select(id_col, vec_col).mapInPandas(blocks, out_schema)
+    return spread(df.select(id_col, vec_col)).mapInPandas(blocks, out_schema)

@@ -106,7 +106,9 @@ def extract_features(df: DataFrame, dim: int = 16, decode: str = "fake") -> Data
                 }
             )
 
-    return df.mapInPandas(batches, FEATURE_SCHEMA)
+    from duckdb_nats_jetstream_spark.session import spread
+
+    return spread(df).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:

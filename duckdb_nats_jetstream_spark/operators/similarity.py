@@ -86,6 +86,10 @@ def _scored_pairs(queries: DataFrame, corpus: DataFrame, id_col: str, extra_cond
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str, dim: int = 64) -> DataFrame:
+    # deliberately NO spread() here: the scoring join fans every query row out
+    # against the corpus, so the downstream work parallelizes off the join
+    # itself; an extra exchange on the corpus was measured pure overhead at
+    # small scale and redundant at large (many input files already split it)
     return df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

@@ -14,7 +14,7 @@ from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.functions.vector import sql_dot
 from duckdb_nats_jetstream_spark.operators import dedup as D
 from duckdb_nats_jetstream_spark.operators import similarity as S
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.session import read_table, spread
 
 _TOKS = TX.sql_tokens("text")
 
@@ -44,7 +44,7 @@ FROM documents
 
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled lang — confusion-matrix counts."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     toks = TX.tokens(F.col("text"))
     return (
         docs.select(F.col("lang"), TX.predicted_lang(toks).alias("pred_lang"))
@@ -342,7 +342,8 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fingerprint window — the shape you'd run on 100 TB of raw crawl."""
     from pyspark.sql import Window as W
 
-    docs = read_table(spark, sf_dir, "documents")
+    # tokenize+ratio stage is the hot per-row work — spread a few-file input
+    docs = spread(read_table(spark, sf_dir, "documents"))
     toks = TX.tokens(F.col("text"))
     stop = sorted({w for ws in TX.LANG_STOPWORDS.values() for w in ws})
     n = F.size(toks).cast("long")

@@ -261,9 +261,12 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             yield pd.DataFrame({"payload": payloads})
 
-    encoded = ev.select("event_id", "user_id", "value", "event_type", "props").mapInPandas(
-        encode, "payload binary"
-    )
+    from duckdb_nats_jetstream_spark.session import spread
+
+    # per-row Python codec: spread so a single-file input doesn't serialize it
+    encoded = spread(
+        ev.select("event_id", "user_id", "value", "event_type", "props")
+    ).mapInPandas(encode, "payload binary")
     return proto_extract(
         encoded, EVENTS_PROTO, "Event",
         ["seq", "user_id", "value", "event_type", "props.k"],
@@ -326,11 +329,11 @@ def proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"payload": payloads})
 
-    encoded = (
-        read_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type")
-        .mapInPandas(encode, "payload binary")
-    )
+    from duckdb_nats_jetstream_spark.session import spread
+
+    encoded = spread(
+        read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ).mapInPandas(encode, "payload binary")
     ex = proto_extract(
         encoded, REPEATED_EVENTS_PROTO, "EventR", ["seq", "vals", "tags", "attrs"]
     )

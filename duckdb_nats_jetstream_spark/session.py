@@ -31,6 +31,24 @@ def get_spark(app_name: str = "duckdb_nats_jetstream_spark") -> SparkSession:
     return spark
 
 
+def spread(df, partitions: int | None = None):
+    """Round-robin repartition that restores scan-stage parallelism when the
+    input arrives as a few unsplittable files (single-row-group parquet, as
+    the test fixtures are): without it, everything upstream of the first
+    shuffle — per-row Python codecs, md5/shingle expression trees — runs on
+    ONE core no matter how many the cluster has. At 100 TB inputs come as
+    thousands of files and the scan parallelizes naturally, so the shuffle
+    is skipped when the scan already has enough splits. Only call this ahead
+    of compute-heavy per-row work; a plain aggregation's map-side partial
+    agg is cheaper than the extra exchange.
+    """
+    spark = df.sparkSession
+    target = partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
