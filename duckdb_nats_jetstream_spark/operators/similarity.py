@@ -207,8 +207,10 @@ def ivf_topk(
     )
     queries = base.filter(F.col(id_col) < query_max_id)
 
-    # driver-side: the n_probe nearest centroids per query vector
-    qrows = queries.select(id_col, "v").collect()
+    # driver-side: the n_probe nearest centroids per query vector. The
+    # id-sorted sample always contains the (id < query_max_id) query rows —
+    # no second collect job over the corpus.
+    qrows = [r for r in sample if r[0] < query_max_id]
     probe_pairs = []
     for r in qrows:
         qv = np.asarray(r.v, dtype=float)

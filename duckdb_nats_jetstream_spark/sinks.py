@@ -1,0 +1,102 @@
+"""Sink/export surface — the Spark-side answer to the reference's single
+export path, ``COPY (...) TO 'file.parquet' (FORMAT PARQUET)``
+(ref:docs/EXAMPLES.md:225-233), plus the sinks a 100 TB pipeline actually
+needs: hive-partitioned layout for pruned downstream reads, bucketed tables
+for shuffle-free repeat joins, and an idempotent streaming appender.
+
+Scale notes baked into each writer:
+
+- ``write_partitioned_parquet`` repartitions BY THE PARTITION COLUMNS before
+  ``partitionBy``. Without that, every task holds a file handle per distinct
+  partition value it sees — T tasks × P values = T×P small files, the classic
+  small-file explosion. With it, each hive partition is produced by at most
+  ``files_per_partition`` tasks.
+- ``write_bucketed_table`` persists the shuffle: subsequent equi-joins or
+  aggregations on the bucket columns read co-located data and skip the
+  exchange entirely (asserted by ``tests/test_bucketing.py``).
+- ``idempotent_parquet_sink`` routes each micro-batch through
+  ``foreachBatch`` into ``<path>/batch=<id>`` with overwrite — a replayed
+  batch (failure/restart) rewrites its own directory instead of duplicating
+  rows, giving effectively-exactly-once file output on top of Spark's
+  at-least-once replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from duckdb_nats_jetstream_spark.errors import BindError
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet export sized against small-file explosion."""
+    if not partition_cols:
+        raise BindError("partition_cols must be non-empty; use df.write.parquet directly")
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise BindError(f"partition column(s) not in DataFrame: {missing}")
+    out = df.repartition(*partition_cols)
+    if files_per_partition > 1:
+        from pyspark.sql import functions as F
+
+        # salt the repartition key to fan one huge partition value out over
+        # several tasks/files (skew defense) while keeping values co-located
+        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        out = df.repartition(*partition_cols, salt.alias("__salt")).drop("__salt")
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist with a bucketed layout so later joins/aggs on ``bucket_cols``
+    skip their shuffle (Spark managed table — bucketing metadata lives in the
+    session catalog)."""
+    if not bucket_cols:
+        raise BindError("bucket_cols must be non-empty")
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def idempotent_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: list[str] | None = None,
+):
+    """Streaming parquet appender with replay-safe output: each micro-batch
+    overwrites its own ``batch=<id>`` directory, so an at-least-once replay
+    after failure cannot double-write. Returns the started query
+    (``availableNow`` trigger — drains current input, then stops)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(f"{path}/batch={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_batched_parquet(spark, path: str) -> DataFrame:
+    """Read everything an :func:`idempotent_parquet_sink` produced (the
+    ``batch=<id>`` level is a normal hive partition column, dropped here)."""
+    return spark.read.option("basePath", path).parquet(f"{path}/batch=*").drop("batch")

@@ -1,0 +1,84 @@
+"""Sink surface: partitioned export layout, small-file discipline, and the
+replay-safe streaming appender."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark import sinks
+from duckdb_nats_jetstream_spark.errors import BindError
+from duckdb_nats_jetstream_spark.session import read_table
+
+from conftest import SF_DIR
+
+
+def test_partitioned_write_layout_and_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "part_out")
+    docs = read_table(spark, SF_DIR, "documents")
+    sinks.write_partitioned_parquet(docs, out, ["lang"])
+
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert len(langs) > 1
+    # one task per partition value → exactly one data file per partition dir
+    for d in langs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    a = sorted(r.doc_id for r in back.select("doc_id").collect())
+    b = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert a == b
+
+
+def test_partitioned_write_validates_columns(spark, tmp_path):
+    docs = read_table(spark, SF_DIR, "documents")
+    with pytest.raises(BindError):
+        sinks.write_partitioned_parquet(docs, str(tmp_path / "x"), ["nope"])
+    with pytest.raises(BindError):
+        sinks.write_partitioned_parquet(docs, str(tmp_path / "x"), [])
+
+
+def test_partitioned_write_salted_fanout(spark, tmp_path):
+    out = str(tmp_path / "salted")
+    docs = read_table(spark, SF_DIR, "documents")
+    # at fixture scale AQE would re-coalesce the tiny salted partitions into
+    # one file again (correct behavior — the salt matters when a partition
+    # value is big); disable coalescing here to observe the fanout mechanics
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        sinks.write_partitioned_parquet(docs, out, ["lang"], files_per_partition=3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # at least one partition dir fans out to >1 file
+    fanout = 0
+    for d in os.listdir(out):
+        if d.startswith("lang="):
+            n = len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+            fanout = max(fanout, n)
+    assert fanout > 1
+
+
+def test_idempotent_streaming_sink_replay_safe(spark, tmp_path):
+    import shutil
+
+    from duckdb_nats_jetstream_spark.streaming.stream_scan import message_stream
+
+    log = tmp_path / "log"
+    log.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), log / "a.parquet")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = sinks.idempotent_parquet_sink(message_stream(spark, str(log)), out, ckpt)
+    q.awaitTermination()
+    n1 = sinks.read_batched_parquet(spark, out).count()
+    assert n1 > 0
+
+    # restart against the same checkpoint: no new input → no new rows, and
+    # re-running must not duplicate what's already on disk
+    q2 = sinks.idempotent_parquet_sink(message_stream(spark, str(log)), out, ckpt)
+    q2.awaitTermination()
+    assert sinks.read_batched_parquet(spark, out).count() == n1
