@@ -1,0 +1,77 @@
+"""Connected components over a near-duplicate pair list — the step that
+turns MinHash/Jaccard PAIRS into canonical document CLUSTERS (transitive
+closure), which is what a dedup pipeline actually keys its keep/drop
+decision on at 100 TB.
+
+Algorithm: hash-min label propagation. Every vertex starts labeled with its
+own id; each round, labels flow across edges and every vertex keeps the
+minimum label it has seen; fixpoint = each vertex holds its component's
+minimum id. Rounds needed = graph diameter — near-dup graphs are dense
+little clique-ish clusters, so 2-4 rounds in practice. Per round the cost
+is one edge-sized shuffle (join) + one vertex-sized aggregation, both plain
+DataFrame ops Catalyst/AQE handle; lineage is truncated per round with
+``localCheckpoint`` so the plan doesn't grow with iterations (on a cluster
+with an HDFS checkpoint dir, swap for ``checkpoint``).
+
+For adversarial graphs (long chains / power-law), the known upgrade is the
+alternating large-star/small-star rewrite (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log^2 n) rounds with the same building blocks; not needed for the
+near-dup workload.
+
+The reference engine has no graph surface at all — this belongs to the
+north-star pipeline operators. Oracle: a recursive CTE computes the same
+min-reachable-id fixpoint in DuckDB (see pipeline.DEDUP_COMPONENTS_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "doc_id",
+    comp_out: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(vertex, component-min-id) for every vertex appearing in ``edges``.
+
+    Returns one row per distinct vertex; ``comp_out`` is the smallest vertex
+    id in its connected component. Deterministic for any edge order.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # undirected: propagate both ways; distinct so multi-edges cost nothing
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            und.alias("e")
+            .join(labels.alias("l"), F.col("e.a") == F.col("l.id"))
+            .select(F.col("e.b").alias("id"), F.col("l.comp").alias("comp"))
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist(blocking=False)
+    return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))

@@ -277,6 +277,42 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, dim=16)
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: the Jaccard pair list closed under transitivity —
+    each involved doc mapped to its component's canonical (min) id via
+    hash-min label propagation (:mod:`operators.components`). The oracle
+    computes the same fixpoint with a recursive CTE."""
+    from duckdb_nats_jetstream_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = D.minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), k=8, band_size=2, threshold=0.2
+    )
+    return connected_components(pairs, "id_a", "id_b").orderBy("doc_id")
+
+
+def _dedup_components_sql() -> str:
+    # edges = the exact minhash pair query; closure via recursive CTE
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql()}) mp
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(root) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token stats (the DF half of tf-idf): term count + document
     frequency, top 50 with deterministic tie-break."""
@@ -405,6 +441,7 @@ QUERIES = {
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_components": (dedup_components, _dedup_components_sql()),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEAR_DUP_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
