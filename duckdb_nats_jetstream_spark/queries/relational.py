@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from duckdb_nats_jetstream_spark.functions.exact import (
+    DEC,
     NET_PRICE_SQL,
     davg,
     decsum,
@@ -281,6 +282,37 @@ FROM (SELECT *, lag(o_orderdate) OVER (PARTITION BY o_custkey
                                        ORDER BY o_orderdate, o_orderkey) AS prev_date
       FROM orders) t
 WHERE prev_date IS NOT NULL
+"""
+
+
+def trailing_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based moving aggregate): per order, the
+    customer's decimal-exact spend and order count over the trailing 90
+    days. The frame is keyed on integer epoch-days in BOTH engines so peer
+    rows and bounds match exactly."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-90, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_90d"),
+        F.count("*").over(w).alias("n_orders_90d"),
+    )
+
+
+TRAILING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_90d,
+       COUNT(*) OVER w AS n_orders_90d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -620,6 +652,7 @@ QUERIES = {
     "rel_conditional_agg": (conditional_aggregates, CONDITIONAL_AGG_SQL),
     "rel_first_order_per_customer": (first_order_per_customer, FIRST_ORDER_SQL),
     "rel_order_date_gaps": (order_date_gaps, ORDER_GAPS_SQL),
+    "rel_trailing_spend": (trailing_window_spend, TRAILING_SPEND_SQL),
     "rel_distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "rel_union_entities": (union_entities, UNION_ENTITIES_SQL),
     "rel_balance_ratio": (balance_ratio, BALANCE_RATIO_SQL),

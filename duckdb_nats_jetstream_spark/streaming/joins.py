@@ -1,0 +1,52 @@
+"""Watermarked stream-stream interval join — the streaming twin of
+:mod:`operators.interval_join`, and a capability far past the reference's
+single-stream scan model (its roadmap stops at durable consumers,
+ref:docs/GUIDE.md:461-488; correlating two live subjects requires exporting
+to the host engine and re-reading).
+
+Spark's stream-stream inner join buffers both sides in state; the watermark
+plus the time-range predicate lets it evict state it can no longer match, so
+the join runs indefinitely in bounded memory — state size ≈ (input rate ×
+(watermark delay + join window)), independent of total stream length. Both
+conditions are REQUIRED at scale: without the range bound the state grows
+without limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    left_ts: str = "ts_nats",
+    right_ts: str = "ts_nats",
+) -> DataFrame:
+    """Rows of ``right`` that land inside the ``within``-window opened by a
+    ``left`` row with the same ``on`` key: inner join on key plus
+    ``left_ts <= right_ts <= left_ts + within``, both sides watermarked.
+
+    Column names from both sides are preserved with ``l_`` / ``r_``
+    prefixes (stream-stream joins forbid ambiguous references).
+    """
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (on, left_ts)],
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on, right_ts)],
+    ).withWatermark("r_ts", watermark)
+    joined = l.join(
+        r,
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(F.col("__k").alias(on), *[c for c in joined.columns if c not in ("__k", "__rk")])
