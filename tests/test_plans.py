@@ -68,3 +68,38 @@ def test_filter_on_extracted_json_stays_codegen(spark, sf_dir):
         ),
         spark,
     )
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join's cost model: exactly one exchange (by join key) for
+    the union'd stream — not one per side, and no range-explosion join."""
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.stream import scan_asof_join
+
+    plan = physical_plan(scan_asof_join(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges == 1, f"expected 1 shuffle, saw {exchanges}:\n{plan}"
+
+
+def test_interval_join_is_hash_join(spark, sf_dir):
+    """Time-binning must buy a hash equi-join on (key, bin); a
+    BroadcastNestedLoopJoin/CartesianProduct here means the range predicate
+    fell through to a nested loop — fatal at scale."""
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.stream import scan_interval_join
+
+    plan = physical_plan(scan_interval_join(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_trailing_spend_window_is_partitioned(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.relational import (
+        trailing_window_spend,
+    )
+
+    plan = physical_plan(trailing_window_spend(spark, sf_dir))
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and "Sort" not in ln]
+    assert windows and all("o_custkey#" in ln for ln in windows), plan
