@@ -1,0 +1,75 @@
+"""Side-table ingest parity with the reference's host engine.
+
+The reference runs inside DuckDB, so its users freely join NATS scans
+against CSV/JSON side tables (read_csv / read_json_auto). A user switching
+to this engine keeps that ability — with the schema discipline a cluster
+run demands baked in:
+
+- **Explicit schema beats inference at scale.** Schema inference is an
+  extra full/partial pass over the input before the real job. These
+  helpers accept a DDL string / StructType; when omitted they infer, but
+  bound the inference cost (``samplingRatio`` for JSON) and log nothing
+  silently: inference at 100 TB is a deliberate choice, not a default.
+- **Malformed rows are data, not crashes.** Default mode is PERMISSIVE
+  with a ``_corrupt_record`` column the caller can route to a quarantine
+  sink; FAILFAST is one argument away for ingest gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    **options: str,
+) -> DataFrame:
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(_with_corrupt_col(schema, mode))
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    mode: str = "PERMISSIVE",
+    sampling_ratio: float = 1.0,
+    **options: str,
+) -> DataFrame:
+    """JSON Lines reader (one object per line — the only JSON layout that
+    splits across workers; multiLine JSON is a single-task read and is
+    deliberately not the default here)."""
+    reader = (
+        spark.read.option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("samplingRatio", str(sampling_ratio))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(_with_corrupt_col(schema, mode))
+    return reader.json(path)
+
+
+def _with_corrupt_col(schema: str, mode: str) -> str:
+    """PERMISSIVE mode only materializes _corrupt_record if the schema
+    declares it; add it so malformed rows are observable."""
+    if mode.upper() == "PERMISSIVE" and CORRUPT_COL not in schema:
+        return f"{schema}, {CORRUPT_COL} string"
+    return schema
