@@ -49,29 +49,36 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Init IS the first propagation round: every vertex appears as `a` in the
+    # undirected edge list, so min(self, direct neighbors) in one aggregation
+    # replaces the separate vertex-distinct job + one full loop iteration.
     labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        und.groupBy(F.col("a").alias("id"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        msgs = (
+    for _ in range(max_iter - 1):
+        nbr_min = (
             und.alias("e")
             .join(labels.alias("l"), F.col("e.a") == F.col("l.id"))
-            .select(F.col("e.b").alias("id"), F.col("l.comp").alias("comp"))
+            .groupBy(F.col("e.b").alias("id"))
+            .agg(F.min("l.comp").alias("nbr"))
         )
-        new_labels = (
-            labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
+        # Convergence flag rides the checkpointed frame — detecting the
+        # fixpoint costs a take(1) over cached partitions, not an extra
+        # old-vs-new shuffle join per round.
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nbr") < F.col("comp")).alias("upd"),
+            )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
+        if labels.filter(F.col("upd")).isEmpty():
             break
     und.unpersist(blocking=False)
     return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
