@@ -635,8 +635,47 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HLL distinct-count and rank-error-bounded
+    percentile. Sketches are engine-specific (Spark HLL++ vs DuckDB HLL,
+    t-digest vs GK), so raw sketch outputs can never hash-match across
+    engines; the oracle-stable contract is the exact value plus a boolean
+    "approx within 5% of exact", which both engines evaluate over their own
+    deterministic sketches. This is also the production acceptance test
+    you'd run before trusting a sketch at 100 TB, where the exact
+    COUNT(DISTINCT) it replaces is the expensive shuffle."""
+    orders = read_table(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    med_exact = F.percentile(F.col("o_totalprice").cast("double"), 0.5)
+    med_approx = F.expr("approx_percentile(CAST(o_totalprice AS DOUBLE), 0.5, 10000)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            exact.alias("n_customers_exact"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("hll_ok"),
+            (F.abs(med_approx - med_exact) <= 0.05 * med_exact).alias("median_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+APPROX_AGGS_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers_exact,
+       abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+           <= 0.05 * count(DISTINCT o_custkey) AS hll_ok,
+       abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.5)
+           - quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5))
+           <= 0.05 * quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median_ok
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "rel_intersect_except": (intersect_except, INTERSECT_EXCEPT_SQL),
+    "rel_approx_aggs": (approx_aggregates, APPROX_AGGS_SQL),
     "rel_pivot_status": (pivot_status_by_segment, PIVOT_SQL),
     "rel_percentiles": (percentiles, PERCENTILES_SQL),
     "rel_rollup": (rollup_aggregates, ROLLUP_SQL),

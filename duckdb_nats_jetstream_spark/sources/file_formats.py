@@ -67,6 +67,21 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC side tables (DuckDB users reach these via the host engine too).
+    ORC is self-describing columnar like parquet: no schema/corrupt-record
+    machinery needed, and Spark's reader gives the same scale properties —
+    splittable stripes, column pruning, min/max predicate pushdown."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def _with_corrupt_col(schema: str, mode: str) -> str:
     """PERMISSIVE mode only materializes _corrupt_record if the schema
     declares it; add it so malformed rows are observable."""

@@ -4,6 +4,8 @@ from duckdb_nats_jetstream_spark.sources.file_formats import (
     CORRUPT_COL,
     read_csv,
     read_json,
+    read_orc,
+    write_orc,
 )
 
 
@@ -28,6 +30,36 @@ def test_jsonl_corrupt_rows_are_quarantinable(spark, tmp_path):
         assert bad.count() == 1
     finally:
         df.unpersist()
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_orc_scan_prunes_and_pushes_down(spark, tmp_path):
+    path = str(tmp_path / "t.orc")
+    write_orc(
+        spark.range(1000).selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS s"),
+        path,
+    )
+    plan = (
+        read_orc(spark, path)
+        .filter("id > 990")
+        .select("id", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "id:bigint" in read_schema and "s:string" not in read_schema
 
 
 def test_csv_failfast_raises(spark, tmp_path):
