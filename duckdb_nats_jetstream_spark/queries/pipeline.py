@@ -8,7 +8,7 @@ bit-identical (see ``functions.text`` / ``functions.vector`` docstrings).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.functions.vector import sql_dot
@@ -340,6 +340,63 @@ LIMIT 50
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive terms per source by tf-idf — the other half of
+    tf-idf on top of :func:`text_token_frequency`'s document frequencies.
+
+    Cross-engine exactness: the score is ``term_count * N / doc_freq``
+    (raw inverse document frequency, no log) — two exact integers and ONE
+    correctly-rounded double division, bit-identical in Spark and DuckDB.
+    A log-weighted idf or a SUM of per-doc double scores would not be
+    (libm variation / fold order — see functions/exact.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    term = tok.groupBy("source", "token").agg(F.count("*").alias("term_count"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    w = W.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        term.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("term_count") * F.col("n_docs")).cast("double") / F.col("doc_freq"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "token", "term_count", "doc_freq", "tfidf", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents
+),
+term AS (
+  SELECT source, token, count(*) AS term_count FROM tok GROUP BY source, token
+),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token
+),
+scored AS (
+  SELECT source, token, term_count, doc_freq,
+         CAST(term_count * (SELECT count(*) FROM documents) AS DOUBLE) / doc_freq
+           AS tfidf
+  FROM term JOIN dfreq USING (token)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY source ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT source, token, term_count, doc_freq, tfidf, rnk
+FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+"""
+
+
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based sampling (reproducible data selection — no
     engine RNG): keep docs whose salted md5 starts with 0 or 1 (≈12.5%)."""
@@ -434,6 +491,7 @@ QUERIES = {
     "sim_ivf_topk": (sim_ivf_topk, None),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_token_frequency": (text_token_frequency, TOKEN_FREQUENCY_SQL),
+    "text_tfidf_topk": (text_tfidf_top_terms, TFIDF_SQL),
     "docs_hash_sample": (docs_hash_sample, HASH_SAMPLE_SQL),
     "multimodal_features": (multimodal_features, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),

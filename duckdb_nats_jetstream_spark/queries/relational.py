@@ -673,9 +673,40 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` — the building block of a
+    data-profiling pass. DuckDB has no width_bucket, so the oracle emulates
+    it with integer cent arithmetic; bounds are chosen so both forms are
+    float-exact (see APPROX vs exact notes in functions/exact.py)."""
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice").cast("double"), F.lit(0.0), F.lit(600000.0), F.lit(6)
+    )
+    return (
+        orders.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST((CAST(o_totalprice * 100 AS BIGINT) // 10000000) + 1 AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "rel_intersect_except": (intersect_except, INTERSECT_EXCEPT_SQL),
     "rel_approx_aggs": (approx_aggregates, APPROX_AGGS_SQL),
+    "rel_price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
     "rel_pivot_status": (pivot_status_by_segment, PIVOT_SQL),
     "rel_percentiles": (percentiles, PERCENTILES_SQL),
     "rel_rollup": (rollup_aggregates, ROLLUP_SQL),
