@@ -114,6 +114,55 @@ def run_to_completion(stream_df: DataFrame, checkpoint_dir: str, mode: str = "ap
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def continuous_rollup_sink(
+    windowed_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_col: str = "window_start",
+    key_cols: tuple[str, ...] = ("subject",),
+):
+    """Continuous-aggregate maintenance (the hypertable-rollup pattern):
+    keep a queryable partitioned parquet table of windowed aggregates in
+    sync with the stream.
+
+    Update output mode re-emits a group's row every time late data lands in
+    it; each micro-batch therefore *dynamically overwrites* exactly the
+    partitions it touched — newer values replace older ones, and a replayed
+    batch rewrites identical partitions, so the table is correct under both
+    late data and at-least-once redelivery. The overwrite granularity MUST
+    be the full grouping key (window + ``key_cols``), not just the window:
+    update mode only re-emits changed keys, and overwriting a whole window
+    partition would silently drop that window's unchanged keys. At scale
+    this is one small file per touched group per batch, never a table
+    rewrite.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        (
+            batch_df.withColumn("p", F.col(partition_col).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p", *key_cols)
+            .parquet(out_dir)
+        )
+
+    return (
+        windowed_df.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark, out_dir: str) -> DataFrame:
+    """Read a :func:`continuous_rollup_sink` table (the derived ``p``
+    partition key dropped; ``key_cols`` read back from partition dirs)."""
+    return spark.read.parquet(out_dir).drop("p")
+
+
 def parquet_sink(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Continuous parquet export — the streaming analogue of the reference's
     COPY TO parquet (ref:docs/EXAMPLES.md:225-233)."""

@@ -1,0 +1,98 @@
+"""Continuous-aggregate sink: the maintained parquet rollup must equal the
+batch windowed aggregate, stay correct across a full replay (fresh
+checkpoint, same output dir), and keep every key of a partially-updated
+window (the update-mode overwrite-granularity trap)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark.sources import message_scan
+from duckdb_nats_jetstream_spark.streaming.stream_scan import (
+    continuous_rollup_sink,
+    message_stream,
+    read_rollup,
+    windowed_message_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("rollup_log")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    return str(d)
+
+
+def _drain(spark, log_dir, out_dir, ck_dir):
+    q = continuous_rollup_sink(
+        windowed_message_counts(message_stream(spark, log_dir)),
+        out_dir=out_dir,
+        checkpoint_dir=ck_dir,
+    )
+    q.awaitTermination()
+
+
+def _table(spark, out_dir):
+    return {
+        (r.window_start, r.subject): (r.n_msgs, r.max_seq)
+        for r in read_rollup(spark, out_dir).collect()
+    }
+
+
+def test_rollup_matches_batch_and_survives_replay(spark, sf_dir, log_dir, tmp_path):
+    out = str(tmp_path / "rollup")
+    _drain(spark, log_dir, out, str(tmp_path / "ck1"))
+    got = _table(spark, out)
+
+    batch = {
+        (r.window_start, r.subject): (r.n_msgs, r.max_seq)
+        for r in message_scan(spark, sf_dir)
+        .groupBy(F.window("ts_nats", "1 hour").alias("win"), "subject")
+        .agg(F.count("*").alias("n_msgs"), F.max("seq").alias("max_seq"))
+        .select(
+            F.col("win.start").alias("window_start"), "subject", "n_msgs", "max_seq"
+        )
+        .collect()
+    }
+    assert got == batch
+
+    # full replay into the same table (fresh checkpoint): identical result,
+    # no duplicates — partitions are rewritten, not appended
+    _drain(spark, log_dir, out, str(tmp_path / "ck2"))
+    assert _table(spark, out) == batch
+
+
+def test_partial_update_keeps_other_keys_in_window(spark, tmp_path):
+    # two subjects in one window, then late data for only one of them:
+    # the untouched subject's row must survive the second batch's overwrite
+    out = str(tmp_path / "rollup")
+    log = tmp_path / "log"
+    log.mkdir()
+    raw = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, raw).coalesce(1).write.mode("append").parquet(
+            str(log)
+        )
+
+    import datetime as dt
+
+    t_ns = int(dt.datetime(2026, 1, 1, 0, 10).timestamp() * 1e9)
+    # subjects differ via event_type/user: events.click.u1 vs events.view.u2
+    write_batch(
+        [(0, t_ns, 1, "click", 1.0, "{}"), (1, t_ns, 2, "view", 1.0, "{}")]
+    )
+    ck = str(tmp_path / "ck")
+    _drain(spark, str(log), out, ck)
+    write_batch([(2, t_ns, 1, "click", 1.0, "{}")])
+    _drain(spark, str(log), out, ck)
+
+    got = _table(spark, out)
+    win = dt.datetime(2026, 1, 1, 0, 0)
+    assert got == {
+        (win, "events.click.u1"): (2, 3),
+        (win, "events.view.u2"): (1, 2),
+    }
