@@ -12,6 +12,7 @@ from duckdb_nats_jetstream_spark.plans.explain import (
     assert_pushed_filter,
     assert_read_schema_pruned,
     assert_wholestage_codegen,
+    physical_plan,
 )
 from duckdb_nats_jetstream_spark.queries.relational import (
     nation_revenue,
@@ -103,3 +104,29 @@ def test_trailing_spend_window_is_partitioned(spark, sf_dir):
     plan = physical_plan(trailing_window_spend(spark, sf_dir))
     windows = [ln for ln in plan.splitlines() if "Window" in ln and "Sort" not in ln]
     assert windows and all("o_custkey#" in ln for ln in windows), plan
+
+
+def test_approx_aggs_has_no_expand(spark, sf_dir):
+    # COUNT(DISTINCT) + percentile in ONE agg makes Catalyst Expand every
+    # row per distinct-group; the dedup-then-count shape must stay Expand-free
+    from duckdb_nats_jetstream_spark.queries.relational import approx_aggregates
+
+    plan = physical_plan(approx_aggregates(spark, sf_dir))
+    assert "Expand" not in plan, f"Expand crept back into rel_approx_aggs:\n{plan}"
+
+
+def test_tfidf_corpus_count_broadcasts(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline import text_tfidf_top_terms
+
+    df = text_tfidf_top_terms(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_histogram_prunes_to_one_column(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.relational import price_histogram
+
+    # only o_totalprice should reach the orders scan
+    assert_read_schema_pruned(
+        price_histogram(spark, sf_dir), ["o_comment", "o_clerk", "o_orderdate"]
+    )
