@@ -36,19 +36,24 @@ def connected_components(
     id_out: str = "doc_id",
     comp_out: str = "component",
     max_iter: int = 50,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """(vertex, component-min-id) for every vertex appearing in ``edges``.
 
     Returns one row per distinct vertex; ``comp_out`` is the smallest vertex
     id in its connected component. Deterministic for any edge order.
+
+    ``edges_unique=True`` skips the dedup shuffle: pass it when the pair
+    list is distinct with ``src < dst`` by construction (every pair
+    generator in :mod:`operators.dedup` emits exactly that), making the
+    two-direction union automatically duplicate-free.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected: propagate both ways; distinct so multi-edges cost nothing
-    und = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
-    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not edges_unique:
+        und = und.distinct()
+    und = und.persist()
     # Init IS the first propagation round: every vertex appears as `a` in the
     # undirected edge list, so min(self, direct neighbors) in one aggregation
     # replaces the separate vertex-distinct job + one full loop iteration.

@@ -289,7 +289,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         read_table(spark, sf_dir, "documents"), k=8, band_size=2, threshold=0.2
     )
-    return connected_components(pairs, "id_a", "id_b").orderBy("doc_id")
+    return connected_components(pairs, "id_a", "id_b", edges_unique=True).orderBy(
+        "doc_id"
+    )
 
 
 def _dedup_components_sql() -> str:
