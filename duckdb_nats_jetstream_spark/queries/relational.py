@@ -723,10 +723,74 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family: rank/dense_rank/percent_rank/
+    cume_dist over a tie-bearing order (o_orderdate), ntile + row_number
+    over a deterministic total order. percent_rank and cume_dist are one
+    double division each — cross-engine exact."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    tie_w = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    det_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(det_w).cast("long").alias("rn"),
+        F.rank().over(tie_w).cast("long").alias("rnk"),
+        F.dense_rank().over(tie_w).cast("long").alias("drnk"),
+        F.ntile(4).over(det_w).cast("long").alias("quartile"),
+        F.percent_rank().over(tie_w).alias("pct_rank"),
+        F.cume_dist().over(tie_w).alias("cdist"),
+    )
+
+
+RANK_FUNCTIONS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER det AS BIGINT) AS rn,
+       CAST(rank() OVER tie AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER tie AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER det AS BIGINT) AS quartile,
+       percent_rank() OVER tie AS pct_rank,
+       cume_dist() OVER tie AS cdist
+FROM orders
+WHERE o_custkey < 100
+WINDOW tie AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+       det AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond the reference's tests: regexp
+    extraction, translate, padding, and levenshtein (the fuzzy-match
+    building block) — all integer/string-deterministic across engines."""
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([a-z]+)", 1).alias("type_head"),
+        F.translate("p_brand", "#", "-").alias("brand_t"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("lev_bt"),
+        F.instr(F.col("p_name"), "red").cast("long").alias("red_at"),
+    )
+
+
+STRING_FUNCTIONS_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^([a-z]+)', 1) AS type_head,
+       replace(p_brand, '#', '-') AS brand_t,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_bt,
+       CAST(strpos(p_name, 'red') AS BIGINT) AS red_at
+FROM part
+WHERE p_partkey < 500
+"""
+
+
 QUERIES = {
     "rel_intersect_except": (intersect_except, INTERSECT_EXCEPT_SQL),
     "rel_approx_aggs": (approx_aggregates, APPROX_AGGS_SQL),
     "rel_price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
+    "rel_rank_functions": (rank_functions, RANK_FUNCTIONS_SQL),
+    "rel_string_functions": (string_functions, STRING_FUNCTIONS_SQL),
     "rel_pivot_status": (pivot_status_by_segment, PIVOT_SQL),
     "rel_percentiles": (percentiles, PERCENTILES_SQL),
     "rel_rollup": (rollup_aggregates, ROLLUP_SQL),
