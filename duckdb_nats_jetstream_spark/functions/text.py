@@ -154,6 +154,22 @@ def sql_jaccard(a: str, b: str) -> str:
     return f"len(list_intersect({a}, {b})) / len(list_distinct(list_concat({a}, {b})))"
 
 
+def dup_ngram_fraction(toks: Column, n: int) -> Column:
+    """Fraction of word n-gram positions occupied by repeated n-grams:
+    ``(total - distinct) / total`` — the Gopher-style repetition signal
+    adapted to position counts. Pure per-row array math (no shuffle, no
+    Python): exact integers and ONE IEEE division, bit-identical to the
+    SQL mirror."""
+    sh = shingles(toks, n)
+    total = F.size(sh)
+    return (total - F.size(F.array_distinct(sh))) / total
+
+
+def sql_dup_ngram_fraction(toks: str, n: int) -> str:
+    sh = sql_shingles(toks, n)
+    return f"(len({sh}) - len(list_distinct({sh}))) / len({sh})"
+
+
 # --- language ID --------------------------------------------------------------
 
 #: tiny per-language stopword lists for the heuristic scorer

@@ -79,6 +79,60 @@ FROM documents
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, adapted to
+    position counts): per-document duplicate-2gram / duplicate-3gram
+    fractions and the share of the single most frequent word.
+
+    Scale shape: the dup-n-gram fractions are pure per-row array math —
+    zero shuffle at any corpus size. Only the word-mode branch shuffles,
+    keyed (doc_id, token) with map-side partial aggregation, then joins
+    back on doc_id."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        TX.dup_ngram_fraction(toks, 2).alias("dup_2gram_r"),
+        TX.dup_ngram_fraction(toks, 3).alias("dup_3gram_r"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_2gram_r",
+        "dup_3gram_r",
+        (F.col("top_cnt") / F.col("n_tokens")).alias("top_word_share"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         {TX.sql_dup_ngram_fraction('t', 2)} AS dup_2gram_r,
+         {TX.sql_dup_ngram_fraction('t', 3)} AS dup_3gram_r
+  FROM tok
+),
+top AS (
+  SELECT doc_id, max(c) AS top_cnt FROM (
+    SELECT doc_id, token, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS token FROM tok) u
+    GROUP BY doc_id, token
+  ) g GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, dup_2gram_r, dup_3gram_r,
+       top_cnt / n_tokens AS top_word_share
+FROM base JOIN top USING (doc_id)
+"""
+
+
 # --- dedup --------------------------------------------------------------------
 
 
@@ -399,6 +453,43 @@ FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
 """
 
 
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval set;
+    each remaining training doc is scored by the fraction of its distinct
+    3-grams that collide with the benchmark gram set (broadcast semi-join
+    probe — see :mod:`operators.decon` for the scale analysis)."""
+    from duckdb_nats_jetstream_spark.operators.decon import ngram_contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(train, bench, n=3)
+
+
+DECON_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, list_distinct({TX.sql_shingles('t')}) AS grams FROM tok
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+),
+train AS (
+  SELECT doc_id, grams FROM g WHERE doc_id % 50 <> 0 AND len(grams) > 0
+),
+m AS (
+  SELECT doc_id, count(*) AS n_matched
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tg
+  WHERE gram IN (SELECT gram FROM bench)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.grams) AS n_grams,
+       coalesce(m.n_matched, 0) AS n_matched,
+       coalesce(m.n_matched, 0) / len(t.grams) AS contam_r
+FROM train t LEFT JOIN m USING (doc_id)
+"""
+
+
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based sampling (reproducible data selection — no
     engine RNG): keep docs whose salted md5 starts with 0 or 1 (≈12.5%)."""
@@ -495,9 +586,11 @@ QUERIES = {
     "text_token_frequency": (text_token_frequency, TOKEN_FREQUENCY_SQL),
     "text_tfidf_topk": (text_tfidf_top_terms, TFIDF_SQL),
     "docs_hash_sample": (docs_hash_sample, HASH_SAMPLE_SQL),
+    "decon_ngram_overlap": (decon_ngram_overlap, DECON_SQL),
     "multimodal_features": (multimodal_features, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),

@@ -103,3 +103,49 @@ def test_embedding_near_dup_threshold(spark):
     df = spark.createDataFrame(rows)
     pairs = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs(df, threshold=0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+# --- decontamination ----------------------------------------------------------
+
+
+def test_ngram_contamination_flags_overlap(spark, docs):
+    from duckdb_nats_jetstream_spark.operators.decon import ngram_contamination
+    from duckdb_nats_jetstream_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    bench = docs.filter(F.col("doc_id") == 1)
+    train = docs.filter(F.col("doc_id") != 1)
+    out = {r.doc_id: r for r in ngram_contamination(train, bench).collect()}
+    # doc 2 is an exact copy of the benchmark doc → full contamination
+    assert out[2].contam_r == 1.0 and out[2].n_matched == out[2].n_grams
+    # doc 3 shares all but its trailing shingles
+    assert 0.5 < out[3].contam_r < 1.0
+    # doc 4 shares nothing → present with exactly zero
+    assert out[4].n_matched == 0 and out[4].contam_r == 0.0
+    # doc 5 has < n tokens → no grams → dropped, not divided by zero
+    assert 5 not in out
+    df = ngram_contamination(train, bench)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_dup_ngram_fraction_and_repetition_bounds(spark):
+    from duckdb_nats_jetstream_spark.functions.text import dup_ngram_fraction, tokens
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="a b a b a b a b"),        # heavy 2-gram repetition
+        Row(doc_id=2, text="one two three four five six seven eight"),  # all unique
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", dup_ngram_fraction(tokens(F.col("text")), 2).alias("f")
+        ).collect()
+    }
+    # 7 bigrams, 2 distinct → 5/7 duplicated positions
+    assert abs(out[1] - 5 / 7) < 1e-15
+    assert out[2] == 0.0
