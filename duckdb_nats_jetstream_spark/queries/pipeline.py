@@ -512,6 +512,31 @@ GROUP BY source ORDER BY source
 """
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-per-language deterministic sample (domain-mixing quotas):
+    smallest salted hashes win. The operator prefilters large strata by
+    hash prefix before the rank window so no single-language task ever
+    sees a whole stratum (see :mod:`operators.sampling`)."""
+    from duckdb_nats_jetstream_spark.operators.sampling import stratified_hash_topn
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_hash_topn(docs, "lang", 10, id_col="doc_id").select(
+        "lang", "doc_id", F.col("smp_rank").alias("rk")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+) t WHERE rk <= 10
+"""
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans inverted-file) approximate top-k — rows-only (KMeans has
     no SQL oracle); recall vs brute force is test-verified."""
@@ -587,6 +612,7 @@ QUERIES = {
     "text_tfidf_topk": (text_tfidf_top_terms, TFIDF_SQL),
     "docs_hash_sample": (docs_hash_sample, HASH_SAMPLE_SQL),
     "decon_ngram_overlap": (decon_ngram_overlap, DECON_SQL),
+    "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "multimodal_features": (multimodal_features, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -149,3 +149,34 @@ def test_dup_ngram_fraction_and_repetition_bounds(spark):
     # 7 bigrams, 2 distinct → 5/7 duplicated positions
     assert abs(out[1] - 5 / 7) < 1e-15
     assert out[2] == 0.0
+
+
+# --- stratified sampling ------------------------------------------------------
+
+
+def test_stratified_topn_exact_vs_plain_window(spark):
+    """Prefiltered plan must select the identical set as the plain window,
+    including when the margin is starved (margin tiny → shortfall path)."""
+    from duckdb_nats_jetstream_spark.operators.sampling import stratified_hash_topn
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("grp")
+    )
+    plain = stratified_hash_topn(df, "grp", 5, margin=None)
+    fast = stratified_hash_topn(df, "grp", 5, margin=4.0)
+    starved = stratified_hash_topn(df, "grp", 5, margin=0.01)  # forces shortfall redo
+    key = lambda r: (r.grp, r.smp_rank, r.doc_id)  # noqa: E731
+    p = sorted(map(key, plain.collect()))
+    assert p == sorted(map(key, fast.collect()))
+    assert p == sorted(map(key, starved.collect()))
+    assert len(p) == 35 and all(rk <= 5 for _, rk, _ in p)
+
+
+def test_stratified_topn_small_groups_keep_all(spark):
+    from duckdb_nats_jetstream_spark.operators.sampling import stratified_hash_topn
+
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    out = stratified_hash_topn(df, "grp", 10, margin=4.0)
+    assert out.count() == 6  # quota exceeds group size → everything kept once
