@@ -537,6 +537,43 @@ SELECT lang, doc_id, rk FROM (
 """
 
 
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (chunk-parallel greedy,
+    :mod:`operators.packing`): documents ordered by id are greedily packed
+    into 256-token training sequences within 100-doc chunks. The oracle
+    replays the identical greedy recurrence with a recursive CTE that
+    steps every chunk simultaneously."""
+    from duckdb_nats_jetstream_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(sized, budget=256, chunk_size=100)
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {TX.sql_token_count('text')} AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens, CAST(doc_id // 100 AS BIGINT) AS chunk,
+         CAST(row_number() OVER (
+             PARTITION BY doc_id // 100 ORDER BY doc_id) AS BIGINT) AS idx
+  FROM tok
+),
+pack(chunk, idx, doc_id, n_tokens, bin, fill) AS (
+  SELECT chunk, idx, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM o WHERE idx = 1
+  UNION ALL
+  SELECT o.chunk, o.idx, o.doc_id, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + o.n_tokens > 256
+              THEN o.n_tokens ELSE p.fill + o.n_tokens END
+  FROM pack p JOIN o ON o.chunk = p.chunk AND o.idx = p.idx + 1
+)
+SELECT doc_id, n_tokens, chunk * 100 + bin AS seq_id FROM pack
+"""
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans inverted-file) approximate top-k — rows-only (KMeans has
     no SQL oracle); recall vs brute force is test-verified."""
@@ -613,6 +650,7 @@ QUERIES = {
     "docs_hash_sample": (docs_hash_sample, HASH_SAMPLE_SQL),
     "decon_ngram_overlap": (decon_ngram_overlap, DECON_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "docs_pack_sequences": (docs_pack_sequences, PACK_SEQUENCES_SQL),
     "multimodal_features": (multimodal_features, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -180,3 +180,39 @@ def test_stratified_topn_small_groups_keep_all(spark):
     )
     out = stratified_hash_topn(df, "grp", 10, margin=4.0)
     assert out.count() == 6  # quota exceeds group size → everything kept once
+
+
+# --- sequence packing ---------------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark):
+    from duckdb_nats_jetstream_spark.operators.packing import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate([100, 100, 100, 700, 50, 50, 200, 400, 399, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=512, chunk_size=4).collect()
+    assert len(out) == len(rows)  # every doc lands in exactly one sequence
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r.n_tokens)
+    for members in by_seq.values():
+        # a sequence respects the budget unless it is a single oversize doc
+        assert sum(members) <= 512 or len(members) == 1
+    # doc 3 (700 tokens > budget) sits alone
+    alone = [r.seq_id for r in out if r.doc_id == 3]
+    assert len(by_seq[alone[0]]) == 1
+    # result is partitioning-invariant (chunking depends only on ids)
+    out2 = pack_sequences(df.repartition(7), budget=512, chunk_size=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    from duckdb_nats_jetstream_spark.operators.packing import pack_sequences
+
+    # exact-fit boundary: fill + n == budget stays in the same bin
+    df = spark.createDataFrame(
+        [(0, 256), (1, 256), (2, 1)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r.seq_id for r in pack_sequences(df, budget=512, chunk_size=100).collect()}
+    assert out[0] == out[1]  # 256+256 == budget → same sequence
+    assert out[2] != out[0]  # next doc overflows → new sequence
