@@ -785,7 +785,134 @@ WHERE p_partkey < 500
 """
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the deepest join tree in the registry — lineitem ×
+    part(filtered) × orders × customer × nation×2 × region × supplier,
+    yearly market share of one supplying nation inside one region's market.
+
+    Scale shape: nation/region broadcast always; the part/supplier/customer
+    joins are left to Catalyst+AQE (broadcast at test scale, shuffle at
+    TPC-H SF where part is SF×200k rows). Share = two decimal-exact sums
+    and ONE double division (see functions/exact.py)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part_f = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    cust_eu = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = net_price()
+    return (
+        li.join(part_f, li.l_partkey == part_f.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_eu, orders.o_custkey == cust_eu.c_custkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", vol)).alias("__t"),
+            F.sum(vol).alias("__a"),
+        )
+        .select(
+            "o_year",
+            (
+                F.coalesce(F.col("__t"), F.lit(0)).cast("double")
+                / F.col("__a").cast("double")
+            ).alias("mkt_share"),
+            F.col("__a").cast("double").alias("total_vol"),
+        )
+    )
+
+
+MARKET_SHARE_SQL = f"""
+WITH v AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {NET_PRICE_SQL} AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+       CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol END), 0)
+            AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+       CAST(sum(vol) AS DOUBLE) AS total_vol
+FROM v GROUP BY o_year
+"""
+
+
+def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per nation, the sorted distinct market
+    segments of its customers (emitted string-joined — the driver's
+    value-hash compares scalars; array equality is pytest-checked).
+    ``collect_set`` is partial-aggregated map-side; sorting is per-group
+    post-agg, never a global sort."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT c_nationkey,
+       count(DISTINCT c_mktsegment) AS n_segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): melts the pivoted status counts back into
+    (segment, status, n) rows — Spark plans an Expand, no shuffle beyond
+    the input aggregation."""
+    wide = pivot_status_by_segment(spark, sf_dir)
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_open", "n_final", "n_partial"],
+        "status",
+        "n_orders",
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS ({PIVOT_SQL})
+SELECT c_mktsegment, 'n_open' AS status, n_open AS n_orders FROM wide
+UNION ALL
+SELECT c_mktsegment, 'n_final', n_final FROM wide
+UNION ALL
+SELECT c_mktsegment, 'n_partial', n_partial FROM wide
+"""
+
+
 QUERIES = {
+    "rel_array_agg": (array_agg_segments, ARRAY_AGG_SQL),
+    "rel_market_share": (market_share, MARKET_SHARE_SQL),
+    "rel_unpivot": (unpivot_status_counts, UNPIVOT_SQL),
     "rel_intersect_except": (intersect_except, INTERSECT_EXCEPT_SQL),
     "rel_approx_aggs": (approx_aggregates, APPROX_AGGS_SQL),
     "rel_price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),

@@ -130,3 +130,11 @@ def test_histogram_prunes_to_one_column(spark, sf_dir):
     assert_read_schema_pruned(
         price_histogram(spark, sf_dir), ["o_comment", "o_clerk", "o_orderdate"]
     )
+
+
+def test_market_share_join_discipline(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.relational import market_share
+
+    df = market_share(spark, sf_dir)
+    assert_broadcast_join(df)   # nation/region dimensions broadcast
+    assert_no_cartesian(df)     # 8-table tree stays equi-joined throughout
