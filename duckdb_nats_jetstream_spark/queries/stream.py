@@ -205,6 +205,58 @@ GROUP BY user_id, session_no
 )
 
 
+def scan_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``) — the same operator
+    Structured Streaming uses for stateful session aggregation, here on the
+    batch scan. A session's window is ``[first_ts, last_ts + gap)`` and an
+    event merges into it iff its timestamp is *strictly before* the current
+    window end — so the oracle's new-session rule is ``ts >= prev + gap``
+    (contrast ``scan_sessionization``'s lag rule, which uses ``>``)."""
+    df = message_scan(spark, sf_dir).select(
+        "seq",
+        "ts_nats",
+        F.regexp_extract("subject", r"\.u(\d+)$", 1).cast("long").alias("user_id"),
+    )
+    return (
+        df.groupBy("user_id", F.session_window("ts_nats", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_msgs"), F.min("seq").alias("first_seq"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_msgs",
+            "first_seq",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = (
+    _SCAN_CTE
+    + """
+, enriched AS (
+  SELECT seq, ts_nats,
+         CAST(regexp_extract(subject, '\\.u(\\d+)$', 1) AS BIGINT) AS user_id
+  FROM scan
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts_nats >= prev_ts + INTERVAL '30 minutes'
+            THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT *, lag(ts_nats) OVER (PARTITION BY user_id
+                                     ORDER BY ts_nats, seq) AS prev_ts
+        FROM enriched) t
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_nats, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, min(ts_nats) AS session_start,
+       max(ts_nats) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_msgs, min(seq) AS first_seq
+FROM numbered GROUP BY user_id, session_no
+"""
+)
+
+
 EVENTS_PROTO = """
 syntax = "proto3";
 message Event {
@@ -466,6 +518,7 @@ QUERIES = {
     "scan_asof_join": (scan_asof_join, ASOF_JOIN_SQL),
     "scan_interval_join": (scan_interval_join, INTERVAL_JOIN_SQL),
     "scan_sessionization": (scan_sessionization, SESSIONIZATION_SQL),
+    "scan_session_window": (scan_session_window, SESSION_WINDOW_SQL),
     "scan_windowed_rollup": (
         scan_windowed_rollup,
         _SCAN_CTE
