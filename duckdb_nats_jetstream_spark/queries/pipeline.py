@@ -574,6 +574,30 @@ SELECT doc_id, n_tokens, chunk * 100 + bin AS seq_id FROM pack
 """
 
 
+def text_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF registration surface (:mod:`functions.udx`): a Python UDTF in a
+    SQL LATERAL join explodes documents into tokens; per-language token
+    totals must match the built-in split/unnest oracle."""
+    from duckdb_nats_jetstream_spark.functions.udx import register_udx
+
+    register_udx(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+        FROM docs_udtf_src, LATERAL udx_split_tokens(text)
+        GROUP BY lang
+        """
+    )
+
+
+UDTF_TOKENS_SQL = f"""
+SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+FROM (SELECT lang, unnest({_TOKS}) AS token FROM documents) t
+GROUP BY lang
+"""
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans inverted-file) approximate top-k — rows-only (KMeans has
     no SQL oracle); recall vs brute force is test-verified."""
@@ -651,6 +675,7 @@ QUERIES = {
     "decon_ngram_overlap": (decon_ngram_overlap, DECON_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_pack_sequences": (docs_pack_sequences, PACK_SEQUENCES_SQL),
+    "text_udtf_tokens": (text_udtf_tokens, UDTF_TOKENS_SQL),
     "multimodal_features": (multimodal_features, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -909,8 +909,39 @@ SELECT c_mktsegment, 'n_partial', n_partial FROM wide
 """
 
 
+def udaf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF/UDAF registration surface (:mod:`functions.udx` — absent from
+    the reference): a grouped-agg pandas UDAF and a scalar vectorized UDF
+    computing the same exact-cents total per nation; both columns must
+    equal the oracle's single SQL expression."""
+    from duckdb_nats_jetstream_spark.functions.udx import cents, cents_sum
+
+    cust = read_table(spark, sf_dir, "customer")
+    # Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
+    # one agg ([INVALID_PANDAS_UDF_PLACEMENT]) — two aggs, tiny-key join
+    udaf = cust.groupBy("c_nationkey").agg(
+        cents_sum(F.col("c_acctbal")).alias("bal_cents")
+    )
+    builtin = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(cents(F.col("c_acctbal"))).alias("bal_cents_scalar"),
+    )
+    return builtin.join(udaf, "c_nationkey").select(
+        "c_nationkey", "n_cust", "bal_cents", "bal_cents_scalar"
+    )
+
+
+UDAF_CENTS_SQL = """
+SELECT c_nationkey, count(*) AS n_cust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents_scalar
+FROM customer GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "rel_array_agg": (array_agg_segments, ARRAY_AGG_SQL),
+    "rel_udaf_cents": (udaf_cents, UDAF_CENTS_SQL),
     "rel_market_share": (market_share, MARKET_SHARE_SQL),
     "rel_unpivot": (unpivot_status_counts, UNPIVOT_SQL),
     "rel_intersect_except": (intersect_except, INTERSECT_EXCEPT_SQL),
