@@ -939,8 +939,243 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join distribution — how many customers
+    placed 0, 1, 2, ... urgent orders (ref exercises inner joins only,
+    e.g. ref:test/sql/test_json_extraction.sql:230-249; outer-join counting
+    is the classic extension).
+
+    Scale plan: aggregate orders down to (custkey, count) FIRST (one shuffle
+    over orders, output ≤ |customers| rows), then left-join customer to the
+    compact per-customer counts — never the raw orders fact. The second
+    groupBy is over ≤ a few dozen distinct counts."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_HISTOGRAM_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — revenue of lineitems
+    below 20% of their part's average quantity, one brand.
+
+    Spark-first decorrelation: broadcast the brand-filtered part keys into
+    lineitem FIRST (the per-part average only needs that part subset, and
+    the partkey filter preserves per-part completeness), aggregate the small
+    survivor set per partkey, broadcast the thresholds back. Neither shuffle
+    touches the full fact table.
+
+    Exactness: l_quantity holds integer-valued doubles, so SUM/AVG are exact
+    in any accumulation order; 0.2*avg and the final /7.0 are single IEEE
+    ops identical in both engines."""
+    bparts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(bparts), li.l_partkey == bparts.p_partkey).drop(
+        "p_partkey"
+    )
+    thresh = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li_b.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#12'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate + IN-subquery — customers
+    whose orders exceed 300 total units.
+
+    Scale plan: one shuffle aggregates lineitem per orderkey; the HAVING
+    filter shrinks it to a tiny key set that BROADCASTS into orders (the
+    IN-subquery becomes a broadcast hash join, no second lineitem pass —
+    the aggregate is carried, not recomputed). customer joins on custkey
+    un-hinted: AQE broadcasts it at test scale, shuffles at 100 TB."""
+    big = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o_totalprice, sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate feeding a scalar MAX subquery — the
+    supplier(s) with peak revenue in a quarter.
+
+    The revenue view is computed once and reused for both the MAX and the
+    equality filter (Spark reuses the exchange; the max side is a 1-row
+    broadcast). Equality on doubles is safe because both sides derive from
+    the same exact decimal sum."""
+    rev = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(decsum(net_price(), "total_revenue"))
+    )
+    peak = rev.agg(F.max("total_revenue").alias("peak_revenue"))
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(peak), rev.total_revenue == peak.peak_revenue)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey, CAST(SUM({NET_PRICE_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join +
+    final aggregation — above-average-balance customers with no urgent
+    orders, totalled per nation.
+
+    The average-balance threshold is a 1-row aggregate cross-joined in
+    (broadcast nested loop of a single row — the Spark idiom for a scalar
+    subquery, no collect). NOT EXISTS is a left_anti join against the
+    distinct urgent custkeys, which aggregate down before the join."""
+    cust = read_table(spark, sf_dir, "customer")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+             / F.count("c_acctbal")).alias("thr")
+        )
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+DORMANT_RICH_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "rel_array_agg": (array_agg_segments, ARRAY_AGG_SQL),
+    "rel_customer_order_histogram": (
+        customer_order_histogram,
+        CUSTOMER_ORDER_HISTOGRAM_SQL,
+    ),
+    "rel_small_qty_revenue": (small_quantity_revenue, SMALL_QTY_REVENUE_SQL),
+    "rel_large_orders": (large_orders, LARGE_ORDERS_SQL),
+    "rel_top_supplier": (top_supplier, TOP_SUPPLIER_SQL),
+    "rel_dormant_rich_customers": (dormant_rich_customers, DORMANT_RICH_SQL),
     "rel_udaf_cents": (udaf_cents, UDAF_CENTS_SQL),
     "rel_market_share": (market_share, MARKET_SHARE_SQL),
     "rel_unpivot": (unpivot_status_counts, UNPIVOT_SQL),

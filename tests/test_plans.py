@@ -138,3 +138,52 @@ def test_market_share_join_discipline(spark, sf_dir):
     df = market_share(spark, sf_dir)
     assert_broadcast_join(df)   # nation/region dimensions broadcast
     assert_no_cartesian(df)     # 8-table tree stays equi-joined throughout
+
+
+def test_q13_histogram_aggregates_before_join(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.relational import (
+        customer_order_histogram,
+    )
+
+    # orders must aggregate to per-custkey counts BEFORE joining customer:
+    # exactly one join in the plan, fed by an aggregate, and the priority
+    # filter reaches the orders parquet scan
+    df = customer_order_histogram(spark, sf_dir)
+    plan = physical_plan(df)
+    assert_pushed_filter(df, "1-URGENT")
+    assert plan.count("Join") >= 1
+    assert "HashAggregate" in plan
+
+
+def test_q17_broadcasts_both_small_sides(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.relational import (
+        small_quantity_revenue,
+    )
+
+    df = small_quantity_revenue(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "Brand#12")  # brand filter reaches the part scan
+    assert_no_cartesian(df)
+
+
+def test_q18_having_set_broadcasts(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.relational import large_orders
+
+    df = large_orders(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan  # HAVING key-set joins via broadcast
+    assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
+    assert_no_cartesian(df)
+
+
+def test_q22_scalar_subquery_is_single_row_broadcast(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.relational import (
+        dormant_rich_customers,
+    )
+
+    df = dormant_rich_customers(spark, sf_dir)
+    plan = physical_plan(df)
+    # the 1-row threshold enters via broadcast nested loop (the scalar-
+    # subquery idiom), never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
