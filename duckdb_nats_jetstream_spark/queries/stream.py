@@ -511,7 +511,71 @@ SALTED_AGG_SQL = (
 )
 
 
+def scan_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill + locf + interpolate
+    (:mod:`operators.gapfill`): hourly per-event-type average value as a
+    DENSE series — every hour in the observed range materializes, missing
+    hours get a zero count, carried-forward value, and linear interpolation
+    between bracketing observations."""
+    from duckdb_nats_jetstream_spark.functions.exact import davg
+    from duckdb_nats_jetstream_spark.operators.gapfill import time_bucket_gapfill
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return time_bucket_gapfill(
+        ev, "ts", davg("value", "v"), keys=["event_type"], bucket_width="1 hour"
+    ).orderBy("event_type", "bucket")
+
+
+GAPFILL_SQL = """
+WITH obs AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS eb,
+           count(*) AS n_obs,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS v_obs
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(eb) AS mn, max(eb) AS mx FROM obs),
+spine AS (
+    SELECT k.event_type, unnest(generate_series(mn, mx)) AS eb
+    FROM (SELECT DISTINCT event_type FROM obs) k, bounds
+),
+dense AS (
+    SELECT s.event_type, s.eb, o.n_obs, o.v_obs
+    FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.eb = o.eb
+),
+filled AS (
+    SELECT event_type, eb, n_obs, v_obs,
+        last_value(v_obs IGNORE NULLS) OVER w_past AS prev_v,
+        first_value(v_obs IGNORE NULLS) OVER w_fut AS next_v,
+        last_value(CASE WHEN v_obs IS NOT NULL THEN eb END IGNORE NULLS)
+            OVER w_past AS prev_eb,
+        first_value(CASE WHEN v_obs IS NOT NULL THEN eb END IGNORE NULLS)
+            OVER w_fut AS next_eb
+    FROM dense
+    WINDOW
+        w_past AS (PARTITION BY event_type ORDER BY eb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fut AS (PARTITION BY event_type ORDER BY eb
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       make_timestamp(eb * 3600000000) AS bucket,
+       coalesce(n_obs, 0) AS n,
+       v_obs AS v,
+       coalesce(v_obs, prev_v) AS v_locf,
+       CASE WHEN v_obs IS NOT NULL THEN v_obs
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+            THEN prev_v + (next_v - prev_v) *
+                 (CAST(eb - prev_eb AS DOUBLE) / CAST(next_eb - prev_eb AS DOUBLE))
+       END AS v_interp
+FROM filled
+ORDER BY event_type, bucket
+"""
+
+
 QUERIES = {
+    "scan_gapfill": (scan_gapfill, GAPFILL_SQL),
     "scan_salted_agg": (scan_salted_agg, SALTED_AGG_SQL),
     "scan_proto_roundtrip": (proto_roundtrip, PROTO_ROUNDTRIP_SQL),
     "scan_proto_repeated": (proto_repeated, PROTO_REPEATED_SQL),
