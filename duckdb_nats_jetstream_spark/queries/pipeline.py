@@ -525,6 +525,35 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document length (outlier-robust
+    normalization before length-based quality filtering). The operator's
+    quantile bounds use the same (n-1)p interpolation as DuckDB's
+    ``quantile_cont`` and the clip is comparison-only, so every output
+    value is an exact pass-through of the input or the bound — hash-exact
+    cross-engine (see :mod:`operators.winsorize`)."""
+    from duckdb_nats_jetstream_spark.operators.winsorize import winsorize
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return winsorize(docs, "n_chars", ["lang"], 0.05, 0.95, out_col="w").select(
+        "doc_id", "lang", "w", F.col("_clipped").alias("clipped")
+    )
+
+
+WINSORIZE_SQL = """
+WITH bounds AS (
+    SELECT lang,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+    FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang,
+       least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS w,
+       CAST(CAST(n_chars AS DOUBLE) < lo OR CAST(n_chars AS DOUBLE) > hi AS INT) AS clipped
+FROM documents d JOIN bounds USING (lang)
+"""
+
+
 STRATIFIED_SAMPLE_SQL = """
 SELECT lang, doc_id, rk FROM (
   SELECT lang, doc_id,
@@ -674,6 +703,7 @@ QUERIES = {
     "docs_hash_sample": (docs_hash_sample, HASH_SAMPLE_SQL),
     "decon_ngram_overlap": (decon_ngram_overlap, DECON_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "docs_winsorize": (docs_winsorize, WINSORIZE_SQL),
     "docs_pack_sequences": (docs_pack_sequences, PACK_SEQUENCES_SQL),
     "text_udtf_tokens": (text_udtf_tokens, UDTF_TOKENS_SQL),
     "multimodal_features": (multimodal_features, None),

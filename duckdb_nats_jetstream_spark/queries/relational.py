@@ -1166,7 +1166,156 @@ ORDER BY c_nationkey
 """
 
 
+def disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: fact⋈dim join gated by OR-of-AND predicate blocks
+    (ref exercises only conjunctive filters, test/sql/test_protobuf.sql:200;
+    the disjunctive class is the classic optimizer stress).
+
+    Scale: part broadcasts (no fact shuffle); the disjunction references
+    both sides so it evaluates post-join, but the OR of the part-only
+    conjuncts (brand IN ...) is implied by the blocks and Catalyst derives
+    it as a pushed-down scan filter on the broadcast side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    blocks = (
+        (b == "Brand#11") & s.between(1, 15) & q.between(1, 11)
+        | (b == "Brand#22") & s.between(1, 25) & q.between(10, 20)
+        | (b == "Brand#15") & s.between(1, 35) & q.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(blocks)
+        .agg(decsum(net_price(), "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+DISJUNCTIVE_JOIN_SQL = f"""
+SELECT CAST(sum({NET_PRICE_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE slow supplier on a
+    multi-supplier order ("slow" = shipped >60 days after order date).
+
+    The textbook form is two correlated subqueries (EXISTS another supplier
+    / NOT EXISTS another *slow* supplier) — two extra self-joins of the
+    fact table. Spark-first rewrite: ONE pass per order computes
+    (distinct suppliers, distinct slow suppliers, the slow supplier's key,
+    its slow-item count), then the predicates become cheap filters —
+    a single orderkey shuffle instead of three. The oracle runs the
+    EXISTS/NOT EXISTS formulation, so parity proves the rewrite."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    slow = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("slow_k", F.when(slow, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("slow_k").alias("n_slow_supp"),
+            F.max("slow_k").alias("slow_supp"),
+            F.count("slow_k").alias("n_slow_items"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_slow_supp") == 1))
+    )
+    return (
+        per_order.groupBy("slow_supp")
+        .agg(F.sum("n_slow_items").alias("numwait"))
+        .join(F.broadcast(sup), F.col("slow_supp") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding vectors: lambda
+    filter, sort+slice, element_at, min/max — all JVM-side Catalyst
+    expressions (no UDF, no shuffle beyond the final tiny per-label agg).
+    Every derived value is arithmetic-free (counts and element
+    pass-throughs), so floats hash-match the oracle exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    per_vec = emb.select(
+        "label",
+        F.size(F.filter(e, lambda x: x > F.lit(0.0))).alias("n_pos"),
+        F.size(F.filter(e, lambda x: F.abs(x) > F.lit(0.25))).alias("n_big"),
+        F.array_max(e).alias("amax"),
+        F.array_min(e).alias("amin"),
+        F.element_at(F.slice(F.sort_array(e, asc=False), 1, 3), 3).alias("third"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("n_pos").alias("sum_pos"),
+            F.sum("n_big").alias("sum_big"),
+            F.max("amax").alias("max_elem"),
+            F.min("amin").alias("min_elem"),
+            F.max("third").alias("max_third"),
+        )
+        .orderBy("label")
+    )
+
+
+ARRAY_HOF_SQL = """
+WITH per_vec AS (
+    SELECT label,
+           len(list_filter(embedding, x -> x > 0.0)) AS n_pos,
+           len(list_filter(embedding, x -> abs(x) > 0.25)) AS n_big,
+           list_max(embedding) AS amax,
+           list_min(embedding) AS amin,
+           list_sort(embedding, 'DESC')[3] AS third
+    FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(sum(n_pos) AS BIGINT) AS sum_pos,
+       CAST(sum(n_big) AS BIGINT) AS sum_big,
+       max(amax) AS max_elem,
+       min(amin) AS min_elem,
+       max(third) AS max_third
+FROM per_vec
+GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
+    "rel_disjunctive_join": (disjunctive_join, DISJUNCTIVE_JOIN_SQL),
+    "rel_waiting_suppliers": (waiting_suppliers, WAITING_SUPPLIERS_SQL),
+    "rel_array_hof": (array_hof, ARRAY_HOF_SQL),
     "rel_array_agg": (array_agg_segments, ARRAY_AGG_SQL),
     "rel_customer_order_histogram": (
         customer_order_histogram,

@@ -216,3 +216,33 @@ def test_pack_sequences_greedy_boundaries(spark):
     out = {r.doc_id: r.seq_id for r in pack_sequences(df, budget=512, chunk_size=100).collect()}
     assert out[0] == out[1]  # 256+256 == budget → same sequence
     assert out[2] != out[0]  # next doc overflows → new sequence
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from duckdb_nats_jetstream_spark.operators.winsorize import winsorize
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 100]] + [("b", v) for v in [10, 20, 30]]
+    df = spark.createDataFrame(rows, "k string, x long")
+    out = {(r.k, r.x): (r.w, r._clipped) for r in winsorize(df, "x", ["k"], 0.25, 0.75).collect()}
+    # group a: quantile_cont(.25)=2.0, (.75)=4.0 over [1,2,3,4,100]
+    assert out[("a", 1)] == (2.0, 1)
+    assert out[("a", 3)] == (3.0, 0)
+    assert out[("a", 100)] == (4.0, 1)
+    # group b: (.25)=15.0, (.75)=25.0 over [10,20,30]
+    assert out[("b", 10)] == (15.0, 1)
+    assert out[("b", 20)] == (20.0, 0)
+    assert out[("b", 30)] == (25.0, 1)
+    # all input columns preserved, row count unchanged
+    assert len(out) == len(rows)
+
+
+def test_winsorize_rejects_bad_bounds(spark):
+    import pytest as _pytest
+
+    from duckdb_nats_jetstream_spark.operators.winsorize import winsorize
+
+    df = spark.createDataFrame([("a", 1)], "k string, x long")
+    with _pytest.raises(ValueError):
+        winsorize(df, "x", ["k"], 0.9, 0.1)
+    with _pytest.raises(ValueError):
+        winsorize(df, "x", ["k"], -0.1, 0.5)
