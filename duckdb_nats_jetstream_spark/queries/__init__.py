@@ -17,10 +17,15 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 
 
 def full_registry() -> Registry:
-    from duckdb_nats_jetstream_spark.queries import pipeline, relational, stream
+    from duckdb_nats_jetstream_spark.queries import (
+        pipeline,
+        relational,
+        relational2,
+        stream,
+    )
 
     out: Registry = {}
-    for mod in (stream, relational, pipeline):
+    for mod in (stream, relational, relational2, pipeline):
         for name, entry in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = entry
