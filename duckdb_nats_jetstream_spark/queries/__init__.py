@@ -19,13 +19,14 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 def full_registry() -> Registry:
     from duckdb_nats_jetstream_spark.queries import (
         pipeline,
+        pipeline2,
         relational,
         relational2,
         stream,
     )
 
     out: Registry = {}
-    for mod in (stream, relational, relational2, pipeline):
+    for mod in (stream, relational, relational2, pipeline, pipeline2):
         for name, entry in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = entry

@@ -1,0 +1,119 @@
+"""Training-data pipeline queries, batch 2: table profiling, CDC-style
+latest-row-per-key compaction, and bigram language modeling stats.
+
+Scale notes: profiling is one pass + one Expand shuffle regardless of how
+many columns are profiled; latest-per-key hash-partitions on the key (no
+global sort); bigram top-k aggregates BEFORE ranking, so the window only
+sees (lang, bigram) counts, never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from duckdb_nats_jetstream_spark.functions import text as TX
+from duckdb_nats_jetstream_spark.operators.profile import profile
+from duckdb_nats_jetstream_spark.session import read_table, spread
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile of the events stream table (string-stable
+    columns only — doubles stay out of the oracle's string rendering)."""
+    ev = read_table(spark, sf_dir, "events")
+    return profile(ev, ["event_id", "user_id", "event_type"])
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM events"""
+
+
+PROFILE_EVENTS_SQL = (
+    " UNION ALL ".join(_profile_col_sql(c) for c in ["event_id", "user_id", "event_type"])
+    + " ORDER BY column_name"
+)
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the latest event per user (upsert semantics —
+    what a 100 TB change-log table compacts to). Deterministic tiebreak on
+    event_id; hash-partitioned window, no global sort."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language — n-gram LM statistics over the corpus.
+    Bigrams are built row-local with a zero-shuffle higher-order transform;
+    the only shuffle is the (lang, bigram) count aggregation; ranking runs
+    over the already-aggregated counts."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toked = docs.select("lang", TX.tokens(F.col("text")).alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toked.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("lang", "bigram", "cnt")
+        .orderBy("lang", F.col("cnt").desc(), "bigram")
+    )
+
+
+BIGRAM_TOPK_SQL = f"""
+WITH toked AS (
+    SELECT lang, {TX.sql_tokens('text')} AS t FROM documents
+), bi AS (
+    SELECT lang,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM toked
+), counts AS (
+    SELECT lang, bigram, count(*) AS cnt FROM bi GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY cnt DESC, bigram) <= 5
+ORDER BY lang, cnt DESC, bigram
+"""
+
+
+QUERIES = {
+    "profile_events": (profile_events, PROFILE_EVENTS_SQL),
+    "scan_latest_per_key": (latest_event_per_user, LATEST_EVENT_SQL),
+    "text_bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
+}

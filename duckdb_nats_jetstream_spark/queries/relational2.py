@@ -390,7 +390,40 @@ ORDER BY s_suppkey
 """
 
 
+def cube_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, nation): all four grouping combinations in one
+    pass (Catalyst plans a single Expand + hash aggregate — the table is
+    scanned once, not 4×). GROUPING flags disambiguate subtotal rows."""
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        cust.cube("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("n_name").cast("int").alias("g_nat"),
+        )
+        .orderBy("g_seg", "g_nat", "c_mktsegment", "n_name")
+    )
+
+
+CUBE_SQL = """
+SELECT c_mktsegment, n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+       CAST(GROUPING(n_name) AS INTEGER) AS g_nat
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+ORDER BY g_seg, g_nat, c_mktsegment, n_name
+"""
+
+
 QUERIES = {
+    "rel_cube_segment_nation": (cube_segment_nation, CUBE_SQL),
     "rel_promo_revenue": (promo_revenue, PROMO_REVENUE_SQL),
     "rel_volume_shipping": (volume_shipping, VOLUME_SHIPPING_SQL),
     "rel_profit_by_nation_year": (profit_by_nation_year, PROFIT_SQL),
