@@ -57,30 +57,38 @@ def main() -> None:
     # Best-of-2 per query: single-shot timings on this rig show random
     # 5-10s spikes on a rotating victim query (host jitter / GC pauses),
     # which would mis-rank queries run-to-run. Each attempt executes the
-    # full query plan end-to-end (noop sink).
+    # full query plan end-to-end (noop sink). Failures are ISOLATED per
+    # query — one broken plan must never void the other ~90 timings (that is
+    # exactly what aborted the round-1 bench), so every exception is caught
+    # and reported per query, and the JSON line always prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry):
         fn, _sql = registry[name]
         best = float("inf")
         for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                break
+        if best != float("inf"):
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

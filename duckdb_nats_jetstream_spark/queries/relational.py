@@ -932,9 +932,13 @@ def udaf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UDAF_CENTS_SQL = """
+-- outer CASTs: DuckDB sum(BIGINT) widens to HUGEINT (int128), which the
+-- driver's pandas-side hash renders differently from Spark's int64 even
+-- when every value is equal (r01 hash_match:false with 25/25 identical
+-- rows). BIGINT end-to-end keeps both engines in int64.
 SELECT c_nationkey, count(*) AS n_cust,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents_scalar
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents_scalar
 FROM customer GROUP BY c_nationkey
 """
 

@@ -68,10 +68,18 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver table; ns-precision timestamps are converted to Spark
-    TimestampType (µs, truncating — the same narrowing DuckDB applies, and the
-    same ns→µs divide the reference does at ref:src/nats_scan.cpp:749)."""
-    from pyspark.sql import functions as F
+    """Read one driver table; timestamps are normalized to a single canonical
+    Spark TimestampType regardless of the parquet flavor:
+
+    - TIMESTAMP(NANOS) parquet (Spark can't read natively) is read as long and
+      converted (µs truncation — the same narrowing DuckDB applies, and the
+      same ns→µs divide the reference does at ref:src/nats_scan.cpp:749).
+    - ``timestamp[us]`` with isAdjustedToUTC=false reads as TIMESTAMP_NTZ in
+      Spark 4; with the session time zone pinned to UTC the cast to
+      TimestampType is value-identical, and downstream ``unix_micros``/
+      watermark/window code sees one type everywhere.
+    """
+    from pyspark.sql import functions as F, types as T
 
     path = table_path(sf_dir, name)
     ns_cols = _ns_timestamp_columns(path)
@@ -81,4 +89,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     for c in ns_cols:
         # integer div — float division would lose precision above 2^53 ns
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df

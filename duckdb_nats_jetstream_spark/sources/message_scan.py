@@ -108,7 +108,19 @@ def message_scan(
     # the difference between scanning one row group and scanning the table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(table_path(sf_dir, "events"))
-    ts_raw_ns = isinstance(ev.schema["ts"].dataType, T.LongType)
+    ts_type = ev.schema["ts"].dataType
+    ts_raw_ns = isinstance(ts_type, T.LongType)
+    ts_ntz = isinstance(ts_type, T.TimestampNTZType)
+
+    def _ts_literal(t: _dt.datetime):
+        # Literal typed to match the *stored* column so the comparison stays a
+        # plain pushable predicate: an implicit NTZ↔LTZ coercion would route
+        # through the session time zone and (a) silently depend on it, (b) can
+        # defeat parquet filter pushdown. The LTZ literal is built from a naive
+        # datetime interpreted in the session zone, so casting it back to NTZ
+        # round-trips to the original wall-clock value in ANY session zone.
+        lit = F.lit(t)
+        return lit.cast("timestamp_ntz") if ts_ntz else lit
 
     if start_seq is not None:
         ev = ev.filter(F.col("event_id") >= F.lit(int(start_seq) - 1))
@@ -120,17 +132,22 @@ def message_scan(
     # µs-trunc(x) <= t1  ⟺  x_ns <  (t1µs+1)·1000.
     if start_time is not None:
         t0 = _as_timestamp(start_time)
-        bound = F.lit(_micros(t0) * 1000) if ts_raw_ns else F.lit(t0)
+        bound = F.lit(_micros(t0) * 1000) if ts_raw_ns else _ts_literal(t0)
         ev = ev.filter(F.col("ts") >= bound)
     if end_time is not None:
         t1 = _as_timestamp(end_time)
         if ts_raw_ns:
             ev = ev.filter(F.col("ts") < F.lit((_micros(t1) + 1) * 1000))
         else:
-            ev = ev.filter(F.col("ts") <= F.lit(t1))
+            ev = ev.filter(F.col("ts") <= _ts_literal(t1))
 
+    # Canonicalize ts to TimestampType AFTER the pushdown filters above, so
+    # the range predicates reach the parquet scan on the stored column while
+    # every consumer sees one timestamp flavor (schema.py BASE_FIELDS).
     if ts_raw_ns:
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_ntz:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
     df = ev.select(
         F.lit(stream).alias("stream"),

@@ -69,6 +69,7 @@ class ParquetReplayTransport:
         key = (self.path, self.stream, start_seq, end_seq)
         if key in _REPLAY_CACHE:
             return _REPLAY_CACHE[key]
+        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -82,16 +83,24 @@ class ParquetReplayTransport:
             t = t.filter(pc.field("event_id") >= start_seq - 1)
         if end_seq is not None:
             t = t.filter(pc.field("event_id") <= end_seq - 1)
+        # Normalize ts to int64 nanoseconds while still columnar — the parquet
+        # flavor varies by writer (timestamp[us], timestamp[ns], raw int64 ns)
+        # and to_pydict() would yield datetime.datetime for µs columns, which
+        # the per-row loop must not have to special-case.
+        ts_idx = t.schema.get_field_index("ts")
+        ts_type = t.schema.field(ts_idx).type
+        if pa.types.is_timestamp(ts_type):
+            ns = pc.cast(pc.cast(t.column(ts_idx), pa.timestamp("ns")), pa.int64())
+            t = t.set_column(ts_idx, "ts", ns)
         d = t.to_pydict()
         rows = {}
-        for eid, ts, uid, etype, props in zip(
+        for eid, ts_ns, uid, etype, props in zip(
             d["event_id"], d["ts"], d["user_id"], d["event_type"], d["props"]
         ):
             seq = int(eid) + 1  # sequences start at 1, like JetStream
-            ts_ns = ts.value if hasattr(ts, "value") else int(ts)
             rows[seq] = (
                 f"{self.stream}.{etype}.u{uid}",
-                ts_ns,
+                int(ts_ns),
                 props.encode("utf-8"),
             )
         _REPLAY_CACHE[key] = rows

@@ -20,19 +20,39 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from duckdb_nats_jetstream_spark.functions.json_extract import json_extract
 
-#: raw events-parquet schema (declared — streaming reads require one; the
-#: driver's parquet stores ts as TIMESTAMP(NANOS) which Spark surfaces as
-#: long under nanosAsLong)
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_ts_type(log_dir: str) -> T.DataType:
+    """Inspect one parquet file to learn the stored ts flavor — streaming
+    reads require a declared schema, and the driver's writer has produced
+    both TIMESTAMP(NANOS) (Spark: long under nanosAsLong) and timestamp[us]
+    naive (Spark: TIMESTAMP_NTZ). Declaring the wrong one fails the scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    candidates = sorted(glob.glob(os.path.join(log_dir, "*.parquet")))
+    if not candidates:
+        return T.LongType()
+    t = pq.read_schema(candidates[0]).field("ts").type
+    s = str(t)
+    if s.startswith("timestamp[ns") or not s.startswith("timestamp"):
+        return T.LongType()  # ns-as-long
+    if getattr(t, "tz", None) is None:
+        return T.TimestampNTZType()
+    return T.TimestampType()
+
+
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def message_stream(
@@ -45,13 +65,19 @@ def message_stream(
 ) -> DataFrame:
     """``readStream`` over a directory of parquet message-log files,
     projected to the message schema. New files appearing in ``log_dir`` are
-    new message batches (the live-tail model)."""
+    new message batches (the live-tail model). ``ts_nats`` is canonical
+    TimestampType whatever the stored flavor (schema.py BASE_FIELDS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = _events_raw_ts_type(log_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .format("parquet")
         .load(log_dir)
     )
+    if isinstance(ts_type, T.LongType):
+        ts_nats = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_nats = F.col("ts").cast("timestamp")
     df = raw.select(
         F.lit(stream).alias("stream"),
         F.concat(
@@ -61,7 +87,7 @@ def message_stream(
             F.col("user_id").cast("string"),
         ).alias("subject"),
         (F.col("event_id") + F.lit(1)).cast("long").alias("seq"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_nats"),
+        ts_nats.alias("ts_nats"),
         F.col("props").alias("payload"),
     )
     if subject is not None:

@@ -22,12 +22,11 @@ def test_base_schema_binary_payload_default(spark, sf_dir):
     # payload is BLOB when no extraction is specified (ref v0.1.1 semantics)
     assert isinstance(df.schema["payload"].dataType, T.BinaryType)
     assert isinstance(df.schema["seq"].dataType, T.LongType)
-    # µs timestamp either flavor: TIMESTAMP (driver data stored as ns → we
-    # convert) or TIMESTAMP_NTZ (driver data stored as µs naive — matches
-    # DuckDB's zone-less TIMESTAMP exactly, so it passes through unchanged).
-    assert isinstance(
-        df.schema["ts_nats"].dataType, (T.TimestampType, T.TimestampNTZType)
-    )
+    # Canonical timestamp contract: whatever the parquet flavor (ns-as-long,
+    # µs NTZ, µs UTC), message_scan emits exactly TimestampType — the type
+    # schema.py BASE_FIELDS and the streaming source declare. Session tz is
+    # UTC so values are identical either way.
+    assert type(df.schema["ts_nats"].dataType) is T.TimestampType
 
 
 def test_json_mode_payload_is_string(spark, sf_dir):

@@ -105,6 +105,36 @@ def test_embedding_near_dup_threshold(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_near_dup_no_driver_collect(spark, sf_dir, monkeypatch):
+    """The operator must be fully distributed — the r01 design collected the
+    whole corpus via toPandas() on the driver (OOM bound at 100 TB). Any
+    driver-side materialization now fails the test."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side toPandas() in embedding_near_dup_pairs")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = D.embedding_near_dup_pairs(emb, threshold=0.4)
+    assert out.count() >= 0  # executes distributed-only
+
+
+def test_embedding_near_dup_block_invariance(spark, sf_dir):
+    """Blocking must not change the result set or any cosine value: compare
+    n_blocks=1 (single all-pairs task) against n_blocks=5 bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(300)
+    one = {
+        (r.id_a, r.id_b): r.cos_r
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.3, n_blocks=1).collect()
+    }
+    many = {
+        (r.id_a, r.id_b): r.cos_r
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.3, n_blocks=5).collect()
+    }
+    assert one == many and len(one) > 0
+
+
 # --- decontamination ----------------------------------------------------------
 
 
