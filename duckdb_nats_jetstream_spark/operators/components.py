@@ -13,11 +13,15 @@ DataFrame ops Catalyst/AQE handle; lineage is truncated per round with
 ``localCheckpoint`` so the plan doesn't grow with iterations (on a cluster
 with an HDFS checkpoint dir, swap for ``checkpoint``).
 
-For adversarial graphs (long chains / power-law), the known upgrade is the
-alternating large-star/small-star rewrite (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14), which converges in
-O(log^2 n) rounds with the same building blocks; not needed for the
-near-dup workload.
+For adversarial graphs (long chains / power-law), plain hash-min needs
+diameter rounds — a 10k-vertex chain would blow any fixed iteration budget
+and silently return unconverged labels. Each round therefore also does one
+**pointer-doubling** step (labels join labels: ``comp ← min(comp,
+comp[comp])`` — the shortcutting half of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14): the distance a label travels
+doubles every round, so convergence is O(log diameter) — ~15 rounds for a
+30k chain, verified in tests — at the cost of one extra vertex-sized
+self-join per round (cheap next to the edge-sized propagation join).
 
 The reference engine has no graph surface at all — this belongs to the
 north-star pipeline operators. Oracle: a recursive CTE computes the same
@@ -69,20 +73,40 @@ def connected_components(
             .groupBy(F.col("e.b").alias("id"))
             .agg(F.min("l.comp").alias("nbr"))
         )
-        # Convergence flag rides the checkpointed frame — detecting the
-        # fixpoint costs a take(1) over cached partitions, not an extra
-        # old-vs-new shuffle join per round.
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("comp").alias("old"),
+            F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias(
+                "comp1"
+            ),
+        )
+        # Pointer doubling: follow the label one hop (comp ← comp[comp]).
+        # Every comp value is itself a vertex id with a labels row, so the
+        # lookup is a vertex-sized self-join; it doubles the distance a
+        # minimum travels per round, turning chain graphs from O(diameter)
+        # into O(log diameter) rounds.
+        hop = stepped.select(
+            F.col("id").alias("cid"), F.col("comp1").alias("ccomp")
+        )
         labels = (
-            labels.join(nbr_min, "id", "left")
+            stepped.join(hop, stepped.comp1 == hop.cid, "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("nbr") < F.col("comp")).alias("upd"),
+                F.least(
+                    F.col("comp1"), F.coalesce(F.col("ccomp"), F.col("comp1"))
+                ).alias("comp"),
+                (
+                    F.least(
+                        F.col("comp1"), F.coalesce(F.col("ccomp"), F.col("comp1"))
+                    )
+                    < F.col("old")
+                ).alias("upd"),
             )
             .localCheckpoint(eager=True)
         )
+        # Convergence flag rides the checkpointed frame — detecting the
+        # fixpoint costs a take(1) over cached partitions, not an extra
+        # old-vs-new shuffle join per round.
         if labels.filter(F.col("upd")).isEmpty():
             break
     und.unpersist(blocking=False)

@@ -1,14 +1,22 @@
-"""Multimodal column plumbing for training-data pipelines (north-star
-surface): image/audio/video as opaque ``binary`` columns with typed metadata,
-processed by Arrow-batched ``mapInPandas`` stages.
+"""Multimodal columns for training-data pipelines (north-star surface):
+image/audio/video as opaque ``binary`` columns with typed metadata, processed
+by Arrow-batched ``mapInPandas`` stages.
 
-The actual media codecs are NOT available in this environment, so the decode
-kernels are **STUBBED**: ``decode=fake`` (default) derives deterministic
-pseudo-features from the bytes (md5-seeded), ``decode=real`` raises
-``NotImplementedError`` unless the optional library (PIL etc.) imports. What
-IS real — and tested — is everything Spark cares about: the declared output
-schema, the Arrow batch iteration contract, partition-preserving execution,
-and the binary+metadata column model.
+Decode capability ladder (no media libraries are bundled here):
+
+1. **Real, stdlib-only** (``functions.imagecodec``): container-header probing
+   for PNG/JPEG/GIF/BMP/PPM metadata (:func:`probe_media`), and a full PNG
+   decode → nearest-neighbor resample → PNG re-encode path
+   (:func:`resize_images`) via ``zlib`` — genuinely decoding pixels, no PIL.
+2. **Optional library** — if PIL imports, :func:`resize_images` uses it for
+   the non-PNG compressed formats.
+3. **Deterministic fake** — md5-seeded pseudo-features
+   (:func:`extract_features` ``decode='fake'``) for model-embedding stand-ins;
+   a real model hook stays behind ``decode='real'``.
+
+Everything Spark cares about is real and tested at every rung: declared
+output schemas, Arrow batch iteration, partition-preserving execution, and
+the binary+metadata column model.
 """
 
 from __future__ import annotations
@@ -63,6 +71,40 @@ def as_media(
     )
 
 
+def probe_media(df: DataFrame) -> DataFrame:
+    """REAL metadata extraction: sniff format/width/height from the binary's
+    container header (``functions.imagecodec.probe`` — stdlib parsing of
+    PNG/JPEG/GIF/BMP/PPM headers, O(header bytes) per row, no decompression)
+    and fill ``meta`` with what the bytes actually are. Unrecognized bytes
+    keep the declared format with NULL dimensions."""
+    from duckdb_nats_jetstream_spark.functions.imagecodec import probe
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            fmts, ws, hs = [], [], []
+            for data, declared in zip(pdf["data"], pdf["meta"]):
+                fmt, w, h = probe(data)
+                fmts.append(fmt if fmt is not None else declared["format"])
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "data": pdf["data"],
+                    "meta": [
+                        {"format": f, "width": w, "height": h,
+                         "n_bytes": len(d or b"")}
+                        for f, w, h, d in zip(fmts, ws, hs, pdf["data"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def _fake_feature(data: bytes, dim: int) -> list[float]:
     """Deterministic pseudo-embedding: md5-chained bytes → [0,1) floats."""
     out: list[float] = []
@@ -112,23 +154,72 @@ def extract_features(df: DataFrame, dim: int = 16, decode: str = "fake") -> Data
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real resize needs PIL; the fake keeps bytes and stamps the
-    requested dimensions into metadata (plumbing-identical)."""
-    try:
-        import PIL  # noqa: F401
+    """REAL image resize, Arrow-batched.
 
-        raise NotImplementedError("real resize path not implemented yet")
-    except ImportError:
-        pass
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.format").alias("format"),
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.n_bytes").alias("n_bytes"),
-        ),
+    Per row: PNG bytes are decoded, nearest-neighbor resampled, and
+    re-encoded with the stdlib codec (``functions.imagecodec`` — actual
+    pixel work, deterministic output bytes). Non-PNG formats fall back to
+    PIL when importable; otherwise the row passes through with its original
+    bytes and a NULL width/height in ``meta`` marking it un-resized (rows
+    are never dropped — a 100 TB pipeline stage must be total).
+    """
+    from duckdb_nats_jetstream_spark.functions.imagecodec import (
+        png_decode,
+        png_encode,
+        probe,
+        resize_nearest,
     )
+
+    try:  # capability check once per worker import, not per row
+        from PIL import Image as _PILImage  # noqa: N813
+    except ImportError:
+        _PILImage = None
+
+    def _resize_one(data: bytes | None):
+        """Return (new_bytes, fmt, w, h) — w/h NULL when un-resizable."""
+        fmt, _w, _h = probe(data)
+        if fmt == "png":
+            try:
+                arr = png_decode(data)
+                return png_encode(resize_nearest(arr, width, height)), fmt, width, height
+            except ValueError:
+                return data, fmt, None, None  # exotic PNG (16-bit/palette)
+        if fmt is not None and _PILImage is not None:  # pragma: no cover
+            import io
+
+            with _PILImage.open(io.BytesIO(data)) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format=im.format)
+                return out.getvalue(), fmt, width, height
+        return data, fmt, None, None
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out_rows = {"media_id": [], "kind": [], "data": [], "meta": []}
+            for mid, kind, data, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"], pdf["meta"]
+            ):
+                new_bytes, fmt, w, h = _resize_one(data)
+                out_rows["media_id"].append(mid)
+                out_rows["kind"].append(kind)
+                out_rows["data"].append(new_bytes)
+                out_rows["meta"].append(
+                    {
+                        "format": fmt if fmt is not None else meta["format"],
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(new_bytes or b""),
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    from duckdb_nats_jetstream_spark.session import spread
+
+    # decode+resample is the compute-heavy per-row stage — restore scan
+    # parallelism first (same rationale as the shingle pipelines)
+    return spread(df).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -37,6 +37,7 @@ _PRIORITY_STREAM = [
     "scan_interval_join",  # r01 err (TIMESTAMP_NTZ) — fixed
     "scan_sessionization",  # r01 err (TIMESTAMP_NTZ) — fixed
     "nats_source_scan",  # r01 err (datetime decode) — fixed
+    "scan_typed_extract",  # new in r02 — JVM struct fast path
 ]
 
 

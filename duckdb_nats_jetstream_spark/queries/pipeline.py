@@ -331,6 +331,53 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, dim=16)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode→resize→encode over the cluster: deterministic PNGs
+    are synthesized from message payload bytes (mapInPandas), then probed
+    (header metadata) and resampled to 16×12 by the stdlib PNG codec
+    (``functions.imagecodec`` — actual pixel work, no media libraries).
+    Non-SQL-expressible; rows-only check. Returns per-image output metadata
+    plus a content digest so value drift in any stage is visible."""
+    from duckdb_nats_jetstream_spark.operators.multimodal import (
+        probe_media,
+        resize_images,
+    )
+    from duckdb_nats_jetstream_spark.sources import message_scan
+
+    src = message_scan(spark, sf_dir, start_seq=1, end_seq=500).select("seq", "payload")
+
+    def make_pngs(it):
+        import numpy as np
+        import pandas as pd
+
+        from duckdb_nats_jetstream_spark.functions.imagecodec import png_encode
+
+        for pdf in it:
+            ids, pngs = [], []
+            for seq, payload in zip(pdf["seq"], pdf["payload"]):
+                b = np.frombuffer((payload or b"\x00") * 40, dtype=np.uint8)
+                side = 20 + int(seq) % 13
+                arr = np.resize(b, (side, side, 3))
+                ids.append(seq)
+                pngs.append(png_encode(arr))
+            yield pd.DataFrame({"media_id": ids, "kind": "image", "data": pngs,
+                                "meta": [None] * len(ids)})
+
+    from duckdb_nats_jetstream_spark.operators.multimodal import MEDIA_SCHEMA
+    from duckdb_nats_jetstream_spark.session import spread
+
+    media = spread(src).mapInPandas(make_pngs, MEDIA_SCHEMA)
+    resized = resize_images(probe_media(media), 16, 12)
+    return resized.select(
+        "media_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("data")).alias("content_md5"),
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: the Jaccard pair list closed under transitivity —
     each involved doc mapped to its component's canonical (min) id via
@@ -707,6 +754,7 @@ QUERIES = {
     "docs_pack_sequences": (docs_pack_sequences, PACK_SEQUENCES_SQL),
     "text_udtf_tokens": (text_udtf_tokens, UDTF_TOKENS_SQL),
     "multimodal_features": (multimodal_features, None),
+    "multimodal_resize": (multimodal_resize, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),

@@ -80,6 +80,35 @@ def scan_json_cast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed-extraction SCAN HOT PATH for 100 TB: payload → ``from_json``
+    struct at a bind-time-declared schema → :func:`typed_extract` pure
+    projection → aggregate. The entire plan is JVM whole-stage codegen —
+    zero Python rows cross the boundary (contrast ``scan_proto_roundtrip``,
+    which exercises the pure-Python wire codec as the *compatibility* path;
+    this struct path is the default plan for typed payload analytics,
+    reproducing the reference's typed columns + NULL semantics,
+    ref:src/nats_scan.cpp:456-544)."""
+    from pyspark.sql import types as T
+
+    from duckdb_nats_jetstream_spark.functions.typed_extract import (
+        parse_json_payload,
+        typed_extract,
+    )
+
+    df = message_scan(spark, sf_dir, payload_binary=False)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    ex = typed_extract(parse_json_payload(df, schema), ["k"])
+    return (
+        ex.groupBy((F.col("k") % F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("k").alias("sum_k"),
+            F.max("seq").alias("max_seq"),
+        )
+    )
+
+
 def scan_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOB payload mode + octet_length histogram
     (test_payload_blob.sql:11-17 pattern)."""
@@ -274,9 +303,9 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end protobuf path (§2.A6 without external libs): encode each
     event into proto wire format, then decode with the bind-time-validated
     extractor into typed columns — oracle-checked against the raw table, so
-    any codec asymmetry fails the gate."""
-    import json as _json
-
+    any codec asymmetry fails the gate. (For the default JVM-only typed
+    scan plan see ``scan_typed_extract``; this query IS the compatibility
+    codec's gate.)"""
     from duckdb_nats_jetstream_spark.functions.proto import (
         encode_message,
         parse_proto,
@@ -292,11 +321,10 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(it):
         for pdf in it:
             payloads = []
-            for eid, uid, val, etype, props in zip(
+            for eid, uid, val, etype, k in zip(
                 pdf["event_id"], pdf["user_id"], pdf["value"],
-                pdf["event_type"], pdf["props"],
+                pdf["event_type"], pdf["k"],
             ):
-                k = _json.loads(props).get("k")
                 payloads.append(
                     encode_message(
                         dict(
@@ -315,9 +343,13 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from duckdb_nats_jetstream_spark.session import spread
 
-    # per-row Python codec: spread so a single-file input doesn't serialize it
+    # JSON parse stays JVM-side (get_json_object) — only the wire encode is
+    # Python; spread so a single-file input doesn't serialize the codec
     encoded = spread(
-        ev.select("event_id", "user_id", "value", "event_type", "props")
+        ev.select(
+            "event_id", "user_id", "value", "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
     ).mapInPandas(encode, "payload binary")
     return proto_extract(
         encoded, EVENTS_PROTO, "Event",
@@ -632,6 +664,15 @@ QUERIES = {
         "FROM scan WHERE ts_nats >= TIMESTAMP '2024-01-03 00:00:00' "
         "AND ts_nats <= TIMESTAMP '2024-01-25 00:00:00' "
         "GROUP BY subject ORDER BY subject",
+    ),
+    "scan_typed_extract": (
+        scan_typed_extract,
+        _SCAN_CTE
+        + "SELECT CAST(json_extract(payload, '$.k') AS BIGINT) % 10 AS k_bucket, "
+        "count(*) AS n_msgs, "
+        "CAST(sum(CAST(json_extract(payload, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+        "max(seq) AS max_seq "
+        "FROM scan GROUP BY 1",
     ),
     "scan_payload_sizes": (
         scan_payload_sizes,

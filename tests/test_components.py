@@ -31,3 +31,28 @@ def test_min_id_not_on_every_edge(spark):
     # canonical id 0 enters via one leaf edge only; must still reach 7
     got = _cc(spark, [(3, 7), (7, 12), (0, 12)])
     assert got == {0: 0, 3: 0, 7: 0, 12: 0}
+
+
+def test_adversarial_chain_converges_within_log_budget(spark):
+    """Pathological graph for plain hash-min: one long path (diameter =
+    n-1), where min-label propagation alone needs n rounds. Pointer
+    doubling must close a 3000-vertex chain within a 16-iteration budget
+    (≈ log2(3000) + slack), with the minimum entering at the FAR end."""
+    n = 3000
+    edges = [(i, i + 1) for i in range(1, n)]  # 1-2-...-3000
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df, max_iter=16, edges_unique=True).collect()
+    assert len(rows) == n
+    assert all(r.component == 1 for r in rows)
+
+
+def test_star_and_clique_mixture(spark):
+    """Star into a clique into a chain — mixed-shape sanity at a few
+    thousand vertices."""
+    star = [(100, i) for i in range(101, 600)]
+    clique = [(i, j) for i in range(600, 620) for j in range(i + 1, 620)]
+    bridge = [(599, 600), (1, 100)]
+    chain = [(i, i + 1) for i in range(620, 900)]
+    bridge2 = [(619, 620)]
+    got = _cc(spark, star + clique + bridge + chain + bridge2)
+    assert set(got.values()) == {1}

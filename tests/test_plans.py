@@ -54,6 +54,20 @@ def test_codegen_on_hot_paths(spark, sf_dir):
     assert_wholestage_codegen(lambda: scan_json_cast_agg(spark, sf_dir), spark)
 
 
+def test_typed_extract_scan_is_pure_jvm(spark, sf_dir):
+    """The default typed-payload scan plan must keep every row JVM-side:
+    no Python UDF eval, no mapInPandas stage, and whole-stage codegen on
+    the aggregation — this is what makes it the 100 TB hot path (the
+    Python wire codec is the compatibility path, not the default)."""
+    from duckdb_nats_jetstream_spark.queries.stream import scan_typed_extract
+
+    df = scan_typed_extract(spark, sf_dir)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"Python stage {marker} leaked into the typed scan"
+    assert_wholestage_codegen(lambda: scan_typed_extract(spark, sf_dir), spark)
+
+
 def test_topk_plans_take_ordered(spark, sf_dir):
     from duckdb_nats_jetstream_spark.plans.explain import physical_plan
     from duckdb_nats_jetstream_spark.queries.relational import top_parts
