@@ -221,6 +221,109 @@ def sql_simhash(md5_list_expr: str, bits: int = 16) -> str:
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): hash every character k-gram, slide a w-wide window over
+    the hash sequence, keep each window's minimum, dedupe. Guarantees every
+    shared substring of length ≥ k+w-1 contributes at least one shared
+    fingerprint, with ~2/(w+1) of the k-grams retained.
+
+    Pure column expressions (sequence/transform/slice/array_min) — zero
+    Python, zero shuffle; DuckDB mirrors the list pipeline exactly.
+    Fingerprints are 8-hex-char md5 prefixes (strings): lexicographic min
+    over fixed-width lowercase hex agrees across engines. Returns one row
+    per (id, fp) — distinct fingerprints per document.
+    """
+    from duckdb_nats_jetstream_spark.session import spread
+
+    # materialize the normalized text FIRST: a transform lambda referencing
+    # a complex outer expression re-evaluates it per element (PERF.md)
+    norm = spread(df).select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__t") - F.lit(k - 1), F.lit(0))),
+        lambda i: F.substring(F.md5(F.substr(F.col("__t"), i, F.lit(k))), 1, 8),
+    )
+    g = norm.select(id_col, grams.alias("__g"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__g") - F.lit(w - 1), F.lit(1))
+            ),
+            lambda i: F.array_min(F.slice(F.col("__g"), i, w)),
+        )
+    )
+    return (
+        g.filter(F.size("__g") > 0)
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def sql_winnow_fingerprints(k: int = 8, w: int = 4, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints` (1-based substr/slice
+    semantics line up; ``range`` upper bound is exclusive)."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lower(text) AS t FROM {table}
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {k - 1}, 0) + 1),
+                        i -> substr(md5(substr(t, CAST(i AS INT), {k})), 1, 8)) AS g
+  FROM norm
+), fps AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(g) - {w - 1}, 1) + 1),
+                          i -> list_min(g[CAST(i AS INT):CAST(i + {w - 1} AS INT)]))
+         ) AS f
+  FROM grams WHERE len(g) > 0
+)
+SELECT doc_id, unnest(f) AS fp FROM fps WHERE f IS NOT NULL
+"""
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints —
+    MOSS's match step as a relational plan: self-join the (id, fp) relation
+    on fp, count shared fingerprints per pair, keep pairs sharing at least
+    ``min_shared``. The only corpus-sized shuffle is on the fingerprint key
+    (like the LSH band join); a hot fingerprint (boilerplate) can be
+    pre-filtered by dropping fps above a document-frequency cap.
+    Returns (id_a, id_b, n_shared).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

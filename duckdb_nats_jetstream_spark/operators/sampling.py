@@ -46,6 +46,70 @@ def sample_hash(id_col: Column, salt: str) -> Column:
     return F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")))
 
 
+def weighted_mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum RATE sampling — the domain-mixing step of a
+    training-data pipeline (keep 100% of wiki, 25% of forums, 5% of crawl…).
+
+    Row-local: keep a row iff the first ``_PFX`` hex chars of its salted id
+    hash fall below ``floor(rate × 16^_PFX)`` for its stratum, expressed as
+    a WHEN-chain over the (small, fixed) rate table — NO join, NO shuffle,
+    NO RNG; the filter rides the scan and survives any partitioning. The
+    same hex-threshold compare mirrors to SQL verbatim, so DuckDB agrees
+    row-for-row (not just in expectation).
+    """
+    h8 = F.substring(sample_hash(F.col(id_col), salt), 1, _PFX)
+
+    def thr_hex(rate: float) -> str | None:
+        if rate >= 1.0:
+            return None  # keep everything — no threshold compare needed
+        t = max(int(rate * _PFX_SPACE), 0)
+        return format(t, f"0{_PFX}x")
+
+    cond = None
+    for g, rate in sorted(rates.items()):
+        t = thr_hex(rate)
+        branch = F.lit(True) if t is None else (h8 < F.lit(t))
+        this = (F.col(group_col) == g) & branch
+        cond = this if cond is None else cond | this
+    t_def = thr_hex(default_rate)
+    default_branch = F.lit(True) if t_def is None else (h8 < F.lit(t_def))
+    others = ~F.col(group_col).isin(*rates.keys()) & default_branch
+    cond = others if cond is None else cond | others
+    return df.filter(cond)
+
+
+def sql_weighted_mixture(
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB mirror of :func:`weighted_mixture_sample`'s filter predicate."""
+    h8 = f"substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, {_PFX})"
+    parts = []
+    for g, rate in sorted(rates.items()):
+        if rate >= 1.0:
+            parts.append(f"({group_col} = '{g}')")
+        else:
+            t = format(max(int(rate * _PFX_SPACE), 0), f"0{_PFX}x")
+            parts.append(f"({group_col} = '{g}' AND {h8} < '{t}')")
+    in_list = ", ".join(f"'{g}'" for g in sorted(rates))
+    if default_rate >= 1.0:
+        parts.append(f"({group_col} NOT IN ({in_list}))")
+    else:
+        t = format(max(int(default_rate * _PFX_SPACE), 0), f"0{_PFX}x")
+        parts.append(f"({group_col} NOT IN ({in_list}) AND {h8} < '{t}')")
+    return " OR ".join(parts)
+
+
 def stratified_hash_topn(
     df: DataFrame,
     group_col: str,

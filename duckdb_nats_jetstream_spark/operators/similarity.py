@@ -190,9 +190,10 @@ def ivf_topk(
     The scale shape: centroid training is O(sample); the corpus is touched
     by exactly one distributed map (assignment) plus the probed fraction
     (n_probe/n_clusters) of the candidate join — no ML-pipeline iteration
-    jobs over the full data. Not oracle-expressible (k-means), so the
-    registry records it rows-only; tests verify recall against
-    :func:`cosine_topk`."""
+    jobs over the full data, and probe selection runs vectorized where the
+    query rows live (an arbitrarily large query side never reaches the
+    driver). Not oracle-expressible (k-means), so the registry records it
+    rows-only; tests verify recall against :func:`cosine_topk`."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -215,29 +216,29 @@ def ivf_topk(
         a = _d2(xs, carr).argmin(axis=1)
         return pd.Series(a.astype("int32"))
 
+    @pandas_udf("array<int>")
+    def probe_clusters(vs: pd.Series) -> pd.Series:
+        # n_probe nearest centroids per query vector, computed where the
+        # query rows live — the query side can itself be 100 TB-scale (batch
+        # ANN lookup for a whole corpus) and never touches the driver.
+        # Stable argsort = deterministic tie-break on centroid index.
+        carr = np.asarray(c_list)
+        xs = np.stack(vs.to_numpy())
+        idx = np.argsort(_d2(xs, carr), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
     base = _prep(df, vec_col, id_col, dim).withColumn(
         "cluster", nearest_centroid(F.col("v").cast("array<double>"))
     )
-    queries = base.filter(F.col(id_col) < query_max_id)
-
-    # driver-side: the n_probe nearest centroids per query vector. The
-    # id-sorted sample always contains the (id < query_max_id) query rows —
-    # no second collect job over the corpus.
-    qrows = [r for r in sample if r[0] < query_max_id]
-    probe_pairs = []
-    for r in qrows:
-        qv = np.asarray(r.v, dtype=float)
-        d2 = ((C - qv) ** 2).sum(axis=1)
-        for c in np.argsort(d2)[:n_probe]:
-            probe_pairs.append((r[0], int(c)))
-    probes = df.sparkSession.createDataFrame(
-        probe_pairs, schema=f"{id_col} long, probe_cluster int"
+    queries = base.filter(F.col(id_col) < query_max_id).withColumn(
+        "probe_cluster",
+        F.explode(probe_clusters(F.col("v").cast("array<double>"))),
     )
 
     # (query, candidate) pairs are unique by construction — a candidate
     # lives in exactly one cluster and a query's probe clusters are distinct
     cand = (
-        F.broadcast(queries.join(probes, id_col))
+        F.broadcast(queries)
         .alias("q")
         .join(
             base.alias("c"),

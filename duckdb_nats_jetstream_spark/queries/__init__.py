@@ -23,6 +23,15 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #: Priority now: (a) the entire previously-unchecked surface (pipeline,
 #: pipeline2, relational2 modules come first below), (b) relational queries
 #: that missed the r01 cut, (c) the queries that FAILED in r01 and are fixed.
+#: The queries that FAILED in r01 and are fixed — these MUST land inside the
+#: driver's checked prefix to prove the fixes, so they go absolutely first.
+_FIXED_R01 = [
+    "scan_interval_join",  # r01 err (TIMESTAMP_NTZ) — fixed
+    "scan_sessionization",  # r01 err (TIMESTAMP_NTZ) — fixed
+    "nats_source_scan",  # r01 err (datetime decode) — fixed
+    "rel_udaf_cents",  # r01 hash mismatch (DuckDB HUGEINT) — fixed
+]
+#: relational queries that missed the r01 ~50-entry cut
 _PRIORITY_RELATIONAL = [
     "rel_top_parts",
     "rel_distinct_segments",
@@ -31,13 +40,16 @@ _PRIORITY_RELATIONAL = [
     "rel_balance_ratio",
     "rel_trailing_spend",
     "rel_parts_like",
-    "rel_udaf_cents",  # r01 hash mismatch — fixed, needs a fresh row
 ]
-_PRIORITY_STREAM = [
-    "scan_interval_join",  # r01 err (TIMESTAMP_NTZ) — fixed
-    "scan_sessionization",  # r01 err (TIMESTAMP_NTZ) — fixed
-    "nats_source_scan",  # r01 err (datetime decode) — fixed
-    "scan_typed_extract",  # new in r02 — JVM struct fast path
+#: queries NEW in r02 (never had a driver row; all have local oracle-parity
+#: proof) — after the r01-unchecked backlog, before the r01-green remainder
+_NEW_R02 = [
+    "scan_typed_extract",
+    "multimodal_resize",
+    "docs_winnow_fingerprints",
+    "dedup_winnow",
+    "docs_weighted_mix",
+    "rel_grouping_sets",
 ]
 
 
@@ -56,13 +68,16 @@ def full_registry() -> Registry:
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = entry
 
+    deferred = set(_NEW_R02)
     out: Registry = {}
+    for name in _FIXED_R01:
+        out[name] = merged[name]
     for mod in (pipeline, pipeline2, relational2):
         for name in mod.QUERIES:
-            out[name] = merged[name]
-    for name in _PRIORITY_RELATIONAL + _PRIORITY_STREAM:
-        if name in merged:
-            out[name] = merged[name]
+            if name not in deferred:
+                out[name] = merged[name]
+    for name in _PRIORITY_RELATIONAL + _NEW_R02:
+        out[name] = merged[name]
     for name, entry in merged.items():
         out.setdefault(name, entry)
     return out

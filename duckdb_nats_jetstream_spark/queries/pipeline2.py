@@ -112,8 +112,84 @@ ORDER BY lang, cnt DESC, bigram
 """
 
 
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS rolling-hash selection,
+    :func:`operators.dedup.winnow_fingerprints`): the full (doc_id, fp)
+    relation — every selected fingerprint of every document, so the oracle
+    hash checks the k-gram hashing, window minima, and dedup bit-for-bit."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    return D.winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-sharing near-dup pairs (MOSS match step): self-join the
+    winnowing fingerprints on fp, count shared prints per pair, keep pairs
+    sharing ≥ 30. One fingerprint-keyed shuffle — same scale shape as the
+    LSH band join."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    return D.winnow_pairs(
+        read_table(spark, sf_dir, "documents"), min_shared=30
+    )
+
+
+def _winnow_sqls():
+    from duckdb_nats_jetstream_spark.operators.dedup import (
+        sql_winnow_fingerprints,
+    )
+
+    fp_sql = sql_winnow_fingerprints()
+    pairs_sql = f"""
+WITH fps AS ({fp_sql})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 30
+"""
+    return fp_sql, pairs_sql
+
+
+_FP_SQL, _PAIRS_SQL = _winnow_sqls()
+
+
+#: target mixture for the domain-mixing sample query — keep all of src0,
+#: down-weight the named sources, 15% of everything else
+_MIX_RATES = {"src0": 1.0, "src1": 0.6, "src2": 0.35}
+_MIX_DEFAULT = 0.15
+
+
+def docs_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing sample (:func:`operators.sampling.
+    weighted_mixture_sample`): per-source keep rates applied as a row-local
+    salted-hash threshold — no shuffle, no RNG, identical row selection in
+    both engines."""
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return weighted_mixture_sample(docs, _MIX_RATES, default_rate=_MIX_DEFAULT)
+
+
+def _mix_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        sql_weighted_mixture,
+    )
+
+    pred = sql_weighted_mixture(_MIX_RATES, default_rate=_MIX_DEFAULT)
+    return (
+        "SELECT doc_id, source, lang, n_chars FROM documents WHERE " + pred
+    )
+
+
 QUERIES = {
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
     "scan_latest_per_key": (latest_event_per_user, LATEST_EVENT_SQL),
     "text_bigram_topk": (bigram_topk, BIGRAM_TOPK_SQL),
+    "docs_winnow_fingerprints": (docs_winnow_fingerprints, _FP_SQL),
+    "dedup_winnow": (dedup_winnow, _PAIRS_SQL),
+    "docs_weighted_mix": (docs_weighted_mix, _mix_sql()),
 }

@@ -422,7 +422,38 @@ ORDER BY g_seg, g_nat, c_mktsegment, n_name
 """
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric subtotal combinations CUBE
+    can't express without waste: (status, priority), (status), () but NOT
+    (priority). Single Expand + one hash aggregate, one scan. SQL API
+    (``GROUP BY GROUPING SETS`` has no DataFrame equivalent)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM gs_orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
+    "rel_grouping_sets": (grouping_sets_orders, GROUPING_SETS_SQL),
     "rel_cube_segment_nation": (cube_segment_nation, CUBE_SQL),
     "rel_promo_revenue": (promo_revenue, PROMO_REVENUE_SQL),
     "rel_volume_shipping": (volume_shipping, VOLUME_SHIPPING_SQL),

@@ -135,6 +135,73 @@ def test_embedding_near_dup_block_invariance(spark, sf_dir):
     assert one == many and len(one) > 0
 
 
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing's correctness property: documents sharing a substring of
+    length >= k + w - 1 MUST share at least one fingerprint (k=8, w=4 →
+    any common 11-char run is always detected)."""
+    common = "zqxjkvbwpfmygh"  # 14 chars, > k+w-1, unlikely n-gram noise
+    rows = [
+        Row(doc_id=1, text="aaaa" + common + "bbbb"),
+        Row(doc_id=2, text="cccccccc" + common + "dddd"),
+        Row(doc_id=3, text="totally unrelated content with no overlap at all!"),
+    ]
+    df = spark.createDataFrame(rows)
+    fps = D.winnow_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_pairs_rank_planted_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " and more trailing words"),
+        Row(doc_id=3, text="completely different text about query engines"),
+    ]
+    out = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in D.winnow_pairs(spark.createDataFrame(rows), min_shared=2).collect()
+    }
+    assert (1, 2) in out
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_winnow_selectivity(spark, sf_dir):
+    """~2/(w+1) of k-grams survive winnowing: the fingerprint relation must
+    be materially smaller than the raw k-gram count (density bound)."""
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    n_chars = docs.agg(F.sum(F.length(F.lower("text")))).collect()[0][0]
+    n_fp = D.winnow_fingerprints(docs, k=8, w=4).count()
+    assert n_fp < 0.55 * n_chars  # 2/(4+1)=0.4 expected + dedupe slack
+
+
+# --- weighted mixture sampling ------------------------------------------------
+
+
+def test_weighted_mixture_rates_and_determinism(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = weighted_mixture_sample(docs, rates, default_rate=0.2)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == total["src0"]          # rate 1.0 keeps all
+    assert "src2" not in counts                      # rate 0.0 keeps none
+    assert 0 < counts.get("src1", 0) < total["src1"]
+    # deterministic: same selection on a rerun
+    again = {r.doc_id for r in weighted_mixture_sample(docs, rates, default_rate=0.2).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+
 # --- decontamination ----------------------------------------------------------
 
 
