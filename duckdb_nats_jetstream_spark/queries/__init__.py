@@ -50,6 +50,8 @@ _NEW_R02 = [
     "dedup_winnow",
     "docs_weighted_mix",
     "rel_grouping_sets",
+    "text_pii_redact",
+    "dedup_prune",
 ]
 
 

@@ -185,6 +185,117 @@ def _mix_sql() -> str:
     )
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (:mod:`functions.redact`): the corpus is salted with
+    deterministic synthetic emails/phones/IPs (built from doc_id by the SAME
+    expression in both engines — the driver's documents contain no organic
+    PII to exercise the patterns), then counted and redacted. The md5 of the
+    redacted text makes any cross-engine divergence in match boundaries or
+    replacement order a hash failure."""
+    from duckdb_nats_jetstream_spark.functions.redact import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1"),
+            F.lpad((F.col("doc_id") % 9999991).cast("string"), 7, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    return salted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ip"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from duckdb_nats_jetstream_spark.functions.redact import (
+        sql_pii_counts,
+        sql_redact_pii,
+    )
+
+    t = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or +1' || "
+        "lpad(CAST(doc_id % 9999991 AS VARCHAR), 7, '0') || "
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    )
+    c = sql_pii_counts(t)
+    return f"""
+SELECT doc_id,
+       {c['email']} AS n_email,
+       {c['phone']} AS n_phone,
+       {c['ipv4']} AS n_ip,
+       md5({sql_redact_pii(t)}) AS redacted_md5
+FROM documents
+"""
+
+
+def dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup removal — the keep/drop decision a training
+    pipeline actually ships: MinHash-LSH pairs → connected components →
+    drop every non-canonical member → surviving corpus. Composes three
+    operators (dedup, components, anti-join); the oracle replays the whole
+    chain (pair SQL + recursive-CTE closure + anti join)."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+    from duckdb_nats_jetstream_spark.operators.components import (
+        connected_components,
+    )
+    from duckdb_nats_jetstream_spark.queries.pipeline import _minhash_lsh_sql  # noqa: F401
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, k=8, band_size=2, threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b", edges_unique=True)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_kept_id"))
+    )
+
+
+def _dedup_prune_sql() -> str:
+    from duckdb_nats_jetstream_spark.queries.pipeline import _minhash_lsh_sql
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql()}) mp
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_kept_id
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
     "scan_latest_per_key": (latest_event_per_user, LATEST_EVENT_SQL),
@@ -192,4 +303,6 @@ QUERIES = {
     "docs_winnow_fingerprints": (docs_winnow_fingerprints, _FP_SQL),
     "dedup_winnow": (dedup_winnow, _PAIRS_SQL),
     "docs_weighted_mix": (docs_weighted_mix, _mix_sql()),
+    "text_pii_redact": (text_pii_redact, _pii_sql()),
+    "dedup_prune": (dedup_prune, _dedup_prune_sql()),
 }

@@ -202,6 +202,40 @@ def test_weighted_mixture_rates_and_determinism(spark, sf_dir):
     assert again == {r.doc_id for r in out.collect()}
 
 
+# --- PII redaction ------------------------------------------------------------
+
+
+def test_pii_redact_patterns(spark):
+    from duckdb_nats_jetstream_spark.functions.redact import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        Row(i=1, t="mail a.b+c@sub.example.org and 192.168.0.1 or +4915112345678"),
+        Row(i=2, t="no pii here, just 1.5 numbers and version 2.0"),
+        Row(i=3, t="two mails x@y.io z@w.co and ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows)
+    c = pii_counts(F.col("t"))
+    out = {
+        r.i: r
+        for r in df.select(
+            "i",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("ip"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p, out[1].ip) == (1, 1, 1)
+    assert out[1].red == "mail <EMAIL> and <IP> or <PHONE>"
+    assert (out[2].e, out[2].p, out[2].ip) == (0, 0, 0)
+    assert out[2].red == rows[1].t  # untouched
+    assert (out[3].e, out[3].ip) == (2, 1)
+    assert "<EMAIL>" in out[3].red and "<IP>" in out[3].red
+
+
 # --- decontamination ----------------------------------------------------------
 
 
