@@ -306,10 +306,13 @@ def winnow_pairs(
     pre-filtered by dropping fps above a document-frequency cap.
     Returns (id_a, id_b, n_shared).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # persist: both join sides read the same fingerprint relation — without
+    # this the whole k-gram/window pipeline runs twice (same pattern as
+    # minhash_lsh_pairs; on a cluster swap localCheckpoint for checkpoint)
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist()
     a = fps.alias("a")
     b = fps.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -322,6 +325,9 @@ def winnow_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    out = out.localCheckpoint(eager=True)
+    fps.unpersist(blocking=False)
+    return out
 
 
 def embedding_near_dup_pairs(

@@ -50,6 +50,7 @@ _NEW_R02 = [
     "dedup_winnow",
     "docs_weighted_mix",
     "rel_grouping_sets",
+    "scan_scd2_intervals",
     "text_pii_redact",
     "dedup_prune",
 ]

@@ -185,6 +185,38 @@ def _mix_sql() -> str:
     )
 
 
+def scan_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC history build (SCD-type-2): each user's event stream becomes
+    validity intervals — state valid from its own timestamp until the next
+    change (NULL = still current). One hash-partitioned LEAD window per
+    user, no global sort; the exact complement of ``scan_latest_per_key``'s
+    compaction (that query keeps the last row; this one keeps the history
+    with interval bounds, the lakehouse dimension-table pattern)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).cast("int").alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS INTEGER) AS is_current
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+"""
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (:mod:`functions.redact`): the corpus is salted with
     deterministic synthetic emails/phones/IPs (built from doc_id by the SAME
@@ -303,6 +335,7 @@ QUERIES = {
     "docs_winnow_fingerprints": (docs_winnow_fingerprints, _FP_SQL),
     "dedup_winnow": (dedup_winnow, _PAIRS_SQL),
     "docs_weighted_mix": (docs_weighted_mix, _mix_sql()),
+    "scan_scd2_intervals": (scan_scd2_intervals, SCD2_SQL),
     "text_pii_redact": (text_pii_redact, _pii_sql()),
     "dedup_prune": (dedup_prune, _dedup_prune_sql()),
 }

@@ -54,6 +54,37 @@ def test_codegen_on_hot_paths(spark, sf_dir):
     assert_wholestage_codegen(lambda: scan_json_cast_agg(spark, sf_dir), spark)
 
 
+def test_winnow_and_mixture_are_pure_jvm(spark, sf_dir):
+    """Winnowing fingerprints and weighted mixture sampling are advertised
+    as zero-Python column pipelines — pin that in the physical plan."""
+    from duckdb_nats_jetstream_spark.operators.dedup import winnow_fingerprints
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for df in (
+        winnow_fingerprints(docs),
+        weighted_mixture_sample(docs, {"src0": 1.0, "src1": 0.5}, default_rate=0.1),
+    ):
+        plan = physical_plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+
+def test_mixture_sample_no_shuffle(spark, sf_dir):
+    """The mixture filter must ride the scan: no Exchange in the plan."""
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = weighted_mixture_sample(docs, {"src0": 0.5}, default_rate=0.1)
+    assert "Exchange" not in physical_plan(out)
+
+
 def test_typed_extract_scan_is_pure_jvm(spark, sf_dir):
     """The default typed-payload scan plan must keep every row JVM-side:
     no Python UDF eval, no mapInPandas stage, and whole-stage codegen on
