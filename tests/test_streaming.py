@@ -55,6 +55,30 @@ def test_streaming_json_extract_and_subject_filter(spark, log_dir, tmp_path):
     assert all(r.k is None or r.k.isdigit() for r in got)
 
 
+def test_streaming_typed_extract_matches_batch(spark, sf_dir, log_dir, tmp_path):
+    """The JVM typed-extraction path composes unchanged on the stream:
+    from_json struct + projection over readStream equals the batch plan."""
+    from pyspark.sql import types as T
+
+    from duckdb_nats_jetstream_spark.functions.typed_extract import (
+        parse_json_payload,
+        typed_extract,
+    )
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    stream = typed_extract(
+        parse_json_payload(message_stream(spark, log_dir), schema), ["k"]
+    ).select("seq", "k")
+    got = run_to_completion(stream, str(tmp_path / "ckpt_te")).collect()
+    want = typed_extract(
+        parse_json_payload(
+            message_scan(spark, sf_dir, payload_binary=False), schema
+        ),
+        ["k"],
+    ).select("seq", "k").collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+
+
 def test_checkpoint_resume_no_duplicates(spark, sf_dir, log_dir, tmp_path):
     """Durable-consumer semantics: a second run over the same checkpoint
     re-reads nothing (ref roadmap: checkpoint management, GUIDE.md:461-465)."""
