@@ -45,6 +45,8 @@ _PRIORITY_RELATIONAL = [
 #: proof) — after the r01-unchecked backlog, before the r01-green remainder
 _NEW_R02 = [
     "scan_typed_extract",
+    "scan_time_range_compat",
+    "scan_subject_wildcard",
     "multimodal_resize",
     "docs_winnow_fingerprints",
     "dedup_winnow",

@@ -44,6 +44,36 @@ def scan_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_time_range_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp range with the reference's end_time WART faithfully
+    replicated (``end_time_compat=True``): the first message at-or-after
+    the end bound is INCLUDED (ref:src/nats_scan.cpp:684-698). The oracle
+    expresses the same resolve-then-inclusive-seq rule, so the extra row
+    is value-checked, not just counted."""
+    df = message_scan(
+        spark, sf_dir,
+        start_time="2024-01-05 00:00:00",
+        end_time="2024-01-12 00:00:00",
+        end_time_compat=True,
+    )
+    return df.agg(
+        F.count("*").alias("n_msgs"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+    )
+
+
+def scan_subject_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATS wildcard subject matching — the GUIDE's subject syntax the
+    reference leaves as substring-only: ``events.*.u1`` = exactly one
+    token between, ``events.>`` = any tail. Translated at bind time to an
+    anchored regex with Java/RE2-identical semantics."""
+    df = message_scan(spark, sf_dir, subject_pattern="events.*.u1")
+    return df.groupBy("subject").agg(
+        F.count("*").alias("n_msgs"), F.max("seq").alias("max_seq")
+    )
+
+
 def scan_subject_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subject substring filter + per-subject counts
     (test_subject_filtering.sql:209-218 pattern)."""
@@ -664,6 +694,22 @@ QUERIES = {
         "FROM scan WHERE ts_nats >= TIMESTAMP '2024-01-03 00:00:00' "
         "AND ts_nats <= TIMESTAMP '2024-01-25 00:00:00' "
         "GROUP BY subject ORDER BY subject",
+    ),
+    "scan_time_range_compat": (
+        scan_time_range_compat,
+        _SCAN_CTE
+        + "SELECT count(*) AS n_msgs, min(seq) AS min_seq, max(seq) AS max_seq "
+        "FROM scan WHERE ts_nats >= TIMESTAMP '2024-01-05 00:00:00' "
+        "AND seq <= coalesce((SELECT min(seq) FROM scan "
+        "WHERE ts_nats >= TIMESTAMP '2024-01-12 00:00:00'), "
+        "(SELECT max(seq) FROM scan))",
+    ),
+    "scan_subject_wildcard": (
+        scan_subject_wildcard,
+        _SCAN_CTE
+        + "SELECT subject, count(*) AS n_msgs, max(seq) AS max_seq FROM scan "
+        "WHERE regexp_matches(subject, '^events\\.[^.]+\\.u1$') "
+        "GROUP BY subject",
     ),
     "scan_typed_extract": (
         scan_typed_extract,

@@ -69,16 +69,49 @@ def _micros(t: _dt.datetime) -> int:
     return (t - _EPOCH) // _dt.timedelta(microseconds=1)
 
 
+def nats_wildcard_regex(pattern: str) -> str:
+    """Translate a NATS subject wildcard pattern to an anchored regex:
+    tokens are dot-separated; ``*`` matches exactly one token; ``>`` (last
+    token only) matches one or more trailing tokens. Bind-time validation
+    of malformed patterns mirrors the reference's error discipline. The
+    emitted regex uses only syntax with identical Java-regex/RE2 semantics,
+    so the DuckDB oracle can run the same pattern."""
+    import re as _re
+
+    require(bool(pattern), "empty subject pattern")
+    tokens = pattern.split(".")
+    parts: list[str] = []
+    for i, tok in enumerate(tokens):
+        require(bool(tok), f"empty token in subject pattern '{pattern}'")
+        if tok == ">":
+            require(
+                i == len(tokens) - 1,
+                f"'>' must be the last token in subject pattern '{pattern}'",
+            )
+            parts.append("[^.]+(\\.[^.]+)*")
+        elif tok == "*":
+            parts.append("[^.]+")
+        else:
+            require(
+                "*" not in tok and ">" not in tok,
+                f"wildcard must be a whole token in subject pattern '{pattern}'",
+            )
+            parts.append(_re.escape(tok))
+    return "^" + "\\.".join(parts) + "$"
+
+
 def message_scan(
     spark: SparkSession,
     sf_dir: str,
     stream: str = "events",
     *,
     subject: str | None = None,
+    subject_pattern: str | None = None,
     start_seq: int | None = None,
     end_seq: int | None = None,
     start_time=None,
     end_time=None,
+    end_time_compat: bool = False,
     json_fields: list[str] | None = None,
     payload_binary: bool | None = None,
 ) -> DataFrame:
@@ -86,8 +119,21 @@ def message_scan(
     optional JSON-extraction columns.
 
     Bind-time validation mirrors ref:src/nats_scan.cpp:207-285.
+
+    ``subject`` is the reference's substring filter; ``subject_pattern``
+    adds real NATS wildcard matching (``*`` one token, ``>`` tail — the
+    GUIDE's syntax the reference doesn't implement).
+
+    ``end_time_compat=True`` replicates the reference's end_time WART
+    byte-for-byte: end_time resolves (binary search,
+    ref:src/nats_scan.cpp:546-595,684-698) to the sequence of the FIRST
+    message with ts >= end_time and that bound is INCLUSIVE — so one
+    message at-or-after the cut makes it into the result. Default stays
+    the clean predicate ``ts_nats <= end_time``.
     """
     require(bool(stream), "nats_scan requires a stream name")
+    if subject_pattern is not None:
+        nats_wildcard_regex(subject_pattern)  # bind-time validation
     has_seq = start_seq is not None or end_seq is not None
     has_time = start_time is not None or end_time is not None
     require(
@@ -136,7 +182,27 @@ def message_scan(
         ev = ev.filter(F.col("ts") >= bound)
     if end_time is not None:
         t1 = _as_timestamp(end_time)
-        if ts_raw_ns:
+        if end_time_compat:
+            # Reference wart: resolve end_time to the FIRST message with
+            # ts >= end_time over the whole stream; that sequence is an
+            # INCLUSIVE end bound (ref:src/nats_scan.cpp:684-698 — the
+            # binary search finds at-or-after, and the cursor runs through
+            # it). One extra tiny aggregate over the pushed-down ts filter,
+            # broadcast as a 1-row bound — the distributed stand-in for the
+            # reference's driver-side resolution.
+            raw = spark.read.parquet(table_path(sf_dir, "events"))
+            at_or_after = (
+                F.col("ts") >= F.lit(_micros(t1) * 1000)
+                if ts_raw_ns
+                else F.col("ts") >= _ts_literal(t1)
+            )
+            bound = raw.filter(at_or_after).agg(F.min("event_id").alias("__b"))
+            ev = (
+                ev.crossJoin(F.broadcast(bound))
+                .filter(F.col("__b").isNull() | (F.col("event_id") <= F.col("__b")))
+                .drop("__b")
+            )
+        elif ts_raw_ns:
             ev = ev.filter(F.col("ts") < F.lit((_micros(t1) + 1) * 1000))
         else:
             ev = ev.filter(F.col("ts") <= _ts_literal(t1))
@@ -165,6 +231,8 @@ def message_scan(
         # substring containment, evaluated post-scan exactly like the
         # reference's post-fetch filter (ref:src/nats_scan.cpp:741-746).
         df = df.filter(F.col("subject").contains(subject))
+    if subject_pattern is not None:
+        df = df.filter(F.col("subject").rlike(nats_wildcard_regex(subject_pattern)))
 
     if json_fields:
         df = json_extract(df, json_fields, payload_col="payload")

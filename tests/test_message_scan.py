@@ -46,6 +46,47 @@ def test_seq_starts_at_one(spark, sf_dir):
     assert row.m == 1
 
 
+def test_end_time_wart_compat_includes_one_past(spark, sf_dir):
+    """end_time_compat replicates the reference's wart: the FIRST message
+    at-or-after the end bound is included (ref:src/nats_scan.cpp:684-698),
+    so compat mode returns exactly the clean rows plus that one message
+    (when the bound falls between messages)."""
+    kw = dict(start_time=dt.datetime(2024, 1, 5), end_time=dt.datetime(2024, 1, 12))
+    clean = {r.seq for r in message_scan(spark, sf_dir, **kw).select("seq").collect()}
+    compat = {
+        r.seq
+        for r in message_scan(spark, sf_dir, end_time_compat=True, **kw)
+        .select("seq")
+        .collect()
+    }
+    extra = compat - clean
+    assert clean < compat and len(extra) == 1
+    # the extra message is the first one at-or-after the bound
+    all_after = message_scan(spark, sf_dir, start_time=dt.datetime(2024, 1, 12))
+    first_after = all_after.agg(F.min("seq").alias("m")).collect()[0].m
+    assert extra == {first_after}
+
+
+def test_subject_wildcard_semantics(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.sources.message_scan import (
+        nats_wildcard_regex,
+    )
+
+    # '*' = exactly one token; '>' = one-or-more tail tokens
+    star = message_scan(spark, sf_dir, subject_pattern="events.*.u1")
+    subs = {r.subject for r in star.select("subject").distinct().collect()}
+    assert subs and all(
+        s.startswith("events.") and s.endswith(".u1") and s.count(".") == 2
+        for s in subs
+    )
+    tail = message_scan(spark, sf_dir, subject_pattern="events.>")
+    assert tail.count() == message_scan(spark, sf_dir).count()
+    # bind-time validation
+    for bad in ["events.>.more", "ev*nts.a", "", "a..b"]:
+        with pytest.raises(BindError):
+            nats_wildcard_regex(bad)
+
+
 def test_time_range_clean_end_semantics(spark, sf_dir):
     t0 = dt.datetime(2024, 1, 5)
     t1 = dt.datetime(2024, 1, 10)
