@@ -172,6 +172,19 @@ def test_winnow_pairs_rank_planted_duplicate(spark):
     assert (1, 3) not in out and (2, 3) not in out
 
 
+def test_winnow_matches_pure_python_reference(spark, sf_dir):
+    """The Spark column pipeline must agree fingerprint-for-fingerprint
+    with an independent pure-Python winnowing implementation."""
+    from tests.test_properties import _winnow_ref
+
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    got = {}
+    for r in D.winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for row in docs.select("doc_id", "text").collect():
+        assert got.get(row.doc_id, set()) == _winnow_ref(row.text), row.doc_id
+
+
 def test_winnow_selectivity(spark, sf_dir):
     """~2/(w+1) of k-grams survive winnowing: the fingerprint relation must
     be materially smaller than the raw k-gram count (density bound)."""

@@ -54,6 +54,21 @@ def test_codegen_on_hot_paths(spark, sf_dir):
     assert_wholestage_codegen(lambda: scan_json_cast_agg(spark, sf_dir), spark)
 
 
+def test_registry_wide_no_cartesian_sweep(spark, sf_dir):
+    """EVERY registry query's physical plan is cartesian-free — a blanket
+    regression net over the whole capability surface (a lost join condition
+    or broadcast hint anywhere becomes a test failure, not a 100 TB
+    incident). Plans build at sf0.001 so the sweep stays cheap."""
+    from duckdb_nats_jetstream_spark.queries import full_registry
+
+    offenders = []
+    for name, (fn, _sql) in full_registry().items():
+        plan = physical_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
 def test_winnow_and_mixture_are_pure_jvm(spark, sf_dir):
     """Winnowing fingerprints and weighted mixture sampling are advertised
     as zero-Python column pipelines — pin that in the physical plan."""

@@ -80,3 +80,83 @@ def test_proto_decode_prefix_stability(data):
         return
     assert isinstance(out.get("int32_field", 0), int)
     assert isinstance(out.get("str_field", ""), str)
+
+
+# --- stdlib image codec -------------------------------------------------------
+
+import numpy as np
+
+from duckdb_nats_jetstream_spark.functions.imagecodec import (
+    png_decode,
+    png_encode,
+    probe,
+    resize_nearest,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_arbitrary_images(h, w, ch, seed):
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    data = png_encode(arr)
+    assert probe(data) == ("png", w, h)
+    assert np.array_equal(png_decode(data), arr)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=256))
+def test_probe_never_crashes(data):
+    fmt, w, h = probe(data)
+    assert fmt is None or isinstance(fmt, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(1, 16), st.integers(1, 16))
+def test_resize_nearest_shape_and_value_domain(h, w, nh, nw):
+    arr = (np.arange(h * w * 3) % 251).astype(np.uint8).reshape(h, w, 3)
+    out = resize_nearest(arr, nw, nh)
+    assert out.shape == (nh, nw, 3)
+    # every output pixel is an input pixel (nearest-neighbor invariant)
+    flat_in = {tuple(p) for p in arr.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
+
+
+# --- winnowing reference implementation --------------------------------------
+
+import hashlib as _hl
+
+
+def _winnow_ref(text: str, k: int = 8, w: int = 4) -> set[str]:
+    """Independent pure-Python winnowing: k-gram md5-prefix hashes, w-window
+    minima, dedupe — the spec the Spark column pipeline must match."""
+    t = text.lower()
+    grams = [
+        _hl.md5(t[i : i + k].encode("utf-8")).hexdigest()[:8]
+        for i in range(len(t) - k + 1)
+    ]
+    if not grams:
+        return set()
+    n_win = max(len(grams) - w + 1, 1)
+    return {min(grams[i : i + w]) for i in range(n_win)}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=60))
+def test_winnow_reference_guarantee(text):
+    # any doc sharing an identical >= k+w-1 run with itself trivially shares
+    # fingerprints; here: selection is a subset of gram hashes and nonempty
+    # whenever a gram exists
+    fps = _winnow_ref(text)
+    t = text.lower()
+    grams = {
+        _hl.md5(t[i : i + 8].encode("utf-8")).hexdigest()[:8]
+        for i in range(len(t) - 7)
+    }
+    assert fps <= grams
+    assert bool(fps) == bool(grams)
