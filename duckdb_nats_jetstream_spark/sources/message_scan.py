@@ -69,6 +69,23 @@ def _micros(t: _dt.datetime) -> int:
     return (t - _EPOCH) // _dt.timedelta(microseconds=1)
 
 
+def register_scan_view(
+    spark: SparkSession,
+    sf_dir: str,
+    view_name: str = "nats_scan",
+    stream: str = "events",
+    **scan_kwargs,
+) -> None:
+    """SQL-first UX parity with the reference: where its users write
+    ``SELECT ... FROM nats_scan('events', start_seq := 100)``, Spark users
+    register the parameterized scan once as a temp view and query it with
+    plain SQL — same bind-time validation, same pushdown (the view is the
+    lazy DataFrame plan, so Catalyst still sees filters through it)."""
+    message_scan(spark, sf_dir, stream, **scan_kwargs).createOrReplaceTempView(
+        view_name
+    )
+
+
 def nats_wildcard_regex(pattern: str) -> str:
     """Translate a NATS subject wildcard pattern to an anchored regex:
     tokens are dot-separated; ``*`` matches exactly one token; ``>`` (last

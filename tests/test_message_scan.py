@@ -87,6 +87,23 @@ def test_subject_wildcard_semantics(spark, sf_dir):
             nats_wildcard_regex(bad)
 
 
+def test_register_scan_view_sql_ux(spark, sf_dir):
+    """SQL entry point: the registered view answers the reference's own
+    GUIDE query shapes with plain SQL, and pushdown still applies (the
+    view body is the lazy plan, not a materialization)."""
+    from duckdb_nats_jetstream_spark.sources.message_scan import (
+        register_scan_view,
+    )
+
+    register_scan_view(spark, sf_dir, "nats_scan_t", start_seq=10, end_seq=200)
+    rows = spark.sql(
+        "SELECT count(*) AS n, min(seq) AS lo, max(seq) AS hi FROM nats_scan_t"
+    ).collect()[0]
+    assert (rows.n, rows.lo, rows.hi) == (191, 10, 200)
+    plan = spark.sql("SELECT seq FROM nats_scan_t WHERE seq > 150")._jdf.queryExecution().executedPlan().toString()
+    assert "event_id" in plan  # seq-range filters reached the scan columns
+
+
 def test_time_range_clean_end_semantics(spark, sf_dir):
     t0 = dt.datetime(2024, 1, 5)
     t1 = dt.datetime(2024, 1, 10)
