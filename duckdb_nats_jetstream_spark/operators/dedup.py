@@ -55,27 +55,12 @@ def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     return spread(df).select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 8,
-    band_size: int = 2,
-    threshold: float = 0.2,
-    n: int = 3,
-) -> DataFrame:
-    """MinHash + LSH banding near-duplicate pairs.
-
-    shingle → k-seed min-hash signature → k/band_size band keys → self-join
-    on band key (the only shuffle proportional to corpus size) → exact
-    Jaccard verification of candidates. Returns (id_a, id_b, jaccard_r).
-    """
+def _banded_signatures(docs: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame:
+    """(id, band_key) rows from a shingled relation: k-seed min-hash
+    signature (salted digests carved into four 32-bit slices each), then
+    one md5 band key per ``k/band_size`` signature band."""
     from duckdb_nats_jetstream_spark.functions.text import _hex_slice, _seeded_md5
 
-    # cache the shingled docs: they feed the signature pipeline AND the two
-    # candidate-verification joins — without this the whole tokenize+shingle
-    # stage recomputes three times
-    docs = _with_shingles(df, text_col, id_col, n).persist()
     # materialize the salted digest arrays once; each 32-char digest yields
     # four 32-bit signature slices (4× less hashing than one md5 per seed)
     n_digests = (k + 3) // 4
@@ -109,10 +94,48 @@ def minhash_lsh_pairs(
         ).alias("band_key")
         for b in range(n_bands)
     ]
+    return sigs.select(id_col, F.explode(F.array(*band_keys)).alias("band_key"))
+
+
+def _band_keys_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """(id, band_key) for raw documents — the candidate-generation half of
+    :func:`minhash_lsh_pairs`, shared by the streaming near-dup flagger
+    (identical keys, so batch and stream agree on candidates)."""
+    return _banded_signatures(
+        _with_shingles(df, text_col, id_col, n), id_col, k, band_size
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs.
+
+    shingle → k-seed min-hash signature → k/band_size band keys → self-join
+    on band key (the only shuffle proportional to corpus size) → exact
+    Jaccard verification of candidates. Returns (id_a, id_b, jaccard_r).
+    """
+    # cache the shingled docs: they feed the signature pipeline AND the two
+    # candidate-verification joins — without this the whole tokenize+shingle
+    # stage recomputes three times
+    docs = _with_shingles(df, text_col, id_col, n).persist()
     # Shuffle only (id, band_key) through the self-join — never the shingle
     # arrays. Candidate pairs are few; their shingles come back via two
     # broadcast joins against the (small relative to the log) docs relation.
-    banded = sigs.select(id_col, F.explode(F.array(*band_keys)).alias("band_key"))
+    banded = _banded_signatures(docs, id_col, k, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -415,7 +415,21 @@ class NatsScanStreamReader(DataSourceStreamReader):
         return {"seq": max(start, last + 1)}
 
     def partitions(self, start: dict, end: dict):
-        return [SeqRangePartition(start["seq"], end["seq"] - 1)]
+        # N contiguous slices per micro-batch — the same parallel-scan
+        # upgrade the batch reader applies (the reference is single-threaded,
+        # ref:src/nats_scan.cpp:197-199; its roadmap lists parallel scanning,
+        # ref:docs/GUIDE.md:484-488). A catch-up batch over a long backlog
+        # fans out instead of serializing through one task.
+        lo, hi = start["seq"], end["seq"] - 1
+        if hi < lo:
+            return [SeqRangePartition(lo, hi)]
+        n_parts = int(self.options.get("partitions", "8"))
+        n = max(1, min(n_parts, hi - lo + 1))
+        width = (hi - lo + 1 + n - 1) // n
+        return [
+            SeqRangePartition(s, min(s + width - 1, hi))
+            for s in range(lo, hi + 1, width)
+        ]
 
     def read(self, partition: SeqRangePartition):
         if partition.end_seq < partition.start_seq:

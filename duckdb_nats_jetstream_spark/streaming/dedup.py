@@ -45,3 +45,87 @@ def dedup_content(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def near_dup_flagger(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+):
+    """Incremental NEAR-duplicate detection over a document stream — the
+    streaming twin of :func:`operators.dedup.minhash_lsh_pairs`' candidate
+    stage, for "is this new document a near-dup of ANYTHING ingested so
+    far?" (continuous corpus curation).
+
+    Per micro-batch (``foreachBatch``, replay-safe):
+
+    1. compute the batch's MinHash LSH band keys (same salted-md5 carving
+       as the batch operator — identical keys, so batch and stream agree
+       on candidates);
+    2. broadcast-join them against the accumulated band-key store (a plain
+       partitioned parquet table — at scale, the store shuffles on
+       ``band_key`` and the join is key-co-located; candidate = any shared
+       band key with an earlier doc);
+    3. append per-doc verdicts ``(id, n_candidate_bands, is_near_dup)`` to
+       ``out_dir`` under a per-batch subdirectory (idempotent on
+       redelivery: a replayed batch OVERWRITES its own directory, never
+       double-appends);
+    4. append the batch's own keys to the store the same way.
+
+    State is the parquet store, not executor memory — survives restarts,
+    unbounded corpus, no watermark eviction needed (near-dup checks must
+    look back forever, unlike redelivery dedup above).
+    """
+    from duckdb_nats_jetstream_spark.operators.dedup import _band_keys_df
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        keys = _band_keys_df(batch_df, text_col, id_col, k, band_size).persist()
+        try:
+            store = spark.read.parquet(store_dir)
+        except Exception:  # first batch — empty store
+            store = None
+        if store is not None:
+            hits = (
+                keys.join(
+                    store.withColumnRenamed(id_col, "__prior_id"),
+                    "band_key",
+                )
+                .filter(F.col("__prior_id") != F.col(id_col))
+                .groupBy(id_col)
+                .agg(F.countDistinct("band_key").alias("n_candidate_bands"))
+            )
+        else:
+            hits = keys.select(id_col).distinct().withColumn(
+                "n_candidate_bands", F.lit(0).cast("long")
+            ).limit(0)
+        verdict = (
+            keys.select(id_col)
+            .distinct()
+            .join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_candidate_bands", F.lit(0).cast("long")).alias(
+                    "n_candidate_bands"
+                ),
+                (F.coalesce("n_candidate_bands", F.lit(0)) > 0).alias("is_near_dup"),
+            )
+        )
+        # per-batch dirs → a replayed batch overwrites itself (idempotent)
+        verdict.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        keys.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        keys.unpersist(blocking=False)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -133,3 +133,23 @@ def test_streaming_tail(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT count(*) AS n, max(seq) AS m FROM nats_tail").collect()[0]
     want = message_scan(spark, sf_dir).count()
     assert got.n == want and got.m == want
+
+
+def test_streaming_partitions_fan_out(spark, sf_dir):
+    """A catch-up micro-batch over a backlog splits into N sequence slices
+    (the parallel-scan upgrade over the reference's single thread) that
+    tile the offset range exactly."""
+    from duckdb_nats_jetstream_spark.sources.nats_source import (
+        NatsScanStreamReader,
+    )
+
+    r = NatsScanStreamReader(
+        {"stream": "events", "replay_path": _events(sf_dir), "partitions": "8"}
+    )
+    parts = r.partitions({"seq": 1}, {"seq": 10001})
+    assert len(parts) == 8
+    assert parts[0].start_seq == 1 and parts[-1].end_seq == 10000
+    for a, b in zip(parts, parts[1:]):
+        assert b.start_seq == a.end_seq + 1
+    # tiny batch never over-splits
+    assert len(r.partitions({"seq": 5}, {"seq": 8})) <= 3

@@ -64,3 +64,36 @@ def test_content_dedup_keeps_first_per_payload(spark, tmp_path):
     )
     got = sorted(r.payload for r in out.collect())
     assert got == ['{"k": 1}', '{"k": 9}']
+
+
+def test_near_dup_flagger_incremental(spark, tmp_path):
+    """Batch 2's near-dup of a batch-1 doc is flagged; unrelated docs are
+    not; the store accumulates across micro-batches."""
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.streaming.dedup import near_dup_flagger
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    doc_dir = tmp_path / "docs_in"
+    doc_dir.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run_batch(rows, fname):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(doc_dir / fname)
+        stream = spark.readStream.schema(schema).parquet(str(doc_dir))
+        q = near_dup_flagger(stream, store, ckpt, out)
+        q.awaitTermination()
+
+    run_batch([(1, base), (2, "completely different words about spark engines")], "b1.parquet")
+    run_batch([(3, base + " again"), (4, "nothing like anything before at all yes")], "b2.parquet")
+
+    v = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(v) == {1, 2, 3, 4}
+    assert not v[1].is_near_dup and not v[2].is_near_dup  # first batch: empty store
+    assert v[3].is_near_dup and v[3].n_candidate_bands > 0  # near-dups doc 1
+    assert not v[4].is_near_dup
+    # store grew across batches
+    assert {r.doc_id for r in spark.read.parquet(store).select("doc_id").distinct().collect()} == {1, 2, 3, 4}
