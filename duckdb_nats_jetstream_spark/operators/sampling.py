@@ -64,6 +64,8 @@ def weighted_mixture_sample(
     same hex-threshold compare mirrors to SQL verbatim, so DuckDB agrees
     row-for-row (not just in expectation).
     """
+    if not rates:
+        raise ValueError("weighted_mixture_sample requires at least one rate")
     h8 = F.substring(sample_hash(F.col(id_col), salt), 1, _PFX)
 
     def thr_hex(rate: float) -> str | None:
@@ -93,6 +95,8 @@ def sql_weighted_mixture(
     default_rate: float = 0.0,
 ) -> str:
     """DuckDB mirror of :func:`weighted_mixture_sample`'s filter predicate."""
+    if not rates:
+        raise ValueError("sql_weighted_mixture requires at least one rate")
     h8 = f"substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, {_PFX})"
     parts = []
     for g, rate in sorted(rates.items()):
