@@ -47,6 +47,7 @@ _NEW_R02 = [
     "scan_typed_extract",
     "scan_time_range_compat",
     "scan_subject_wildcard",
+    "scan_variant_extract",
     "multimodal_resize",
     "docs_winnow_fingerprints",
     "dedup_winnow",

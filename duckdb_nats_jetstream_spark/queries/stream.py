@@ -139,6 +139,28 @@ def scan_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType semi-structured path: payload → ``parse_json``
+    VARIANT column → typed ``try_variant_get`` extraction — the modern
+    alternative to per-field ``get_json_object`` re-parsing (one parse,
+    many binary-encoded accesses; stays in whole-stage codegen). Same NULL
+    rules as the reference's JSON extraction: missing/mistyped → NULL."""
+    df = message_scan(spark, sf_dir, payload_binary=False)
+    v = df.withColumn("v", F.parse_json(F.col("payload")))
+    return (
+        v.select(
+            "subject",
+            F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),
+        )
+        .groupBy("subject")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_k"),
+        )
+    )
+
+
 def scan_payload_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOB payload mode + octet_length histogram
     (test_payload_blob.sql:11-17 pattern)."""
@@ -719,6 +741,14 @@ QUERIES = {
         "CAST(sum(CAST(json_extract(payload, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
         "max(seq) AS max_seq "
         "FROM scan GROUP BY 1",
+    ),
+    "scan_variant_extract": (
+        scan_variant_extract,
+        _SCAN_CTE
+        + "SELECT subject, count(*) AS n_msgs, "
+        "CAST(sum(CAST(json_extract(payload, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+        "count(CASE WHEN json_extract(payload, '$.k') IS NULL THEN 1 END) AS n_null_k "
+        "FROM scan GROUP BY subject",
     ),
     "scan_payload_sizes": (
         scan_payload_sizes,
