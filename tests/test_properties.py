@@ -160,3 +160,45 @@ def test_winnow_reference_guarantee(text):
     }
     assert fps <= grams
     assert bool(fps) == bool(grams)
+
+
+# --- NATS wildcard translation ------------------------------------------------
+
+import re as _re
+
+from duckdb_nats_jetstream_spark.sources.message_scan import nats_wildcard_regex
+
+
+def _nats_match_ref(pattern: str, subject: str) -> bool:
+    """Independent NATS wildcard matcher: token-wise walk."""
+    ptoks = pattern.split(".")
+    stoks = subject.split(".")
+    for i, p in enumerate(ptoks):
+        if p == ">":
+            return len(stoks) >= i + 1 and all(t != "" for t in stoks[i:])
+        if i >= len(stoks):
+            return False
+        if p == "*":
+            if stoks[i] == "":
+                return False
+        elif p != stoks[i]:
+            return False
+    return len(stoks) == len(ptoks)
+
+
+_token = st.text(alphabet="abcu123", min_size=1, max_size=4)
+_literal = st.lists(_token, min_size=1, max_size=4).map(".".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.one_of(_token, st.just("*")), min_size=1, max_size=4),
+    st.booleans(),
+    _literal,
+)
+def test_nats_wildcard_regex_matches_reference(ptoks, add_tail, subject):
+    pattern = ".".join(ptoks + ([">"] if add_tail else []))
+    regex = nats_wildcard_regex(pattern)
+    assert bool(_re.fullmatch(regex[1:-1], subject)) == _nats_match_ref(
+        pattern, subject
+    ), (pattern, subject)
