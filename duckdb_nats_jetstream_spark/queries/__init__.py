@@ -53,6 +53,7 @@ _NEW_R02 = [
     "dedup_winnow",
     "docs_weighted_mix",
     "rel_grouping_sets",
+    "rel_min_cost_supplier",
     "scan_scd2_intervals",
     "text_pii_redact",
     "dedup_prune",

@@ -24,7 +24,7 @@ from ``functions.exact`` so values hash-match the DuckDB oracle bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from duckdb_nats_jetstream_spark.functions.exact import (
     DEC,
@@ -422,6 +422,78 @@ ORDER BY g_seg, g_nat, c_mktsegment, n_name
 """
 
 
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier offering the
+    minimum unit cost (correlated-MIN subquery in the textbook form).
+
+    Spark-first rewrite: unit costs aggregate to (part, supplier) grain
+    once, then a per-part window rank picks the cheapest supplier — the
+    correlated subquery becomes one shuffle + one window over already-
+    aggregated rows instead of a rescan per part. Unit cost is decimal-
+    exact cents so min/rank ties are deterministic cross-engine; the
+    oracle runs the textbook correlated-subquery formulation, so parity
+    proves the rewrite."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    # unit cost in exact cents: min over the part-supplier's line items of
+    # round(100 * extendedprice / quantity) — integer thereafter
+    unit_cents = F.round(
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * 100
+        / F.col("l_quantity").cast("decimal(18,6)"),
+        0,
+    ).cast("long")
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(unit_cents).alias("min_unit_cents"))
+    )
+    w = W.partitionBy("p_partkey").orderBy("min_unit_cents", "l_suppkey")
+    best = (
+        cost.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        best.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.col("n_name").alias("supplier_nation"),
+            "min_unit_cents",
+        )
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH costs AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         min(CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)) * 100
+                        / CAST(l_quantity AS DECIMAL(18,6)), 0) AS BIGINT))
+           AS min_unit_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10 AND p_type = 'STANDARD'
+  GROUP BY p_partkey, p_name, l_suppkey
+)
+SELECT c.p_partkey, c.p_name, s_name, n_name AS supplier_nation,
+       c.min_unit_cents
+FROM costs c
+JOIN supplier ON c.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE (c.min_unit_cents, c.l_suppkey) = (
+  SELECT (min(c2.min_unit_cents), min(c2.l_suppkey)) FROM costs c2
+  WHERE c2.p_partkey = c.p_partkey
+    AND c2.min_unit_cents = (SELECT min(c3.min_unit_cents) FROM costs c3
+                             WHERE c3.p_partkey = c.p_partkey)
+)
+"""
+
+
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the asymmetric subtotal combinations CUBE
     can't express without waste: (status, priority), (status), () but NOT
@@ -454,6 +526,7 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 
 QUERIES = {
     "rel_grouping_sets": (grouping_sets_orders, GROUPING_SETS_SQL),
+    "rel_min_cost_supplier": (min_cost_supplier, MIN_COST_SUPPLIER_SQL),
     "rel_cube_segment_nation": (cube_segment_nation, CUBE_SQL),
     "rel_promo_revenue": (promo_revenue, PROMO_REVENUE_SQL),
     "rel_volume_shipping": (volume_shipping, VOLUME_SHIPPING_SQL),
