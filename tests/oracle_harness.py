@@ -40,9 +40,30 @@ def _norm(v):
     return v
 
 
+#: DuckDB result types that pandas renders as float/object — the driver's
+#: pandas-side hash then disagrees with Spark's int64 even when every value
+#: is equal (learned from r01 rel_udaf_cents: 25/25 identical rows, hash
+#: mismatch). fetchall() (below) can't see this, so check the declared
+#: relation types explicitly.
+_HASH_RISKY_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+
+
+def _type_risks(con, sql: str, name: str) -> list[str]:
+    try:
+        rel = con.sql(sql)
+    except Exception:
+        return []  # execution errors surface via the normal path
+    return [
+        f"{name}: oracle column '{c}' is {t} — pandas renders it as "
+        f"float/object and the driver hash will mismatch; CAST it in the SQL"
+        for c, t in zip(rel.columns, [str(t) for t in rel.types])
+        if t in _HASH_RISKY_TYPES or t.startswith("DECIMAL")
+    ]
+
+
 def compare(spark_df, con, sql: str, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
-    problems: list[str] = []
+    problems: list[str] = list(_type_risks(con, sql, name))
     spark_rows = spark_df.collect()
     spark_cols = spark_df.columns
     res = con.execute(sql)
