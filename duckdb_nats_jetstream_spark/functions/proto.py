@@ -475,16 +475,17 @@ def validate_proto_path(
     raise BindError(f"empty path '{path}'")
 
 
-def proto_extract(
-    df: DataFrame,
-    proto_text: str,
-    message_name: str,
-    paths: list[str],
-    payload_col: str = "payload",
-) -> DataFrame:
-    """Append one natively-typed column per dot path (dots→underscores),
-    decoded from a protobuf payload column. Bind-time schema: validated
-    against the .proto before any job is submitted."""
+def path_extractor(proto_text: str, message_name: str, paths: list[str]):
+    """Bind-time-validated typed path extraction kernel, shared by the
+    DataFrame operator (:func:`proto_extract`) and the ``nats_jetstream``
+    DataSource's proto options. Returns ``(out_names, spark_types,
+    extract)`` where ``extract(payload: bytes | None) -> list`` yields one
+    value per path with the reference's reflection semantics
+    (ref:src/nats_scan.cpp:456-544): an absent *scalar* reads as its proto3
+    default; NULL only when an ancestor nested message is unset (ref:
+    487-499), the leaf is itself a singular message (ref:534-536), or the
+    payload is undecodable (ref:852-858). Absent repeated → []; absent
+    map → {}."""
     if not paths:
         raise BindError("proto_extract requires at least one field path")
     messages, enums = parse_proto(proto_text)
@@ -493,22 +494,7 @@ def proto_extract(
     desc = messages[message_name]
     types = [validate_proto_path(p, desc, messages, enums) for p in paths]
     out_names = [p.replace(".", "_") for p in paths]
-    clash = set(out_names) & set(df.columns)
-    if clash:
-        raise BindError(
-            f"proto_extract output column(s) {sorted(clash)} collide with "
-            f"existing columns; rename or drop them before extraction"
-        )
 
-    in_fields = df.schema.fields
-    out_schema = T.StructType(
-        list(in_fields) + [T.StructField(n, t, True) for n, t in zip(out_names, types)]
-    )
-
-    # Reference reflection semantics (ref:src/nats_scan.cpp:456-544): an
-    # absent *scalar* reads as its proto3 default; NULL only when an
-    # ancestor nested message is unset (ref:487-499) or the leaf is itself a
-    # singular message (ref:534-536). Absent repeated → []; absent map → {}.
     # Precompute each path's leaf default and whether the leaf is a terminal
     # (non-map) message — a runtime isinstance(dict) check can't tell a map
     # value from a nested-message dict.
@@ -536,33 +522,57 @@ def proto_extract(
         defaults.append(dval)
         leaf_is_msg.append(is_msg)
 
+    def extract(payload):
+        if payload is None:
+            return [None] * len(paths)
+        try:
+            msg = decode_message(bytes(payload), desc, messages, enums)
+        except (ValueError, UnicodeDecodeError):
+            return [None] * len(paths)  # undecodable → all-NULL
+        row = []
+        for p, dval, is_msg in zip(paths, defaults, leaf_is_msg):
+            node = msg
+            unset_parent = False
+            parts = p.split(".")
+            for part in parts[:-1]:
+                node = node.get(part) if isinstance(node, dict) else None
+                if node is None:
+                    unset_parent = True
+                    break
+            if unset_parent or is_msg:
+                row.append(None)  # unset ancestor / terminal message
+                continue
+            leaf = node.get(parts[-1]) if isinstance(node, dict) else None
+            row.append(dval if leaf is None else leaf)
+        return row
+
+    return out_names, types, extract
+
+
+def proto_extract(
+    df: DataFrame,
+    proto_text: str,
+    message_name: str,
+    paths: list[str],
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Append one natively-typed column per dot path (dots→underscores),
+    decoded from a protobuf payload column. Bind-time schema: validated
+    against the .proto before any job is submitted."""
+    out_names, types, extract = path_extractor(proto_text, message_name, paths)
+    clash = set(out_names) & set(df.columns)
+    if clash:
+        raise BindError(
+            f"proto_extract output column(s) {sorted(clash)} collide with "
+            f"existing columns; rename or drop them before extraction"
+        )
+
+    in_fields = df.schema.fields
+    out_schema = T.StructType(
+        list(in_fields) + [T.StructField(n, t, True) for n, t in zip(out_names, types)]
+    )
+
     def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        def extract(payload):
-            if payload is None:
-                return [None] * len(paths)
-            try:
-                msg = decode_message(bytes(payload), desc, messages, enums)
-            except (ValueError, UnicodeDecodeError):
-                return [None] * len(paths)  # undecodable → all-NULL
-            row = []
-            for p, dval, is_msg in zip(paths, defaults, leaf_is_msg):
-                node = msg
-                unset_parent = False
-                parts = p.split(".")
-                for part in parts[:-1]:
-                    node = node.get(part) if isinstance(node, dict) else None
-                    if node is None:
-                        unset_parent = True
-                        break
-                if unset_parent or is_msg:
-                    row.append(None)  # unset ancestor / terminal message
-                    continue
-                leaf = node.get(parts[-1]) if isinstance(node, dict) else None
-                row.append(dval if leaf is None else leaf)
-            return row
-
         for pdf in it:
             extracted = [extract(v) for v in pdf[payload_col]]
             for i, name in enumerate(out_names):

@@ -101,7 +101,9 @@ class ParquetReplayTransport:
             rows[seq] = (
                 f"{self.stream}.{etype}.u{uid}",
                 int(ts_ns),
-                props.encode("utf-8"),
+                # binary props (e.g. protobuf-encoded logs) pass through;
+                # string props encode like any NATS text payload
+                props if isinstance(props, (bytes, bytearray)) else props.encode("utf-8"),
             )
         _REPLAY_CACHE[key] = rows
         return rows
@@ -253,9 +255,41 @@ class SeqRangePartition(InputPartition):
 KNOWN_OPTIONS = {
     "stream", "url", "subject", "start_seq", "end_seq", "start_time",
     "end_time", "json_extract", "partitions", "replay_path", "batch_size",
+    "proto_file", "proto_message", "proto_extract",
     # spark adds its own bookkeeping options on load(); ignore lowercase path
     "path", "paths",
 }
+
+
+class ProtoConfig:
+    """Bind-time protobuf extraction config for the DataSource: the .proto
+    TEXT is read driver-side at bind and shipped with the reader (workers
+    never touch the filesystem path), mirroring the reference's bind-time
+    Importer parse (ref:src/nats_scan.cpp:287-328)."""
+
+    def __init__(self, proto_text: str, message_name: str, paths: list[str]):
+        from duckdb_nats_jetstream_spark.functions.proto import path_extractor
+
+        self.proto_text = proto_text
+        self.message_name = message_name
+        self.paths = paths
+        # validate at bind; rebuild the extractor lazily worker-side
+        self.out_names, self.spark_types, _ = path_extractor(
+            proto_text, message_name, paths
+        )
+        base = {"stream", "subject", "seq", "ts_nats", "payload"}
+        clash = base & set(self.out_names)
+        if clash:
+            raise BindError(
+                f"proto_extract output column(s) {sorted(clash)} collide "
+                f"with the base message columns; alias the proto field or "
+                f"extract a different path"
+            )
+
+    def extractor(self):
+        from duckdb_nats_jetstream_spark.functions.proto import path_extractor
+
+        return path_extractor(self.proto_text, self.message_name, self.paths)[2]
 
 
 def _parse_options(options: dict):
@@ -274,6 +308,25 @@ def _parse_options(options: dict):
     json_fields = [
         f.strip() for f in options.get("json_extract", "").split(",") if f.strip()
     ]
+    proto_fields = [
+        f.strip() for f in options.get("proto_extract", "").split(",") if f.strip()
+    ]
+    # reference bind matrix (ref:src/nats_scan.cpp:267-285)
+    if json_fields and proto_fields:
+        raise BindError("Cannot use both json_extract and proto_extract parameters")
+    proto_cfg = None
+    if proto_fields:
+        if not options.get("proto_file"):
+            raise BindError(
+                "proto_file parameter is required when using proto_extract"
+            )
+        if not options.get("proto_message"):
+            raise BindError(
+                "proto_message parameter is required when using proto_extract"
+            )
+        with open(options["proto_file"], encoding="utf-8") as fh:
+            proto_text = fh.read()
+        proto_cfg = ProtoConfig(proto_text, options["proto_message"], proto_fields)
     has_seq = "start_seq" in options or "end_seq" in options
     has_time = "start_time" in options or "end_time" in options
     if has_seq and has_time:
@@ -281,13 +334,22 @@ def _parse_options(options: dict):
             "Cannot specify both sequence range (start_seq/end_seq) and "
             "time range (start_time/end_time)"
         )
-    return stream, json_fields
+    return stream, json_fields, proto_cfg
+
+
+def _pa_type(t):
+    """Spark type → the EXACT Arrow type Spark's JVM reader expects (child
+    field names and offset widths included) — delegated to PySpark's own
+    schema converter so the VectorLoader structure check can never drift."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(T.StructType([T.StructField("c", t, True)])).field(0).type
 
 
 class NatsScanBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)
-        self.stream, self.json_fields = _parse_options(self.options)
+        self.stream, self.json_fields, self.proto_cfg = _parse_options(self.options)
         self.subject = self.options.get("subject")
         self.n_partitions = int(self.options.get("partitions", "8"))
 
@@ -383,6 +445,23 @@ class NatsScanBatchReader(DataSourceReader):
                 )
                 names.append(f.replace(".", "_"))
             names.insert(4, "payload")
+        elif self.proto_cfg is not None:
+            # payload stays BLOB in proto mode (ref:src/nats_scan.cpp:379-385);
+            # one natively-typed column per validated dot path
+            cols.append(pa.array(payloads, pa.binary()))
+            names.append("payload")
+            extract = self.proto_cfg.extractor()
+            rows = [extract(p) for p in payloads]
+            for i, (n, t) in enumerate(
+                zip(self.proto_cfg.out_names, self.proto_cfg.spark_types)
+            ):
+                vals = [r[i] for r in rows]
+                if isinstance(t, T.MapType):
+                    vals = [
+                        sorted(v.items()) if isinstance(v, dict) else v for v in vals
+                    ]
+                cols.append(pa.array(vals, _pa_type(t)))
+                names.append(n)
         else:
             cols.append(pa.array(payloads, pa.binary()))
             names.append("payload")
@@ -395,7 +474,7 @@ class NatsScanStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.options = dict(options)
-        self.stream, self.json_fields = _parse_options(self.options)
+        self.stream, self.json_fields, self.proto_cfg = _parse_options(self.options)
         self.batch_size = int(self.options.get("batch_size", "2048"))
         self._transport = None
 
@@ -450,7 +529,10 @@ class NatsJetStreamDataSource(DataSource):
         return "nats_jetstream"
 
     def schema(self):
-        _stream, json_fields = _parse_options(self.options)
+        _stream, json_fields, proto_cfg = _parse_options(self.options)
+        if proto_cfg is not None:
+            extracted = list(zip(proto_cfg.out_names, proto_cfg.spark_types))
+            return message_schema(payload_binary=True, extracted=extracted)
         extracted = [
             (f.replace(".", "_"), T.StringType()) for f in json_fields
         ]

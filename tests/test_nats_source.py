@@ -153,3 +153,111 @@ def test_streaming_partitions_fan_out(spark, sf_dir):
         assert b.start_seq == a.end_seq + 1
     # tiny batch never over-splits
     assert len(r.partitions({"seq": 5}, {"seq": 8})) <= 3
+
+
+def test_proto_extract_options_end_to_end(spark, tmp_path):
+    """The reference's proto_file/proto_message/proto_extract option
+    surface on the connector: a binary-protobuf message log scans into
+    natively-typed columns with payload staying BLOB."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_nats_jetstream_spark.functions.proto import (
+        encode_message,
+        parse_proto,
+    )
+
+    proto_text = """
+syntax = "proto3";
+message Inner { int64 k = 1; }
+message Ev {
+  int64 eseq = 1; string name = 2; double value = 3;
+  repeated int64 vals = 4; Inner inner = 5;
+}
+"""
+    proto_path = tmp_path / "ev.proto"
+    proto_path.write_text(proto_text)
+    messages, enums = parse_proto(proto_text)
+    desc = messages["Ev"]
+
+    payloads = []
+    for i in range(20):
+        payloads.append(
+            encode_message(
+                dict(
+                    eseq=i + 1,
+                    name=f"n{i}",
+                    value=i * 1.5,
+                    vals=[i, i * 2],
+                    inner=dict(k=i * 10) if i % 2 == 0 else None,
+                ),
+                desc, messages, enums,
+            )
+        )
+    log = tmp_path / "proto_events.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(20), pa.int64()),
+                "ts": pa.array([1704067200 * 10**9 + i for i in range(20)], pa.timestamp("ns")),
+                "user_id": pa.array([i % 3 for i in range(20)], pa.int64()),
+                "event_type": pa.array(["p"] * 20, pa.string()),
+                "props": pa.array(payloads, pa.binary()),
+            }
+        ),
+        log,
+    )
+
+    df = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "ev")
+        .option("replay_path", str(log))
+        .option("proto_file", str(proto_path))
+        .option("proto_message", "Ev")
+        .option("proto_extract", "eseq,name,value,vals,inner.k")
+        .load()
+    )
+    from pyspark.sql import types as T
+
+    sch = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(sch["payload"], T.BinaryType)  # BLOB in proto mode
+    assert isinstance(sch["value"], T.DoubleType)
+    assert isinstance(sch["vals"], T.ArrayType)
+    assert isinstance(sch["inner_k"], T.LongType)
+    rows = {r.seq: r for r in df.collect()}
+    assert len(rows) == 20
+    assert all(r.eseq == s for s, r in rows.items())  # extracted == base seq
+    assert rows[5].name == "n4" and rows[5].value == 4 * 1.5
+    assert rows[5].vals == [4, 8]
+    assert rows[5].inner_k == 40          # set nested message
+    assert rows[6].inner_k is None        # unset nested message -> NULL
+    assert rows[1].vals == [0, 0]         # packed zeros roundtrip
+
+
+def test_proto_options_bind_matrix(spark, sf_dir, tmp_path):
+    from duckdb_nats_jetstream_spark.sources.nats_source import _parse_options
+
+    proto_path = tmp_path / "m.proto"
+    proto_path.write_text('syntax = "proto3"; message M { int64 a = 1; }')
+    base = {"stream": "events", "replay_path": "x"}
+    with pytest.raises(BindError, match="proto_file parameter is required"):
+        _parse_options({**base, "proto_extract": "a"})
+    with pytest.raises(BindError, match="proto_message parameter is required"):
+        _parse_options({**base, "proto_extract": "a", "proto_file": str(proto_path)})
+    with pytest.raises(BindError, match="both json_extract and proto_extract"):
+        _parse_options(
+            {**base, "proto_extract": "a", "proto_file": str(proto_path),
+             "proto_message": "M", "json_extract": "k"}
+        )
+    with pytest.raises(BindError, match="not found"):
+        _parse_options(
+            {**base, "proto_extract": "a", "proto_file": str(proto_path),
+             "proto_message": "Nope"}
+        )
+    collide = tmp_path / "c.proto"
+    collide.write_text('syntax = "proto3"; message M { int64 seq = 1; }')
+    with pytest.raises(BindError, match="collide with the base message columns"):
+        _parse_options(
+            {**base, "proto_extract": "seq", "proto_file": str(collide),
+             "proto_message": "M"}
+        )
