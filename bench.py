@@ -1,12 +1,26 @@
 #!/usr/bin/env python
 """Benchmark runner: executes every registered query at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE SHORT JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "total_query_wall_clock", "value": N, "unit": "sec",
+     "sf": 0.1, "n_queries": N, "n_errors": N, "queries": {<headline>: sec}}
+
+The full per-query map (plus errors, and per-query DuckDB oracle timings
+when available) is written to ``BENCH_DETAIL.json`` next to this script.
+Round 2 taught us the driver captures only the TAIL of the printed line, so
+a 106-entry per-query dict pushed ``"value"`` out of the capture window and
+the official record showed ``parsed: null``. The printed line therefore
+carries only a fixed, small set of headline queries (~300 bytes total).
 
 Each query executes fully (noop sink — JVM-side, no driver collect cost).
 Warm SparkSession, cold per-query plan.
+
+Set ``SPARK_GRAFT_BENCH_DUCKDB=1`` to also time each query's DuckDB oracle
+SQL at the same scale factor (single-threaded-process DuckDB, all cores);
+results land in BENCH_DETAIL.json as ``duckdb_s``. When off, previously
+measured ``duckdb_s`` values are carried forward from the existing detail
+file so the comparison survives driver re-runs.
 """
 
 from __future__ import annotations
@@ -17,7 +31,25 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+DETAIL_PATH = os.path.join(HERE, "BENCH_DETAIL.json")
+
+#: The queries surfaced on the printed one-line summary. One representative
+#: per major family: source scan, typed extract, TPC-H-ish aggregation/join,
+#: dedup (LSH + clustering), ANN, text pipeline, packing.
+HEADLINE = [
+    "nats_source_scan",
+    "scan_typed_extract",
+    "rel_pricing_summary",
+    "rel_min_cost_supplier",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "sim_srp_topk",
+    "text_quality",
+    "docs_pack_sequences",
+]
 
 
 def main() -> None:
@@ -59,13 +91,15 @@ def main() -> None:
     # which would mis-rank queries run-to-run. Each attempt executes the
     # full query plan end-to-end (noop sink). Failures are ISOLATED per
     # query — one broken plan must never void the other ~90 timings (that is
-    # exactly what aborted the round-1 bench), so every exception is caught
-    # and reported per query, and the JSON line always prints.
+    # exactly what aborted the round-1 bench). A query is an *error* only
+    # when NO attempt succeeded; a success-then-flake is a timing, not an
+    # error (it must not be double-reported in both maps).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry):
         fn, _sql = registry[name]
         best = float("inf")
+        last_err: str | None = None
         for _ in range(2):
             try:
                 t0 = time.perf_counter()
@@ -73,21 +107,80 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 — isolation is the point
-                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                last_err = f"{type(e).__name__}: {e}"[:500]
                 break
         if best != float("inf"):
             timings[name] = round(best, 3)
+        elif last_err is not None:
+            errors[name] = last_err
+
+    # ---- DuckDB oracle mirror timings (opt-in; carried forward when off) --
+    duckdb_s: dict[str, float] = {}
+    prior: dict = {}
+    if os.path.exists(DETAIL_PATH):
+        try:
+            with open(DETAIL_PATH) as f:
+                prior = json.load(f)
+        except Exception:
+            prior = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders "
+            "lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in sorted(registry):
+            _fn, sql = registry[name]
+            if not sql:
+                continue
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                duckdb_s[name] = round(time.perf_counter() - t0, 3)
+            except Exception:  # noqa: BLE001 — mirror timing is best-effort
+                continue
+    else:
+        duckdb_s = {
+            k: v["duckdb_s"]
+            for k, v in prior.get("queries", {}).items()
+            if isinstance(v, dict) and "duckdb_s" in v
+        }
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {
+            name: (
+                {"spark_s": t, "duckdb_s": duckdb_s[name]}
+                if name in duckdb_s
+                else {"spark_s": t}
+            )
+            for name, t in timings.items()
+        },
+        "errors": errors,
+    }
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
     out = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
 
 

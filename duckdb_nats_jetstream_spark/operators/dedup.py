@@ -270,10 +270,19 @@ def winnow_fingerprints(
     norm = spread(df).select(
         F.col(id_col), F.lower(F.col(text_col)).alias("__t")
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("__t") - F.lit(k - 1), F.lit(0))),
-        lambda i: F.substring(F.md5(F.substr(F.col("__t"), i, F.lit(k))), 1, 8),
-    )
+    # texts shorter than k have NO grams. Guard explicitly: Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0] (it interprets the reversed
+    # bounds as step -1) while DuckDB's range(1, 1) is empty — unguarded,
+    # a len<k document would emit a bogus fingerprint only on the Spark side
+    # and break hash parity (r02 ADVICE, medium).
+    n_grams = F.length("__t") - F.lit(k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.substring(F.md5(F.substr(F.col("__t"), i, F.lit(k))), 1, 8),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = norm.select(id_col, grams.alias("__g"))
     fps = F.array_distinct(
         F.transform(

@@ -49,7 +49,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # double, not float: each component is uint32/2^32, exactly
+        # representable in a double (and recoverable: v*2^32 -> bigint),
+        # which is what lets the registry query digest features into a
+        # SQL-mirrorable hex string for the driver's hash gate
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -106,16 +110,26 @@ def probe_media(df: DataFrame) -> DataFrame:
 
 
 def _fake_feature(data: bytes, dim: int) -> list[float]:
-    """Deterministic pseudo-embedding: md5-chained bytes → [0,1) floats."""
+    """Deterministic pseudo-embedding: md5 hex-string chain → [0,1) floats.
+
+    The chain hashes lowercase HEX STRINGS, not raw digest bytes:
+    ``seed0 = md5(hex(data))``, ``seed_{i+1} = md5(seed_i_hexdigest)``.
+    DuckDB's ``md5()`` only accepts VARCHAR, so a hex-string chain is the
+    shape both engines can compute — the registry oracle mirrors it as
+    ``md5(lower(hex(payload::BLOB)))`` then ``md5(md5(...))``, making the
+    mapInPandas plumbing hash-verifiable end-to-end instead of rows-only.
+    Each 4-byte group of a digest becomes uint32/2^32.
+    """
     out: list[float] = []
-    seed = hashlib.md5(data or b"").digest()
+    seed_hex = hashlib.md5((data or b"").hex().encode()).hexdigest()
     while len(out) < dim:
-        for i in range(0, len(seed), 4):
-            v = int.from_bytes(seed[i : i + 4], "big") / 2**32
+        raw = bytes.fromhex(seed_hex)
+        for i in range(0, len(raw), 4):
+            v = int.from_bytes(raw[i : i + 4], "big") / 2**32
             out.append(float(v))
             if len(out) == dim:
                 break
-        seed = hashlib.md5(seed).digest()
+        seed_hex = hashlib.md5(seed_hex.encode()).hexdigest()
     return out
 
 

@@ -15,8 +15,10 @@ from duckdb_nats_jetstream_spark.functions.vector import sql_dot
 from duckdb_nats_jetstream_spark.operators import dedup as D
 from duckdb_nats_jetstream_spark.operators import similarity as S
 from duckdb_nats_jetstream_spark.session import read_table, spread
+from duckdb_nats_jetstream_spark.sources.message_scan import EVENTS_ORACLE_SCAN_SQL
 
 _TOKS = TX.sql_tokens("text")
+_SCAN_CTE = f"WITH scan AS ({EVENTS_ORACLE_SCAN_SQL}) "
 
 
 # --- text analysis ------------------------------------------------------------
@@ -320,7 +322,16 @@ FROM r WHERE rn <= 5
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media feature extraction (stub decoder) over payload
-    binaries — non-SQL-expressible (mapInPandas), rows-only check."""
+    binaries, digested to scalar columns the driver can hash.
+
+    r02's row errored because the raw ``feature: array<double>`` column is
+    unhashable for the driver's pandas canonicalizer. Each feature component
+    is uint32/2^32 (exact in a double), so the vector round-trips losslessly
+    to a 128-hex-char string (``v*2^32 → bigint → hex``) — and because the
+    fake decoder's md5 chain hashes hex STRINGS (see
+    :func:`operators.multimodal._fake_feature`), DuckDB can recompute the
+    identical digest chain in SQL. What was a rows-only check is now a full
+    hash-parity gate over the mapInPandas plumbing."""
     from duckdb_nats_jetstream_spark.operators.multimodal import (
         as_media,
         extract_features,
@@ -328,7 +339,42 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_nats_jetstream_spark.sources import message_scan
 
     media = as_media(message_scan(spark, sf_dir), id_col="seq", bytes_col="payload")
-    return extract_features(media, dim=16)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda v: F.lpad(
+                    F.lower(F.hex((v * F.lit(float(2**32))).cast("bigint"))),
+                    8,
+                    "0",
+                ),
+            ),
+            "",
+        ).alias("feature_hex"),
+    )
+
+
+#: dim=16 → exactly 4 chained md5 digests (4 uint32s each). The oracle
+#: recomputes the hex-string chain: d0 = md5(lowercase hex of the payload
+#: bytes), d_{i+1} = md5(d_i), and concatenates the 4 hex digests — exactly
+#: what the Spark side reconstructs from the double components.
+MULTIMODAL_FEATURES_SQL = (
+    _SCAN_CTE
+    + """, b AS (
+  SELECT seq AS media_id, coalesce(payload, '')::BLOB AS p FROM scan
+), d AS (
+  SELECT media_id, octet_length(p) AS n_bytes,
+         md5(lower(hex(p))) AS d0 FROM b
+)
+SELECT media_id, 'image' AS kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       d0 || md5(d0) || md5(md5(d0)) || md5(md5(md5(d0))) AS feature_hex
+FROM d
+"""
+)
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,7 +799,7 @@ QUERIES = {
     "docs_winsorize": (docs_winsorize, WINSORIZE_SQL),
     "docs_pack_sequences": (docs_pack_sequences, PACK_SEQUENCES_SQL),
     "text_udtf_tokens": (text_udtf_tokens, UDTF_TOKENS_SQL),
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_resize": (multimodal_resize, None),
     "text_lang_confusion": (text_lang_confusion, TEXT_LANG_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

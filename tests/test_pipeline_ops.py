@@ -185,6 +185,29 @@ def test_winnow_matches_pure_python_reference(spark, sf_dir):
         assert got.get(row.doc_id, set()) == _winnow_ref(row.text), row.doc_id
 
 
+def test_winnow_short_text_emits_nothing(spark):
+    """Documents shorter than k have zero k-grams, hence zero fingerprints.
+    Regression: Spark's sequence(1, 0) yields DESCENDING [1, 0], so an
+    unguarded gram array emitted a bogus md5(text)-prefix fingerprint for
+    short texts while DuckDB's range(1, 1) and the pure-Python reference
+    emitted none (r02 ADVICE medium)."""
+    from tests.test_properties import _winnow_ref
+
+    rows = [
+        Row(doc_id=1, text="abc"),  # len < k
+        Row(doc_id=2, text=""),  # empty
+        Row(doc_id=3, text="exactly8"),  # len == k: exactly one gram
+        Row(doc_id=4, text="a decently long document body for contrast"),
+    ]
+    got = {}
+    for r in D.winnow_fingerprints(spark.createDataFrame(rows), k=8, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for row in rows:
+        assert got.get(row.doc_id, set()) == _winnow_ref(row.text), row.doc_id
+    assert 1 not in got and 2 not in got
+    assert len(got[3]) == 1
+
+
 def test_winnow_selectivity(spark, sf_dir):
     """~2/(w+1) of k-grams survive winnowing: the fingerprint relation must
     be materially smaller than the raw k-gram count (density bound)."""
