@@ -82,7 +82,12 @@ def weighted_mixture_sample(
         cond = this if cond is None else cond | this
     t_def = thr_hex(default_rate)
     default_branch = F.lit(True) if t_def is None else (h8 < F.lit(t_def))
-    others = ~F.col(group_col).isin(*rates.keys()) & default_branch
+    # NULL strata take the default rate explicitly: `NULL isin(...)` is NULL,
+    # which a bare NOT-IN filter silently drops even at default_rate=1.0
+    # (r02 ADVICE). NULL-group rows are data too — sample them, don't lose
+    # them. The SQL mirror spells out the same IS NULL arm.
+    not_listed = ~F.col(group_col).isin(*rates.keys()) | F.col(group_col).isNull()
+    others = not_listed & default_branch
     cond = others if cond is None else cond | others
     return df.filter(cond)
 
@@ -106,11 +111,12 @@ def sql_weighted_mixture(
             t = format(max(int(rate * _PFX_SPACE), 0), f"0{_PFX}x")
             parts.append(f"({group_col} = '{g}' AND {h8} < '{t}')")
     in_list = ", ".join(f"'{g}'" for g in sorted(rates))
+    not_listed = f"({group_col} NOT IN ({in_list}) OR {group_col} IS NULL)"
     if default_rate >= 1.0:
-        parts.append(f"({group_col} NOT IN ({in_list}))")
+        parts.append(not_listed)
     else:
         t = format(max(int(default_rate * _PFX_SPACE), 0), f"0{_PFX}x")
-        parts.append(f"({group_col} NOT IN ({in_list}) AND {h8} < '{t}')")
+        parts.append(f"({not_listed} AND {h8} < '{t}')")
     return " OR ".join(parts)
 
 

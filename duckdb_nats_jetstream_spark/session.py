@@ -44,7 +44,18 @@ def spread(df, partitions: int | None = None):
     """
     spark = df.sparkSession
     target = partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Split-count signal from the leaf relations' file listing — a driver-side
+    # metadata read. The previous `df.rdd.getNumPartitions()` check built the
+    # full physical plan AND the RDD lineage per call, a planning tax paid on
+    # every shingle/codec pipeline (r02 VERDICT). Every call site spreads a
+    # just-scanned table, so file count ≈ split floor: many files = the scan
+    # already parallelizes, skip; few/unknown files = add the round-robin
+    # exchange (cheap relative to the heavy per-row stage it feeds).
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source — assume it needs the spread
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 

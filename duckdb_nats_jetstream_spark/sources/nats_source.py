@@ -477,6 +477,12 @@ class NatsScanStreamReader(DataSourceStreamReader):
         self.stream, self.json_fields, self.proto_cfg = _parse_options(self.options)
         self.batch_size = int(self.options.get("batch_size", "2048"))
         self._transport = None
+        # Build the batch reader ONCE, driver-side: it runs _parse_options,
+        # which reads options['proto_file'] from local disk. This object is
+        # pickled to executors with the .proto text already inlined in
+        # ProtoConfig — workers must never touch the driver-local path
+        # (r02 ADVICE: read() used to reconstruct it per partition).
+        self._batch_reader = NatsScanBatchReader(self.options)
 
     def _t(self):
         if self._transport is None:
@@ -513,8 +519,7 @@ class NatsScanStreamReader(DataSourceStreamReader):
     def read(self, partition: SeqRangePartition):
         if partition.end_seq < partition.start_seq:
             return
-        reader = NatsScanBatchReader(self.options)
-        yield from reader.read(partition)
+        yield from self._batch_reader.read(partition)
 
     def commit(self, end: dict):
         pass

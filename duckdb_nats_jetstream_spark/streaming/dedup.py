@@ -89,7 +89,16 @@ def near_dup_flagger(
             return
         keys = _band_keys_df(batch_df, text_col, id_col, k, band_size).persist()
         try:
-            store = spark.read.parquet(store_dir)
+            # Exclude THIS batch's partition from the store read: after a
+            # failed attempt the store may already hold the replayed batch's
+            # own band keys, and without the filter documents within the
+            # batch would flag each other — verdicts on replay would differ
+            # from a clean run (r02 ADVICE). The partition column comes from
+            # the batch_id=N directory layout, so the filter prunes the
+            # directory, it doesn't scan it.
+            store = spark.read.parquet(store_dir).filter(
+                F.col("batch_id") != F.lit(batch_id)
+            )
         except Exception:  # first batch — empty store
             store = None
         if store is not None:

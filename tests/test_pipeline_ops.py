@@ -238,6 +238,29 @@ def test_weighted_mixture_rates_and_determinism(spark, sf_dir):
     assert again == {r.doc_id for r in out.collect()}
 
 
+def test_weighted_mixture_null_stratum_takes_default(spark):
+    """NULL-group rows are sampled at default_rate, not silently dropped
+    (r02 ADVICE: `NULL isin(...)` is NULL → filtered out even at 1.0)."""
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        sql_weighted_mixture,
+        weighted_mixture_sample,
+    )
+
+    rows = [(i, None if i % 2 else "src0") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = weighted_mixture_sample(df, {"src0": 1.0}, default_rate=1.0)
+    assert kept.count() == 20  # every row survives, NULL stratum included
+    none_kept = weighted_mixture_sample(df, {"src0": 1.0}, default_rate=0.0)
+    assert none_kept.filter(F.col("source").isNull()).count() == 0
+    # SQL mirror agrees row-for-row on the NULL arm
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    pred = sql_weighted_mixture({"src0": 1.0}, default_rate=1.0)
+    assert con.execute(f"SELECT count(*) FROM docs WHERE {pred}").fetchone()[0] == 20
+
+
 # --- PII redaction ------------------------------------------------------------
 
 

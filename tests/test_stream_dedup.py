@@ -97,3 +97,39 @@ def test_near_dup_flagger_incremental(spark, tmp_path):
     assert not v[4].is_near_dup
     # store grew across batches
     assert {r.doc_id for r in spark.read.parquet(store).select("doc_id").distinct().collect()} == {1, 2, 3, 4}
+
+
+def test_near_dup_flagger_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch must produce the same verdicts as a clean run:
+    the band-key store may already contain the batch's OWN keys from a failed
+    prior attempt, and those must not make in-batch documents flag each other
+    (r02 ADVICE — the store read excludes the current batch_id partition)."""
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.operators.dedup import _band_keys_df
+    from duckdb_nats_jetstream_spark.streaming.dedup import near_dup_flagger
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(1, base), (2, base + " again")]  # near-dups of EACH OTHER
+    doc_dir = tmp_path / "docs_in"
+    doc_dir.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "verdicts")
+
+    # Simulate the failed first attempt: batch 0's own band keys are already
+    # in the store under its batch_id partition (step 4 ran, checkpoint
+    # commit did not).
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    _band_keys_df(batch_df, "text", "doc_id", 8, 2).write.parquet(
+        f"{store}/batch_id=0"
+    )
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(doc_dir / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(doc_dir))
+    q = near_dup_flagger(stream, store, str(tmp_path / "ckpt"), out)
+    q.awaitTermination()
+
+    v = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(v) == {1, 2}
+    # clean-run semantics: first batch sees an empty prior store
+    assert not v[1].is_near_dup and not v[2].is_near_dup
