@@ -329,19 +329,37 @@ def winnow_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 3,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by shared winnowing fingerprints —
     MOSS's match step as a relational plan: self-join the (id, fp) relation
     on fp, count shared fingerprints per pair, keep pairs sharing at least
     ``min_shared``. The only corpus-sized shuffle is on the fingerprint key
-    (like the LSH band join); a hot fingerprint (boilerplate) can be
-    pre-filtered by dropping fps above a document-frequency cap.
-    Returns (id_a, id_b, n_shared).
+    (like the LSH band join).
+
+    ``df_cap`` is the hot-fingerprint guard for scale: a fingerprint shared
+    by ``d`` documents contributes ``d·(d-1)/2`` pairs, so ONE boilerplate
+    fingerprint (license header, nav bar) across a million documents is a
+    half-trillion-row join output. Capping document frequency drops those
+    fingerprints before the self-join — the standard MOSS deployment move
+    (common code is noise, not plagiarism signal). The cap costs one extra
+    aggregation on the same fp key the join shuffles on, so it adds no new
+    shuffle boundary. Returns (id_a, id_b, n_shared).
     """
     # persist: both join sides read the same fingerprint relation — without
     # this the whole k-gram/window pipeline runs twice (same pattern as
     # minhash_lsh_pairs; on a cluster swap localCheckpoint for checkpoint)
     fps = winnow_fingerprints(df, text_col, id_col, k, w).persist()
+    if df_cap is not None:
+        # (id, fp) is already distinct per document, so count(*) per fp IS
+        # document frequency; the semi-join keeps fps under the cap
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp", "left_semi")
     a = fps.alias("a")
     b = fps.alias("b")
     out = (

@@ -276,3 +276,141 @@ def srp_topk(
         extra_cond=F.col("q.bucket") == F.col("c.bucket"), dim=dim,
     )
     return _rank_topk(scored, k)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction-error
+    audit — the storage-compression step of a large ANN corpus (4× smaller
+    than float32, 8× than float64; IVF/SRP candidate generation runs fine on
+    int8, the exact re-rank can dequantize).
+
+    Row-local column math, zero shuffle, scale-free: ``scale = max|v|/127``,
+    ``q_i = round(v_i/scale)``, error = max |q_i·scale − v_i| ≤ scale/2.
+    Returns hashable scalars per vector: (id, scale, err_max, n_sat) where
+    ``n_sat`` counts saturated ±127 cells. All arithmetic is double and the
+    op sequence (abs, max, /, round, *, −) is identical in DuckDB, so values
+    are bit-exact cross-engine (round: both engines take half away from
+    zero; arguments are never exact halves except the max element, which is
+    exactly ±127 pre-round).
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), vd.alias("__v"))
+    scaled = base.select(
+        id_col,
+        "__v",
+        # zero vectors quantize to zeros via the scale=1 guard (0/1=0), not NaN
+        F.when(
+            F.array_max(F.transform("__v", F.abs)) == 0, F.lit(1.0)
+        ).otherwise(F.array_max(F.transform("__v", F.abs)) / F.lit(127.0)).alias(
+            "__s"
+        ),
+    )
+    q = scaled.select(
+        id_col,
+        "__v",
+        "__s",
+        F.transform("__v", lambda x: F.round(x / F.col("__s"))).alias("__q"),
+    )
+    return q.select(
+        F.col(id_col),
+        F.col("__s").alias("scale"),
+        F.array_max(
+            F.zip_with("__q", "__v", lambda qq, x: F.abs(qq * F.col("__s") - x))
+        ).alias("err_max"),
+        F.size(F.filter("__q", lambda qq: F.abs(qq) == 127)).cast("long").alias(
+            "n_sat"
+        ),
+    )
+
+
+def sql_quantize_int8(
+    table: str = "embeddings", vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    """DuckDB mirror of :func:`quantize_int8` (same op sequence, same
+    zero-vector guard)."""
+    return f"""
+WITH v AS (
+  SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table}
+), s AS (
+  SELECT {id_col}, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(e, x -> abs(x))) / 127.0 END AS sc
+  FROM v
+), q AS (
+  SELECT {id_col}, e, sc, list_transform(e, x -> round(x / sc)) AS qv FROM s
+)
+SELECT {id_col}, sc AS scale,
+       list_max(list_transform(range(1, len(e) + 1),
+                               i -> abs(qv[CAST(i AS INT)] * sc
+                                        - e[CAST(i AS INT)]))) AS err_max,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM q
+"""
+
+
+def bucket_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-SRP-bucket centroids — the codebook-refresh step of a bucketed
+    ANN index (and one Lloyd iteration if fed back as centroids).
+
+    Plan shape for 100 TB: posexplode fans each vector into (bucket, pos,
+    val) rows — dim× the row count but tiny rows — and ONE hash aggregation
+    on (bucket, pos) with map-side partial sums does the rest; no window, no
+    sort, no driver collect. Float summation order differs between engines
+    and partitionings, so the mean uses an EXACT fixed-point sum:
+    ``round(val·10^12) → BIGINT`` is the same IEEE multiply + half-away
+    round in both engines (a double→DECIMAL cast is NOT — Spark rounds,
+    DuckDB truncates; measured r03), and the integer sum in DECIMAL(38,0)
+    is associative and overflow-proof for any bucket size. The result is
+    bit-stable cross-engine and run-to-run regardless of partitioning.
+    Returns (bucket, pos, c, n).
+    """
+    bucketed = with_srp_bucket(df, vec_col, n_bits, dim)
+    exploded = bucketed.select(
+        "bucket",
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    fixed = F.round(F.col("val") * F.lit(1e12)).cast("bigint")
+    return exploded.groupBy("bucket", "pos").agg(
+        (
+            F.sum(fixed.cast("decimal(38,0)")).cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def sql_bucket_centroids(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`bucket_centroids` (1-based range → 0-based
+    pos; identical fixed-point exact mean)."""
+    bucket = sql_srp_bucket(vec_col, n_bits, dim)
+    return f"""
+WITH b AS (
+  SELECT {bucket} AS bucket,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table}
+), x AS (
+  SELECT bucket, CAST(i - 1 AS INT) AS pos,
+         CAST(round(e[CAST(i AS INT)] * 1e12) AS BIGINT) AS fx
+  FROM b, range(1, {dim} + 1) r(i)
+)
+SELECT bucket, pos,
+       CAST(SUM(CAST(fx AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) AS c,
+       COUNT(*) AS n
+FROM x GROUP BY bucket, pos
+"""

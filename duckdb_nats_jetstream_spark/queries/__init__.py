@@ -37,6 +37,11 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #: past the cut; they rotate back in future rounds.
 _NEW_R03: list[str] = [
     # appended as round-3 operators land; keep ahead of the backlog
+    "text_gopher_filters",
+    "sim_quantize_int8",
+    "sim_bucket_centroids",
+    "dedup_winnow_capped",
+    "rel_forecast_revenue",
 ]
 _NEVER_CHECKED_R02 = [
     "scan_subject_wildcard",
@@ -118,13 +123,14 @@ def full_registry() -> Registry:
     from duckdb_nats_jetstream_spark.queries import (
         pipeline,
         pipeline2,
+        pipeline3,
         relational,
         relational2,
         stream,
     )
 
     merged: Registry = {}
-    for mod in (pipeline, pipeline2, relational2, stream, relational):
+    for mod in (pipeline, pipeline2, pipeline3, relational2, stream, relational):
         for name, entry in mod.QUERIES.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = entry

@@ -1,0 +1,212 @@
+"""Training-data pipeline queries, batch 3 (round 3): Gopher-style quality
+rule filtering, embedding int8 quantization, SRP-bucket centroids
+(codebook refresh), DF-capped winnowing pairs, and TPC-H Q6.
+
+Scale notes: every new query is either pure row-local column math
+(gopher rules, quantization) or a single hash aggregation on a key the
+downstream join already shuffles on (centroids, DF cap) — no new shuffle
+shapes, no windows over raw rows, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from duckdb_nats_jetstream_spark.functions import text as TX
+from duckdb_nats_jetstream_spark.operators import similarity as S
+from duckdb_nats_jetstream_spark.session import read_table, spread
+
+_TOKS = TX.sql_tokens("text")
+
+#: Gopher-rule thresholds (Rae et al. 2021, table A1 — adapted to the
+#: synthetic corpus's scale: its documents are 10-100 tokens, so the token
+#: floor sits at 10 rather than 50)
+_GOPHER = {
+    "min_tok": 10,
+    "max_tok": 100000,
+    "min_mean_len": 3.0,
+    "max_mean_len": 10.0,
+    "min_stop_hits": 2,
+    "min_alpha_frac": 0.7,
+    "max_dup2_frac": 0.4,
+}
+
+
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules as one row-local projection:
+    token-count bounds, mean token length band, stopword floor, alphabetic
+    fraction, and duplicate-bigram ceiling, plus the conjunctive ``keep``
+    bit a pipeline would filter on. Zero shuffle — the rules ride the scan;
+    at 100 TB this is a map-only stage that fuses into whole-stage codegen.
+
+    Every signal is exact-integer math plus at most one IEEE division, so
+    the doubles hash identically to the DuckDB mirror. Rule bits are INTs
+    (not booleans) so the driver's pandas canonicalizer sorts them stably.
+    """
+    g = _GOPHER
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    n = F.size("toks").cast("long")
+    total_len = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = total_len / n
+    all_stop = sorted({w for ws in TX.LANG_STOPWORDS.values() for w in ws})
+    stop_hits = F.size(F.filter("toks", lambda t: t.isin(*all_stop))).cast("long")
+    alpha_frac = F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$"))) / F.size(
+        "toks"
+    )
+    dup2 = TX.dup_ngram_fraction(F.col("toks"), 2)
+    base = toked.select(
+        "doc_id",
+        n.alias("n_tok"),
+        mean_len.alias("mean_tok_len"),
+        stop_hits.alias("stop_hits"),
+        alpha_frac.alias("alpha_frac"),
+        dup2.alias("dup2_frac"),
+    )
+    r_len = (F.col("n_tok") >= g["min_tok"]) & (F.col("n_tok") <= g["max_tok"])
+    r_word = (F.col("mean_tok_len") >= g["min_mean_len"]) & (
+        F.col("mean_tok_len") <= g["max_mean_len"]
+    )
+    r_stop = F.col("stop_hits") >= g["min_stop_hits"]
+    r_alpha = F.col("alpha_frac") >= g["min_alpha_frac"]
+    r_rep = F.col("dup2_frac") <= g["max_dup2_frac"]
+    return base.select(
+        "doc_id",
+        "n_tok",
+        "mean_tok_len",
+        "stop_hits",
+        "alpha_frac",
+        "dup2_frac",
+        r_len.cast("int").alias("pass_len"),
+        r_word.cast("int").alias("pass_word_len"),
+        r_stop.cast("int").alias("pass_stop"),
+        r_alpha.cast("int").alias("pass_alpha"),
+        r_rep.cast("int").alias("pass_rep"),
+        (r_len & r_word & r_stop & r_alpha & r_rep).cast("int").alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    g = _GOPHER
+    all_stop = sorted({w for ws in TX.LANG_STOPWORDS.values() for w in ws})
+    lst = ", ".join(f"'{w}'" for w in all_stop)
+    dup2 = TX.sql_dup_ngram_fraction("toks", 2)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         list_sum(list_transform(toks, t -> length(t))) / len(toks)
+           AS mean_tok_len,
+         CAST(len(list_filter(toks, t -> t IN ({lst}))) AS BIGINT) AS stop_hits,
+         len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))
+           / len(toks) AS alpha_frac,
+         {dup2} AS dup2_frac
+  FROM toked
+)
+SELECT doc_id, n_tok, mean_tok_len, stop_hits, alpha_frac, dup2_frac,
+  CAST(n_tok >= {g["min_tok"]} AND n_tok <= {g["max_tok"]} AS INT) AS pass_len,
+  CAST(mean_tok_len >= {g["min_mean_len"]}
+       AND mean_tok_len <= {g["max_mean_len"]} AS INT) AS pass_word_len,
+  CAST(stop_hits >= {g["min_stop_hits"]} AS INT) AS pass_stop,
+  CAST(alpha_frac >= {g["min_alpha_frac"]} AS INT) AS pass_alpha,
+  CAST(dup2_frac <= {g["max_dup2_frac"]} AS INT) AS pass_rep,
+  CAST(n_tok >= {g["min_tok"]} AND n_tok <= {g["max_tok"]}
+       AND mean_tok_len >= {g["min_mean_len"]}
+       AND mean_tok_len <= {g["max_mean_len"]}
+       AND stop_hits >= {g["min_stop_hits"]}
+       AND alpha_frac >= {g["min_alpha_frac"]}
+       AND dup2_frac <= {g["max_dup2_frac"]} AS INT) AS keep
+FROM sig
+"""
+
+
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding compression audit (:func:`operators.similarity.
+    quantize_int8`): per-vector scale + max reconstruction error +
+    saturation count — row-local, zero shuffle, bit-exact vs the oracle."""
+    return S.quantize_int8(read_table(spark, sf_dir, "embeddings"))
+
+
+def sim_bucket_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucket centroids (:func:`operators.similarity.bucket_centroids`):
+    the codebook-refresh aggregation of a bucketed ANN index, computed with
+    an exact fixed-point sum so the mean is partition-order independent."""
+    return S.bucket_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+def dedup_winnow_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing pair generation with the hot-fingerprint cap engaged
+    (:func:`operators.dedup.winnow_pairs` ``df_cap``): fingerprints shared
+    by more than ``df_cap`` documents (boilerplate) are dropped before the
+    self-join — the guard that keeps the pair explosion bounded at corpus
+    scale. Same fp-keyed shuffle; one extra aggregation on that key."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    return D.winnow_pairs(
+        read_table(spark, sf_dir, "documents"), min_shared=20, df_cap=40
+    )
+
+
+def _winnow_capped_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.dedup import (
+        sql_winnow_fingerprints,
+    )
+
+    return f"""
+WITH fps AS ({sql_winnow_fingerprints()}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 40),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 20
+"""
+
+
+def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one filtered scan, one global
+    aggregate — the canonical predicate-pushdown + map-side-partial-agg
+    query. revenue = Σ price·discount in exact decimal (ref coverage:
+    the host-engine aggregate/filter surface, SURVEY §2.B)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+QUERIES = {
+    "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
+    "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
+    "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
+    "dedup_winnow_capped": (dedup_winnow_capped, _winnow_capped_sql()),
+    "rel_forecast_revenue": (rel_forecast_revenue, FORECAST_REVENUE_SQL),
+}

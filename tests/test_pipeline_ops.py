@@ -436,3 +436,90 @@ def test_winsorize_rejects_bad_bounds(spark):
         winsorize(df, "x", ["k"], 0.9, 0.1)
     with _pytest.raises(ValueError):
         winsorize(df, "x", ["k"], -0.1, 0.5)
+
+
+# --- round-3 operators: quantization, centroids, gopher rules, df cap ---------
+
+
+def test_quantize_int8_error_bound_and_zero_guard(spark):
+    """Reconstruction error is bounded by scale/2 per cell; a zero vector
+    quantizes to zeros (scale guard), never NaN."""
+    from duckdb_nats_jetstream_spark.operators.similarity import quantize_int8
+
+    rows = [
+        Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+        Row(vec_id=3, embedding=[127.0, -127.0, 1.0, -1.0]),
+    ]
+    out = {r.vec_id: r for r in quantize_int8(spark.createDataFrame(rows)).collect()}
+    for r in out.values():
+        assert r.err_max == r.err_max  # not NaN
+        assert r.err_max <= r.scale / 2 + 1e-15
+    assert out[2].scale == 1.0 and out[2].err_max == 0.0 and out[2].n_sat == 0
+    assert out[3].n_sat == 2  # the two max-magnitude cells saturate
+
+
+def test_bucket_centroids_partition_invariant(spark, sf_dir):
+    """The fixed-point mean must be BIT-identical regardless of input
+    partitioning — the property float sums don't have and the oracle gate
+    needs."""
+    from duckdb_nats_jetstream_spark.operators.similarity import bucket_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = {(r.bucket, r.pos): (r.c, r.n) for r in bucket_centroids(emb).collect()}
+    b = {
+        (r.bucket, r.pos): (r.c, r.n)
+        for r in bucket_centroids(emb.repartition(17)).collect()
+    }
+    assert a == b
+    # centroid of a bucket with n vectors averages n values per position
+    assert all(n >= 1 for _c, n in a.values())
+
+
+def test_gopher_filters_rules(spark):
+    """Each rule trips on its designed violation; keep is the conjunction."""
+    from duckdb_nats_jetstream_spark.queries.pipeline3 import text_gopher_filters
+    import duckdb_nats_jetstream_spark.queries.pipeline3 as P3
+
+    # build a tiny documents table on the fly via a temp sf_dir
+    import pandas as pd
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while rivers flow "
+        "and stars shine brightly tonight beyond those quiet hills"
+    )
+    rows = [
+        (1, good),  # passes everything (no repetition, stopwords present)
+        (2, "short text only"),  # fails token floor
+        (3, "the " + "verylongtokenxxxxxxxxxxxx " * 30),  # fails mean length
+        (4, "the spark " * 15),  # fails the duplicate-bigram ceiling
+    ]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in text_gopher_filters(spark, d).collect()}
+    assert out[1].keep == 1
+    assert out[2].pass_len == 0 and out[2].keep == 0
+    assert out[3].pass_word_len == 0 and out[3].keep == 0
+    assert out[4].pass_rep == 0 and out[4].keep == 0
+    assert all(r.pass_alpha == 1 for r in out.values())  # all-lowercase corpora
+
+
+def test_winnow_df_cap_drops_hot_fingerprints(spark):
+    """With a df cap, fingerprints shared by more than cap documents stop
+    generating pairs; capped pairs are a subset of uncapped pairs."""
+    boiler = "this exact license header appears in every single document here"
+    rows = [Row(doc_id=i, text=f"{boiler} unique tail {i} {'x' * (i % 5)}") for i in range(1, 9)]
+    df = spark.createDataFrame(rows)
+    uncapped = {
+        (r.id_a, r.id_b) for r in D.winnow_pairs(df, min_shared=1).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.winnow_pairs(df, min_shared=1, df_cap=3).collect()
+    }
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)  # the boilerplate fps were hot (df=8)
