@@ -469,3 +469,87 @@ def embedding_near_dup_pairs(
 
     out_schema = "id_a long, id_b long, cos_r double"
     return pairs.groupBy("bp.p", "bp.q").applyInPandas(_block_pair, out_schema)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Cross-document duplicated-span signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of its word n-gram positions whose n-gram also
+    occurs in at least one OTHER document. High fractions mark boilerplate
+    and templated text that exact- and near-dup removal both miss (the
+    span, not the document, is duplicated).
+
+    Plan: explode (id, gram-fp) — fp is an 8-hex md5 prefix so the shuffle
+    carries 8-byte keys, not 80-char grams — count distinct docs per fp,
+    mark fps seen in ≥2 docs, join back on the SAME fp key (co-located),
+    and aggregate per document. Two hash shuffles (fp, then id), both on
+    keys the data is already being carved by; no windows, no collects.
+    Documents with fewer than ``n`` tokens have no spans and are omitted
+    (a 0/0 fraction has no cross-engine-stable value).
+    Returns (id, n_spans, n_dup_spans, dup_frac).
+    """
+    from duckdb_nats_jetstream_spark.functions.text import shingles, tokens
+    from duckdb_nats_jetstream_spark.session import spread
+
+    grams = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(tokens(F.col(text_col)), n)).alias("__s"),
+        )
+        .select(id_col, F.substring(F.md5("__s"), 1, 8).alias("fp"))
+        .persist()
+    )
+    hot = (
+        grams.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("fp", F.lit(1).alias("__hot"))
+    )
+    out = (
+        grams.join(hot, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("__hot").alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_frac"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist(blocking=False)
+    return out
+
+
+def sql_dup_span_stats(n: int = 13, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`dup_span_stats`."""
+    from duckdb_nats_jetstream_spark.functions.text import (
+        sql_shingles,
+        sql_tokens,
+    )
+
+    sh = sql_shingles(sql_tokens("text"), n)
+    return f"""
+WITH g AS (
+  SELECT doc_id, substr(md5(s), 1, 8) AS fp
+  FROM (SELECT doc_id, unnest({sh}) AS s FROM {table})
+), hot AS (
+  SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(CASE WHEN fp IN (SELECT fp FROM hot) THEN 1 END) AS BIGINT)
+         AS n_dup_spans,
+       count(CASE WHEN fp IN (SELECT fp FROM hot) THEN 1 END) / count(*)
+         AS dup_frac
+FROM g GROUP BY doc_id
+"""

@@ -41,6 +41,8 @@ _NEW_R03: list[str] = [
     "sim_quantize_int8",
     "sim_bucket_centroids",
     "dedup_winnow_capped",
+    "dedup_span_fraction",
+    "docs_quality_quantiles",
     "rel_forecast_revenue",
 ]
 _NEVER_CHECKED_R02 = [

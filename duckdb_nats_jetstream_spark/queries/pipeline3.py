@@ -167,6 +167,62 @@ HAVING count(*) >= 20
 """
 
 
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span audit (:func:`operators.dedup.
+    dup_span_stats`, Lee et al. 2022): per document, the fraction of its
+    13-token-gram positions whose gram occurs in another document — the
+    signal that catches boilerplate/templated spans document-level dedup
+    misses. (No ORDER BY — the driver's compare is order-insensitive and a
+    global sort would be a needless single-range-exchange at scale.)"""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    return D.dup_span_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _span_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.dedup import sql_dup_span_stats
+
+    return sql_dup_span_stats()
+
+
+def docs_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT quality-score quantiles via the range-partition
+    selection operator (:mod:`operators.quantiles`) — the 100 TB order-
+    statistics path (no per-group value maps, no single-group sort tasks),
+    driver-verified against DuckDB's ``quantile_cont``. This is the
+    calibration step of per-domain quality filtering: the p25/p50/p90 a
+    pipeline would threshold against."""
+    from duckdb_nats_jetstream_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", TX.quality_score(TX.tokens(F.col("text"))).alias("qs")
+    )
+    out = exact_group_quantiles(scored, "source", "qs", [0.25, 0.5, 0.9])
+    return out.select(
+        "source",
+        F.col("q_0").alias("p25"),
+        F.col("q_1").alias("p50"),
+        F.col("q_2").alias("p90"),
+        "n",
+    ).orderBy("source")
+
+
+QUALITY_QUANTILES_SQL = f"""
+WITH scored AS (
+  SELECT source, {TX.sql_quality_score(_TOKS)} AS qs FROM documents
+)
+SELECT source,
+       quantile_cont(qs, 0.25) AS p25,
+       quantile_cont(qs, 0.5) AS p50,
+       quantile_cont(qs, 0.9) AS p90,
+       count(*) AS n
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): one filtered scan, one global
     aggregate — the canonical predicate-pushdown + map-side-partial-agg
@@ -208,5 +264,7 @@ QUERIES = {
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
     "dedup_winnow_capped": (dedup_winnow_capped, _winnow_capped_sql()),
+    "dedup_span_fraction": (dedup_span_fraction, _span_sql()),
+    "docs_quality_quantiles": (docs_quality_quantiles, QUALITY_QUANTILES_SQL),
     "rel_forecast_revenue": (rel_forecast_revenue, FORECAST_REVENUE_SQL),
 }

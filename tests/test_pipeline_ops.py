@@ -523,3 +523,30 @@ def test_winnow_df_cap_drops_hot_fingerprints(spark):
     }
     assert capped <= uncapped
     assert len(capped) < len(uncapped)  # the boilerplate fps were hot (df=8)
+
+
+def test_dup_span_stats_flags_shared_spans(spark):
+    """A 13-token span shared verbatim by two docs marks exactly those span
+    positions; a doc with no shared spans reports dup_frac 0; docs shorter
+    than 13 tokens are omitted."""
+    from duckdb_nats_jetstream_spark.operators.dedup import dup_span_stats
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu"
+    rows = [
+        Row(doc_id=1, text=span + " tail one here"),
+        Row(doc_id=2, text="head two there " + span),
+        Row(
+            doc_id=3,
+            text=(
+                "one two three four five six seven eight nine ten eleven "
+                "twelve thirteen fourteen fifteen"
+            ),
+        ),  # 15 unique tokens, no overlap with the shared span
+        Row(doc_id=4, text="too short"),
+    ]
+    out = {r.doc_id: r for r in dup_span_stats(spark.createDataFrame(rows)).collect()}
+    assert 4 not in out  # < 13 tokens → no spans
+    assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+    for r in out.values():
+        assert 0.0 <= r.dup_frac <= 1.0 and r.n_dup_spans <= r.n_spans
