@@ -255,3 +255,58 @@ def sql_quality_score(toks: str, all_stop: list[str] | None = None) -> str:
         f"{d('0.3')} * least({d('1.0')}, {n} / {d('200.0')}) "
         f"+ {d('0.4')} * ({stop} / {n}) + {d('0.3')} * ({dist} / {n})"
     )
+
+
+# --- character diversity ------------------------------------------------------
+
+
+def char_diversity(c: Column) -> Column:
+    """Gini–Simpson diversity of the character distribution, ``1 − Σ p_c²``
+    — a transcendental-free stand-in for character entropy (entropy's log2
+    is not correctly rounded in either engine, so its last ulp could differ
+    cross-engine; Σp² is division + multiply + ordered add, bit-exact).
+    Low values mean a few characters dominate (repeated padding, ASCII-art,
+    encoding junk); natural text sits high.
+
+    Row-local: chars via positional substring (NOT ``split(c, '')`` — Java's
+    split keeps a trailing empty match at limit −1), per-char counts via
+    ``filter`` over the row's own array, and the Σ folds over the SORTED
+    distinct characters so the summation order is identical in both engines.
+    O(distinct_chars × len) per row; for long documents prefer the
+    explode + (doc, char) hash-agg plan, which trades row-local work for one
+    narrow shuffle."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)), lambda i: F.substring(c, i, F.lit(1))
+    )
+    # the usual empty-sequence guard: sequence(1, 0) yields DESCENDING [1, 0]
+    chars = F.when(F.length(c) > 0, chars).otherwise(
+        F.array().cast("array<string>")
+    )
+    n = F.size(chars)
+    sumsq = F.aggregate(
+        F.array_sort(F.array_distinct(chars)),
+        F.lit(0.0),
+        lambda acc, ch: acc
+        + (F.size(F.filter(chars, lambda x: x == ch)) / n)
+        * (F.size(F.filter(chars, lambda x: x == ch)) / n),
+    )
+    return F.when(n > 0, F.lit(1.0) - sumsq).otherwise(F.lit(0.0))
+
+
+def sql_char_diversity(x: str) -> str:
+    chars = (
+        f"list_transform(range(1, length({x}) + 1), "
+        f"i -> substring({x}, CAST(i AS INT), 1))"
+    )
+    cnt = f"len(list_filter({chars}, y -> y = ch))"
+    n = f"len({chars})"
+    p = f"(CAST({cnt} AS DOUBLE) / {n})"
+    sumsq = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(list_sort(list_distinct({chars})), "
+        f"ch -> {p} * {p})), (acc, v) -> acc + v)"
+    )
+    return (
+        f"CASE WHEN length({x}) > 0 THEN CAST(1.0 AS DOUBLE) - {sumsq} "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )

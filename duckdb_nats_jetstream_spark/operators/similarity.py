@@ -278,6 +278,127 @@ def srp_topk(
     return _rank_topk(scored, k)
 
 
+def knn_join(
+    df: DataFrame,
+    k: int = 3,
+    n_blocks: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact k-NN **self-join**: every vector gets its top-k cosine
+    neighbors, both sides the full corpus. Fills the gap between
+    :func:`cosine_topk` (small broadcast query side) and
+    ``dedup.embedding_near_dup_pairs`` (threshold, not top-k).
+
+    Plan: block-pair product like the near-dup operator — ids hash into
+    ``n_blocks`` blocks, every unordered block pair is one ``applyInPandas``
+    group — but each group emits only the **per-row partial top-k within the
+    pair** (selected under the total order (cos desc, neighbor_id asc), so
+    merging partials preserves the exact global top-k). Intermediate volume
+    is O(n_blocks · N · k) instead of the N² score matrix; one final window
+    rank merges the partials. Shuffle = n_blocks × corpus; per-task memory =
+    two blocks. The N²/2 dot products are intrinsic to exact k-NN — for
+    corpora beyond a few million vectors use :func:`srp_topk` / IVF.
+
+    Cosine uses the fold-exact numpy kernel, so results are bit-identical to
+    the column-fold oracle (cross join + row_number). Returns
+    (query_id, neighbor_id, rnk, cos_r).
+    """
+    import numpy as np
+
+    from duckdb_nats_jetstream_spark.functions.vector_np import pairwise_cosine
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    rows = df.select(F.col(id_col), F.col(vec_col), blk.alias("blk"))
+    pairs = rows.select(
+        id_col,
+        vec_col,
+        "blk",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.struct(
+                            F.least(F.col("blk"), F.lit(j)).alias("p"),
+                            F.greatest(F.col("blk"), F.lit(j)).alias("q"),
+                        )
+                        for j in range(n_blocks)
+                    ]
+                )
+            )
+        ).alias("bp"),
+    )
+
+    def _partial_topk(ids_q, cos, ids_c, out):
+        # per query row: k best candidates under (cos desc, id asc) — lexsort's
+        # LAST key is primary, so (-cos) primary, candidate id secondary
+        for r in range(len(ids_q)):
+            row = cos[r]
+            sel = np.lexsort((ids_c, -row))[:k]
+            for j in sel:
+                if row[j] != -np.inf:  # masked self-pair in a tiny block
+                    out.append((ids_q[r], ids_c[j], row[j]))
+
+    def _block_pair(key, pdf):
+        import pandas as pd
+
+        cols = ["query_id", "neighbor_id", "cos"]
+        p, q = key
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        out: list = []
+        if p == q:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cos = pairwise_cosine(m, m)
+            np.fill_diagonal(cos, -np.inf)  # exclude self
+            _partial_topk(ids, cos, ids, out)
+        else:
+            pa = pdf[pdf["blk"] == p]
+            pb = pdf[pdf["blk"] == q]
+            if pa.empty or pb.empty:
+                return pd.DataFrame(columns=cols)
+            ma = np.stack(pa[vec_col].to_numpy()).astype(np.float64)
+            mb = np.stack(pb[vec_col].to_numpy()).astype(np.float64)
+            ids_a = pa[id_col].to_numpy()
+            ids_b = pb[id_col].to_numpy()
+            cos = pairwise_cosine(ma, mb)
+            _partial_topk(ids_a, cos, ids_b, out)
+            _partial_topk(ids_b, cos.T, ids_a, out)
+        return pd.DataFrame(out, columns=cols)
+
+    partial = pairs.groupBy("bp.p", "bp.q").applyInPandas(
+        _block_pair, "query_id long, neighbor_id long, cos double"
+    )
+    return _rank_topk(partial, k)
+
+
+def sql_knn_join(
+    k: int = 3, table: str = "embeddings", vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror of :func:`knn_join` — the textbook cross join +
+    row_number the operator decomposes."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {vec_col} AS v, sqrt({sql_dot(vec_col, vec_col)}) AS nrm
+  FROM {table}
+), s AS (
+  SELECT a.{id_col} AS query_id, b.{id_col} AS neighbor_id,
+         {sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+  FROM base a JOIN base b ON a.{id_col} != b.{id_col}
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, cos AS cos_r
+FROM r WHERE rn <= {k}
+"""
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -37,6 +37,9 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #: past the cut; they rotate back in future rounds.
 _NEW_R03: list[str] = [
     # appended as round-3 operators land; keep ahead of the backlog
+    "sim_knn_join",
+    "docs_boilerplate",
+    "text_char_diversity",
     "text_gopher_filters",
     "sim_quantize_int8",
     "sim_bucket_centroids",

@@ -259,8 +259,59 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-join (:func:`operators.similarity.knn_join`): every
+    vector's top-3 cosine neighbors with both sides the full corpus —
+    block-pair partial top-k, O(n_blocks·N·k) intermediate rows, fold-exact
+    cosine bit-identical to the cross-join + row_number oracle."""
+    return S.knn_join(read_table(spark, sf_dir, "embeddings"), k=3, n_blocks=3)
+
+
+def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate profile (:mod:`operators.boilerplate`,
+    CCNet recipe): non-overlapping 5-word segments, flagged when shared by
+    ≥2 distinct documents; per-doc counts + exact fraction. Two shuffles on
+    the 16-hex segment fingerprint (count, co-located flag join-back)."""
+    from duckdb_nats_jetstream_spark.operators.boilerplate import (
+        segment_boilerplate_stats,
+    )
+
+    return segment_boilerplate_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _boilerplate_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.boilerplate import (
+        sql_segment_boilerplate,
+    )
+
+    return sql_segment_boilerplate()
+
+
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Gini–Simpson diversity per document
+    (:func:`functions.text.char_diversity`) — the transcendental-free
+    entropy stand-in (log2 is not correctly rounded cross-engine). Pure
+    row-local column math; rides the scan at 100 TB."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        TX.char_diversity(F.col("text")).alias("simpson"),
+    )
+
+
+CHAR_DIVERSITY_SQL = f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       {TX.sql_char_diversity("text")} AS simpson
+FROM documents
+"""
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
+    "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
+    "docs_boilerplate": (docs_boilerplate, _boilerplate_sql()),
+    "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
     "dedup_winnow_capped": (dedup_winnow_capped, _winnow_capped_sql()),

@@ -550,3 +550,97 @@ def test_dup_span_stats_flags_shared_spans(spark):
     assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
     for r in out.values():
         assert 0.0 <= r.dup_frac <= 1.0 and r.n_dup_spans <= r.n_spans
+
+
+# --- knn_join (exact k-NN self-join) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import hashlib
+
+    rows = []
+    for i in range(40):
+        v = [
+            (int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) / 2**32)
+            - 0.5
+            for j in range(8)
+        ]
+        rows.append(Row(vec_id=i, embedding=v))
+    return spark.createDataFrame(rows)
+
+
+def test_knn_join_matches_brute_force(spark, vecs):
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        _prep, _rank_topk, _scored_pairs,
+    )
+
+    base = _prep(vecs, "embedding", "vec_id", dim=8)
+    brute = _rank_topk(_scored_pairs(base, base, "vec_id", dim=8), 3)
+    got = S.knn_join(vecs, k=3, n_blocks=3, dim=8)
+    b = {(r.query_id, r.rnk): r.neighbor_id for r in brute.collect()}
+    g = {(r.query_id, r.rnk): r.neighbor_id for r in got.collect()}
+    assert g == b and len(g) == 40 * 3
+
+
+def test_knn_join_block_count_invariant(spark, vecs):
+    one = sorted(map(tuple, S.knn_join(vecs, k=2, n_blocks=1, dim=8).collect()))
+    four = sorted(map(tuple, S.knn_join(vecs, k=2, n_blocks=4, dim=8).collect()))
+    assert one == four
+
+
+def test_knn_join_tiny_corpus_fewer_than_k(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]), Row(vec_id=2, embedding=[0.5, 0.5])]
+    )
+    out = S.knn_join(df, k=5, n_blocks=2, dim=2).collect()
+    # each vector has exactly one real neighbor; no -inf self rows leak
+    assert sorted((r.query_id, r.neighbor_id, r.rnk) for r in out) == [
+        (1, 2, 1), (2, 1, 1),
+    ]
+
+
+# --- segment boilerplate ------------------------------------------------------
+
+
+def test_segment_boilerplate_flags_shared_segments(spark):
+    from duckdb_nats_jetstream_spark.operators.boilerplate import (
+        segment_boilerplate_stats,
+    )
+
+    shared = "all rights reserved click here"  # exactly one 5-word segment
+    rows = [
+        Row(doc_id=1, text=shared + " unique alpha beta gamma delta"),
+        Row(doc_id=2, text=shared + " other words entirely different here"),
+        Row(doc_id=3, text="no repeated content in this document at all"),
+        Row(doc_id=4, text="tiny"),  # < w words → absent from output
+    ]
+    out = {
+        r.doc_id: r
+        for r in segment_boilerplate_stats(spark.createDataFrame(rows)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_segments == 2 and out[1].n_boiler == 1
+    assert out[2].n_boiler == 1 and out[2].boiler_frac == 0.5
+    assert out[3].n_boiler == 0 and out[3].boiler_frac == 0.0
+
+
+# --- char diversity -----------------------------------------------------------
+
+
+def test_char_diversity_bounds_and_edges(spark):
+    from duckdb_nats_jetstream_spark.functions.text import char_diversity
+
+    rows = [
+        Row(doc_id=1, text="aaaa"),        # single char → 0
+        Row(doc_id=2, text="abab"),        # two equal chars → 1 - 2*(1/2)^2 = 0.5
+        Row(doc_id=3, text=""),            # empty → 0 by convention
+        Row(doc_id=4, text="abcd"),        # uniform → 1 - 4*(1/16) = 0.75
+    ]
+    out = {
+        r.doc_id: r.s
+        for r in spark.createDataFrame(rows)
+        .select("doc_id", char_diversity(F.col("text")).alias("s"))
+        .collect()
+    }
+    assert out[1] == 0.0 and out[2] == 0.5 and out[3] == 0.0 and out[4] == 0.75
