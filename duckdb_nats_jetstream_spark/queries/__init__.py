@@ -39,6 +39,7 @@ _NEW_R03: list[str] = [
     # appended as round-3 operators land; keep ahead of the backlog
     "sim_knn_join",
     "docs_boilerplate",
+    "multimodal_frame_sample",
     "text_char_diversity",
     "text_gopher_filters",
     "sim_quantize_int8",

@@ -287,6 +287,60 @@ def _boilerplate_sql() -> str:
     return sql_segment_boilerplate()
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media (:func:`operators.multimodal.
+    sample_frames` — the one-to-many ``mapInPandas`` shape video extraction
+    needs): message payloads inflated ×40 into multi-KB 'videos', sliced
+    into 1 KB frames. The frame slices are plain byte ranges, so DuckDB can
+    recompute every frame digest by slicing the hex encoding — this upgrades
+    the sampler from a rows-only stub to a full hash-parity gate."""
+    from duckdb_nats_jetstream_spark.operators.multimodal import sample_frames
+    from duckdb_nats_jetstream_spark.sources import message_scan
+
+    src = message_scan(spark, sf_dir, start_seq=1, end_seq=500)
+    media = src.select(
+        F.col("seq").alias("media_id"),
+        F.concat(*([F.coalesce(F.col("payload"), F.lit(b""))] * 40)).alias("data"),
+    )
+    frames = sample_frames(media, every_n=1)
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex("frame"))).alias("frame_md5"),
+    )
+
+
+def _frame_sample_sql() -> str:
+    from duckdb_nats_jetstream_spark.queries.pipeline import _SCAN_CTE
+
+    # 1 KB frames = 2048 hex chars; frame count = ceil(max(len,1)/1024) so a
+    # zero-byte payload still yields one empty frame, like the operator
+    return (
+        _SCAN_CTE
+        + """, b AS (
+  SELECT seq AS media_id,
+         repeat(lower(hex(coalesce(payload, '')::BLOB)), 40) AS hx
+  FROM scan WHERE seq BETWEEN 1 AND 500
+), n AS (
+  SELECT media_id, hx, length(hx) // 2 AS len FROM b
+), idx AS (
+  SELECT media_id, hx,
+         unnest(range(0, CAST(ceil(greatest(len, 1) / 1024.0) AS BIGINT))) AS i
+  FROM n
+), fr AS (
+  SELECT media_id, CAST(i AS BIGINT) AS frame_no,
+         substring(hx, CAST(i * 2048 + 1 AS BIGINT), 2048) AS fhx
+  FROM idx
+)
+SELECT media_id, frame_no,
+       CAST(length(fhx) // 2 AS BIGINT) AS n_bytes,
+       md5(fhx) AS frame_md5
+FROM fr
+"""
+    )
+
+
 def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Gini–Simpson diversity per document
     (:func:`functions.text.char_diversity`) — the transcendental-free
@@ -311,6 +365,7 @@ QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
     "docs_boilerplate": (docs_boilerplate, _boilerplate_sql()),
+    "multimodal_frame_sample": (multimodal_frame_sample, _frame_sample_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
