@@ -553,3 +553,76 @@ SELECT doc_id,
          AS dup_frac
 FROM g GROUP BY doc_id
 """
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_chars: int = 32,
+) -> DataFrame:
+    """Truncation duplicates: pairs where one document's (lowercased) text
+    is a strict-or-equal PREFIX of another's — the half-fetched page /
+    clipped-context dup that content-hash dedup misses entirely and
+    shingle near-dup only catches when the truncation is mild.
+
+    Blocking: both sides of a prefix pair share their first ``block_chars``
+    characters, so the self-join keys on md5 of that prefix — one shuffle
+    on a 16-byte key, pairs bounded per block (no all-pairs). The prefix
+    test itself is one substring + equality per candidate pair. Documents
+    shorter than ``block_chars`` are excluded (their whole text is shorter
+    than the blocking key; at scale run a second pass with a smaller block
+    for the short tail). Exactly-equal texts pair once (id order breaks the
+    tie). Returns (id_short, id_long, len_short, len_long).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("__t"),
+        F.length(text_col).alias("__l"),
+    ).filter(F.col("__l") >= block_chars)
+    keyed = base.withColumn("__blk", F.md5(F.substring("__t", 1, block_chars)))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("a.__l") <= F.col("b.__l"))
+            & (
+                F.expr("substring(b.__t, 1, a.__l)") == F.col("a.__t")
+            )
+            & (
+                (F.col("a.__l") < F.col("b.__l"))
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_short"),
+            F.col(f"b.{id_col}").alias("id_long"),
+            F.col("a.__l").cast("long").alias("len_short"),
+            F.col("b.__l").cast("long").alias("len_long"),
+        )
+    )
+
+
+def sql_prefix_containment(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_chars: int = 32,
+) -> str:
+    """DuckDB mirror of :func:`prefix_containment_pairs`."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, lower({text_col}) AS t, length({text_col}) AS l
+  FROM {table} WHERE length({text_col}) >= {block_chars}
+), keyed AS (
+  SELECT *, md5(substring(t, 1, {block_chars})) AS blk FROM base
+)
+SELECT a.{id_col} AS id_short, b.{id_col} AS id_long,
+       CAST(a.l AS BIGINT) AS len_short, CAST(b.l AS BIGINT) AS len_long
+FROM keyed a JOIN keyed b
+  ON a.blk = b.blk AND a.{id_col} != b.{id_col} AND a.l <= b.l
+ AND substring(b.t, 1, CAST(a.l AS BIGINT)) = a.t
+ AND (a.l < b.l OR a.{id_col} < b.{id_col})
+"""

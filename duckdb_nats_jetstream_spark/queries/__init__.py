@@ -40,6 +40,9 @@ _NEW_R03: list[str] = [
     "sim_knn_join",
     "docs_boilerplate",
     "multimodal_frame_sample",
+    "dedup_prefix_containment",
+    "docs_snapshot_diff",
+    "docs_mixture_plan",
     "text_char_diversity",
     "text_gopher_filters",
     "sim_quantize_int8",

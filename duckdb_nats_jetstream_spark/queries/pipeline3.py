@@ -342,22 +342,152 @@ FROM fr
 
 
 def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-distribution Gini–Simpson diversity per document
-    (:func:`functions.text.char_diversity`) — the transcendental-free
-    entropy stand-in (log2 is not correctly rounded cross-engine). Pure
-    row-local column math; rides the scan at 100 TB."""
+    """Character-distribution Gini–Simpson diversity per document, computed
+    as ``1 − Σcnt²/n²`` with INTEGER Σcnt² — exact under any summation
+    order, so the two engines can use entirely different plans and still
+    hash-match; the one division is a correctly-rounded IEEE op on exact
+    ints. (A transcendental-free entropy stand-in: log2's last ulp differs
+    cross-engine.)
+
+    Plan: explode chars (row-local, tiny rows) + two hash aggregations with
+    map-side partial combine — the canonical distributed shape. The
+    row-local Column variant (:func:`functions.text.char_diversity`) was
+    measured 5× slower at sf0.1: its nested higher-order functions drop out
+    of whole-stage codegen into interpreted eval, and its per-distinct-char
+    ``filter`` is O(d·n) per row."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        TX.char_diversity(F.col("text")).alias("simpson"),
+    t = F.col("text")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(t)), lambda i: F.substring(t, i, F.lit(1))
+    )
+    ex = docs.filter(F.length(t) > 0).select("doc_id", F.explode(chars).alias("ch"))
+    cnt = ex.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.lit(1.0)
+                - F.col("s2") / (F.col("n_chars") * F.col("n_chars"))
+            ).alias("simpson"),
+        )
     )
 
 
-CHAR_DIVERSITY_SQL = f"""
-SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-       {TX.sql_char_diversity("text")} AS simpson
-FROM documents
+CHAR_DIVERSITY_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> substring(text, CAST(i AS INT), 1))) AS ch
+  FROM documents WHERE length(text) > 0
+), cnt AS (
+  SELECT doc_id, ch, count(*) AS c FROM ex GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(1.0 AS DOUBLE)
+         - CAST(sum(c * c) AS BIGINT)
+           / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS simpson
+FROM cnt GROUP BY doc_id
+"""
+
+
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate pairs (:func:`operators.dedup.
+    prefix_containment_pairs`): documents whose text is a prefix of
+    another's — blocked self-join on the md5 of the first 32 chars, one
+    16-byte-key shuffle, no all-pairs."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    return D.prefix_containment_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _prefix_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.dedup import (
+        sql_prefix_containment,
+    )
+
+    return sql_prefix_containment()
+
+
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (:mod:`operators.cdc`): two synthetic snapshots
+    carved from the documents table (old = id % 7 != 0, new = id % 5 != 0
+    with every id % 3 == 0 doc edited), classified added / removed /
+    changed / unchanged by content digest — one full-outer id join over
+    (id, md5) pairs."""
+    from duckdb_nats_jetstream_spark.operators.cdc import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+def _snapshot_diff_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.cdc import sql_snapshot_diff
+
+    return sql_snapshot_diff(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0",
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END"
+        " AS text FROM documents WHERE doc_id % 5 != 0",
+    )
+
+
+#: total token budget for the mixture plan (synthetic corpus scale)
+_MIX_BUDGET = 200_000
+
+
+def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling plan: per-source token totals and corpus
+    share, plus the per-source sampling rate that hits an equal-share token
+    budget (``least(1, (budget/n_sources)/tokens)``) — the planning step
+    before ``docs_weighted_mix`` executes the rates. One hash aggregation
+    to source grain plus an unpartitioned window over the handful of
+    source rows (grain = #sources, not #docs — safe at any corpus size)."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("share"),
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(_MIX_BUDGET)) / F.count(F.lit(1)).over(w))
+            / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+
+
+MIXTURE_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({TX.sql_token_count("text")}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT) AS share,
+       least(CAST(1.0 AS DOUBLE),
+             (CAST({_MIX_BUDGET}.0 AS DOUBLE) / count(*) OVER ())
+               / n_tokens) AS rate
+FROM per_src
 """
 
 
@@ -366,6 +496,9 @@ QUERIES = {
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
     "docs_boilerplate": (docs_boilerplate, _boilerplate_sql()),
     "multimodal_frame_sample": (multimodal_frame_sample, _frame_sample_sql()),
+    "dedup_prefix_containment": (dedup_prefix_containment, _prefix_sql()),
+    "docs_snapshot_diff": (docs_snapshot_diff, _snapshot_diff_sql()),
+    "docs_mixture_plan": (docs_mixture_plan, MIXTURE_PLAN_SQL),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),

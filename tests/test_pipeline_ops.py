@@ -644,3 +644,36 @@ def test_char_diversity_bounds_and_edges(spark):
         .collect()
     }
     assert out[1] == 0.0 and out[2] == 0.5 and out[3] == 0.0 and out[4] == 0.75
+
+
+# --- prefix containment / snapshot diff ---------------------------------------
+
+
+def test_prefix_containment_finds_truncation(spark):
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        Row(doc_id=1, text=long),
+        Row(doc_id=2, text=long[:40]),            # truncated copy
+        Row(doc_id=3, text=long),                 # exact duplicate of 1
+        Row(doc_id=4, text="entirely different prefix that matches nothing here"),
+        Row(doc_id=5, text="tiny"),               # < 32 chars → excluded
+    ]
+    pairs = {
+        (r.id_short, r.id_long)
+        for r in D.prefix_containment_pairs(spark.createDataFrame(rows)).collect()
+    }
+    # 2 is a prefix of both 1 and 3; equal texts 1/3 pair once in id order
+    assert pairs == {(2, 1), (2, 3), (1, 3)}
+
+
+def test_snapshot_diff_statuses(spark):
+    from duckdb_nats_jetstream_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="a"), Row(doc_id=2, text="b"), Row(doc_id=3, text="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=2, text="b"), Row(doc_id=3, text="c2"), Row(doc_id=4, text="d")]
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
