@@ -50,3 +50,18 @@ def stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
     )
     return joined.select(F.col("__k").alias(on), *[c for c in joined.columns if c not in ("__k", "__rk")])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: every micro-batch joins against the
+    (batch) dimension table — no state, no watermark needed; Spark
+    re-evaluates the static side per trigger, so slowly-changing dims pick
+    up updates between batches. The dimension is broadcast-hinted: at
+    scale the stream side never shuffles, each executor probes a local
+    hash map (the only sane plan for a hot-path enrichment)."""
+    return stream.join(F.broadcast(dim), on, how)

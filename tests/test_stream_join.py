@@ -5,6 +5,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
+from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
 from duckdb_nats_jetstream_spark.streaming.joins import stream_interval_join
 from duckdb_nats_jetstream_spark.streaming.stream_scan import (
     message_stream,
@@ -73,3 +74,36 @@ def test_stream_join_plan_has_watermarks(spark, tmp_path):
     joined = stream_interval_join(s, s, on="user_id")
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_static_enrich_broadcasts(spark, sf_dir, tmp_path):
+    import shutil
+
+    from duckdb_nats_jetstream_spark.streaming.joins import stream_static_enrich
+    from duckdb_nats_jetstream_spark.streaming.stream_scan import message_stream
+
+    d = tmp_path / "enrich_log"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    stream = message_stream(spark, str(d))
+    dim = (
+        message_scan(spark, sf_dir)
+        .groupBy("subject")
+        .count()
+        .withColumnRenamed("count", "subject_total")
+    )
+    out = stream_static_enrich(stream.select("subject", "seq"), dim, "subject")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM enrich_out").collect()
+    batch = {r.subject: r.subject_total for r in dim.collect()}
+    n = message_scan(spark, sf_dir).count()
+    assert len(rows) == n  # left join keeps every stream row
+    assert all(r.subject_total == batch[r.subject] for r in rows)
