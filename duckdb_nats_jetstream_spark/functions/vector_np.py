@@ -38,3 +38,23 @@ def fold_gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def pairwise_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """cos[p, q] = dot(a_p, b_q) / (|a_p| * |b_q|), fold-exact."""
     return fold_gram(a, b) / np.outer(fold_norms(a), fold_norms(b))
+
+
+def fold_sq_norms(m: np.ndarray) -> np.ndarray:
+    """fold-ordered self-dot (no sqrt), per row."""
+    acc = np.zeros(m.shape[0])
+    for i in range(m.shape[1]):
+        acc = acc + m[:, i] * m[:, i]
+    return acc
+
+
+def fold_d2(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances with every term fold-exact and the
+    combining ops in a FIXED order — ``(xx − 2·gram) + cc`` — so a SQL
+    mirror evaluating ``(dot(x,x) - 2.0*dot(x,c)) + dot(c,c)`` with the
+    same left-fold dots reproduces every distance bit-for-bit (×2 is a
+    power-of-two multiply, exact). The BLAS form in ``_d2`` is faster but
+    not mirrorable; use this one wherever an oracle compares."""
+    return (fold_sq_norms(X)[:, None] - 2.0 * fold_gram(X, C)) + fold_sq_norms(C)[
+        None, :
+    ]

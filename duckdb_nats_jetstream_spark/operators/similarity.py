@@ -209,11 +209,15 @@ def ivf_topk(
     )
     c_list = C.tolist()  # closure-captured; broadcast with the udf
 
+    from duckdb_nats_jetstream_spark.functions.vector_np import fold_d2
+
     @pandas_udf("int")
     def nearest_centroid(vs: pd.Series) -> pd.Series:
+        # fold-exact distances (not BLAS _d2): the SQL oracle recomputes the
+        # same (xx - 2·gram) + cc doubles, so assignment argmin can't flip
         carr = np.asarray(c_list)
         xs = np.stack(vs.to_numpy())
-        a = _d2(xs, carr).argmin(axis=1)
+        a = fold_d2(xs, carr).argmin(axis=1)
         return pd.Series(a.astype("int32"))
 
     @pandas_udf("array<int>")
@@ -221,10 +225,11 @@ def ivf_topk(
         # n_probe nearest centroids per query vector, computed where the
         # query rows live — the query side can itself be 100 TB-scale (batch
         # ANN lookup for a whole corpus) and never touches the driver.
-        # Stable argsort = deterministic tie-break on centroid index.
+        # Stable argsort = deterministic tie-break on centroid index
+        # (mirrors ORDER BY d2, cl in the oracle).
         carr = np.asarray(c_list)
         xs = np.stack(vs.to_numpy())
-        idx = np.argsort(_d2(xs, carr), axis=1, kind="stable")[:, :n_probe]
+        idx = np.argsort(fold_d2(xs, carr), axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(idx.astype("int32")))
 
     base = _prep(df, vec_col, id_col, dim).withColumn(
@@ -252,6 +257,90 @@ def ivf_topk(
         )
     )
     return _rank_topk(cand, k)
+
+
+def sql_ivf_topk(
+    sf_dir: str,
+    query_max_id: int = 10,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    fit_sample_size: int = 100_000,
+) -> str:
+    """DuckDB oracle for :func:`ivf_topk` — KMeans itself has no SQL, so
+    the oracle *embeds the trained codebook as literals*: it re-runs the
+    identical deterministic training (same bounded ORDER BY id sample, same
+    seeded ``_kmeans_sample``) on the parquet directly, then expresses
+    assignment / probe selection / re-rank in pure SQL against those
+    centroid constants. Distances evaluate as ``(dot(x,x) − 2.0·dot(x,c)) +
+    cc`` with left-fold dots — bit-identical to the operator's
+    :func:`functions.vector_np.fold_d2` — and ties break on centroid index
+    both sides (stable argsort ↔ ``ORDER BY d2, cl``), so what was a
+    rows-only registry entry becomes a full hash-parity gate."""
+    import duckdb
+    import numpy as np
+
+    from duckdb_nats_jetstream_spark.functions.vector_np import fold_sq_norms
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) "
+        f"FROM '{sf_dir}/{table}.parquet' ORDER BY {id_col} LIMIT {fit_sample_size}"
+    ).fetchall()
+    con.close()
+    X = np.asarray([r[0] for r in rows], dtype=float)
+    C = _kmeans_sample(X, n_clusters, seed)
+    cc = fold_sq_norms(C)
+    cent_rows = ",\n    ".join(
+        f"({j}, {sql_lit_vec(list(C[j]))}, CAST({cc[j]!r} AS DOUBLE))"
+        for j in range(n_clusters)
+    )
+    return f"""
+WITH v0 AS (
+  SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), vv AS (
+  SELECT {id_col}, v, {sql_dot('v', 'v')} AS vv FROM v0
+), cent(cl, cv, cc) AS (
+  VALUES
+    {cent_rows}
+), dist AS (
+  SELECT b.{id_col}, b.cl,
+         ((b.vv - CAST(2.0 AS DOUBLE) * b.dp) + b.cc) AS d2
+  FROM (
+    SELECT b.{id_col}, b.vv, c.cl, c.cc, {sql_dot('b.v', 'c.cv')} AS dp
+    FROM vv b CROSS JOIN cent c
+  ) b
+), assigned AS (
+  SELECT {id_col}, cl AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY {id_col} ORDER BY d2, cl) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), probes AS (
+  SELECT {id_col} AS qid, cl AS probe FROM (
+    SELECT *, row_number() OVER (PARTITION BY {id_col} ORDER BY d2, cl) AS rn
+    FROM dist WHERE {id_col} < {query_max_id}
+  ) WHERE rn <= {n_probe}
+), s AS (
+  SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+         {sql_dot('q.v', 'c.v')} / (sqrt(q.vv) * sqrt(c.vv)) AS cos
+  FROM probes p
+  JOIN vv q ON q.{id_col} = p.qid
+  JOIN assigned a ON a.cluster = p.probe
+  JOIN vv c ON c.{id_col} = a.{id_col} AND c.{id_col} != q.{id_col}
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, cos AS cos_r
+FROM r WHERE rn <= {k}
+"""
 
 
 def srp_topk(

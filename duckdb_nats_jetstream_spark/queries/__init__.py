@@ -43,6 +43,7 @@ _NEW_R03: list[str] = [
     "dedup_prefix_containment",
     "docs_snapshot_diff",
     "docs_mixture_plan",
+    "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",
     "sim_quantize_int8",
@@ -123,9 +124,7 @@ _ROTATE_RELATIONAL = [
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST
 #: (multimodal_resize excepted this round, see _FIXED_R02)
-_ROWS_ONLY_LAST = [
-    "sim_ivf_topk",
-]
+_ROWS_ONLY_LAST: list[str] = []
 
 
 def full_registry() -> Registry:

@@ -721,11 +721,24 @@ GROUP BY lang
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans inverted-file) approximate top-k — rows-only (KMeans has
-    no SQL oracle); recall vs brute force is test-verified."""
+    """IVF (KMeans inverted-file) approximate top-k. KMeans has no SQL —
+    but the training is deterministic (bounded ORDER BY id sample, seeded
+    init), so the oracle re-trains the identical codebook offline and
+    embeds it as literals (:func:`operators.similarity.sql_ivf_topk`);
+    distances are fold-exact both sides. r02's "no_oracle" slot burn is
+    now a full hash-parity row."""
     return S.ivf_topk(
         read_table(spark, sf_dir, "embeddings"), query_max_id=10, k=5,
         n_clusters=16, n_probe=4,
+    )
+
+
+def _ivf_sql() -> str:
+    import os
+
+    return S.sql_ivf_topk(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        query_max_id=10, k=5, n_clusters=16, n_probe=4,
     )
 
 
@@ -789,7 +802,7 @@ WHERE rn = 1
 
 QUERIES = {
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),
-    "sim_ivf_topk": (sim_ivf_topk, None),
+    "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_token_frequency": (text_token_frequency, TOKEN_FREQUENCY_SQL),
     "text_tfidf_topk": (text_tfidf_top_terms, TFIDF_SQL),
