@@ -491,6 +491,61 @@ FROM per_src
 """
 
 
+def scan_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject EWMA of hourly message rates (α=0.25) — the trend/
+    anomaly-baseline op of a metrics pipeline. One hash agg to
+    (subject, hour) grain, then the smoothing folds over each subject's
+    SORTED hourly series (bounded by the time range, not the corpus), so
+    per-group state is small and the fold order is pinned. α=0.25 and
+    1−α=0.75 are dyadic rationals: ``0.25·v`` is exact, ``0.75·acc`` one
+    correctly-rounded multiply — both engines evaluate the identical IEEE
+    sequence (DuckDB ``list_reduce`` seeds with the first element; Spark
+    seeds ``aggregate`` with ``element_at(vals, 1)`` over the tail)."""
+    from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
+
+    df = message_scan(spark, sf_dir)
+    hourly = df.groupBy(
+        "subject",
+        F.expr("unix_micros(ts_nats) div 3600000000").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    series = hourly.groupBy("subject").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_msgs"),
+        F.array_sort(F.collect_list(F.struct("h", "c"))).alias("s"),
+    )
+    vals = F.transform(F.col("s"), lambda x: x["c"].cast("double"))
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: F.lit(0.25) * v + F.lit(0.75) * acc,
+    )
+    return series.select("subject", "n_hours", "n_msgs", ewma.alias("ewma"))
+
+
+def _ewma_sql() -> str:
+    from duckdb_nats_jetstream_spark.queries.pipeline import _SCAN_CTE
+
+    return (
+        _SCAN_CTE
+        + """, hourly AS (
+  SELECT subject, epoch_us(ts_nats) // 3600000000 AS h, count(*) AS c
+  FROM scan GROUP BY 1, 2
+), series AS (
+  SELECT subject,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS n_msgs,
+         list_sort(list({'h': h, 'c': c})) AS s
+  FROM hourly GROUP BY subject
+)
+SELECT subject, n_hours, n_msgs,
+       list_reduce(list_transform(s, x -> CAST(x.c AS DOUBLE)),
+                   (acc, v) -> CAST(0.25 AS DOUBLE) * v
+                               + CAST(0.75 AS DOUBLE) * acc) AS ewma
+FROM series
+"""
+    )
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -499,6 +554,7 @@ QUERIES = {
     "dedup_prefix_containment": (dedup_prefix_containment, _prefix_sql()),
     "docs_snapshot_diff": (docs_snapshot_diff, _snapshot_diff_sql()),
     "docs_mixture_plan": (docs_mixture_plan, MIXTURE_PLAN_SQL),
+    "scan_ewma_trend": (scan_ewma_trend, _ewma_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
