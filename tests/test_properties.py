@@ -202,3 +202,85 @@ def test_nats_wildcard_regex_matches_reference(ptoks, add_tail, subject):
     assert bool(_re.fullmatch(regex[1:-1], subject)) == _nats_match_ref(
         pattern, subject
     ), (pattern, subject)
+
+
+# --- Misra-Gries sketch invariants --------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 50)), max_size=40
+    ),
+    st.integers(1, 6),
+)
+def test_misra_gries_error_bound(workload, k):
+    from collections import Counter
+
+    from duckdb_nats_jetstream_spark.streaming.heavyhitters import _mg_merge
+
+    counters: dict = {}
+    exact: Counter = Counter()
+    for tok, c in workload:
+        _mg_merge(counters, tok, c, k)
+        exact[tok] += c
+    n = sum(exact.values())
+    err = n / (k + 1)
+    assert len(counters) <= k
+    for tok, true in exact.items():
+        if true > err:
+            assert tok in counters  # every true heavy hitter survives
+        if tok in counters:
+            assert true - err <= counters[tok] <= true  # bounded undercount
+
+
+# --- prefix containment completeness ------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_prefix_containment_reference(data):
+    """Blocked operator logic == the obvious O(n²) reference on random
+    corpora with planted truncations (pure-python replica of the same
+    block+predicate, validating the blocking never loses a pair for docs
+    >= block_chars)."""
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    docs = {}
+    n = data.draw(st.integers(2, 8))
+    for i in range(n):
+        base = " ".join(data.draw(st.sampled_from(words)) for _ in range(12))
+        docs[i] = base
+        if data.draw(st.booleans()):
+            cut = data.draw(st.integers(32, len(base)))
+            docs[100 + i] = base[:cut]
+    B = 32
+    expected = {
+        (a, b)
+        for a in docs
+        for b in docs
+        if a != b
+        and len(docs[a]) >= B
+        and len(docs[b]) >= B
+        and len(docs[a]) <= len(docs[b])
+        and docs[b].startswith(docs[a])
+        and (len(docs[a]) < len(docs[b]) or a < b)
+    }
+    # blocked replica: group by first-32-chars, pair within blocks only
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for i, t in docs.items():
+        if len(t) >= B:
+            blocks[t[:B]].append(i)
+    got = set()
+    for ids in blocks.values():
+        for a in ids:
+            for b in ids:
+                if (
+                    a != b
+                    and len(docs[a]) <= len(docs[b])
+                    and docs[b].startswith(docs[a])
+                    and (len(docs[a]) < len(docs[b]) or a < b)
+                ):
+                    got.add((a, b))
+    assert got == expected
