@@ -546,6 +546,80 @@ FROM series
     )
 
 
+def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit for two-column data skipping: bucket
+    ``l_partkey`` / ``l_suppkey`` into 8-bit ranks with pure integer math
+    (``(v − min)·256 // (max − min + 1)``), interleave the bits into a
+    16-bit Morton key, and report per-key-prefix clustering stats (row
+    count + both columns' min/max span). Writing the table sorted by this
+    key is what makes min/max zone maps prune BOTH predicates at once —
+    the stats this query emits are exactly the zone-map ranges a scan
+    would skip on.
+
+    Scale: min/max are one tiny agg (4 scalars to the driver — bounded);
+    bucketing/interleave is row-local bit math; the stats are one hash agg
+    on a 64-value key. All integer ops → bit-exact cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    p_mn, p_mx, s_mn, s_mx = mm[0], mm[1], mm[2], mm[3]
+
+    staged = li.select(
+        "l_partkey",
+        "l_suppkey",
+        # `div` = integer division (a double divide + floor can round a
+        # just-below-integer quotient up — exact int math can't)
+        F.expr(
+            f"((l_partkey - {p_mn}) * 256) div {p_mx - p_mn + 1}"
+        ).alias("pb"),
+        F.expr(
+            f"((l_suppkey - {s_mn}) * 256) div {s_mx - s_mn + 1}"
+        ).alias("sb"),
+    )
+    pb, sb = F.col("pb"), F.col("sb")
+    z = None
+    for i in range(8):
+        bit_p = F.shiftleft(F.shiftright(pb, i).bitwiseAND(F.lit(1)), 2 * i)
+        bit_s = F.shiftleft(F.shiftright(sb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = bit_p + bit_s if z is None else z + bit_p + bit_s
+    return (
+        staged.select(z.cast("long").alias("zorder"), "l_partkey", "l_suppkey")
+        .groupBy(F.expr("zorder div 1024").alias("zprefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("p_lo"),
+            F.max("l_partkey").alias("p_hi"),
+            F.min("l_suppkey").alias("s_lo"),
+            F.max("l_suppkey").alias("s_hi"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    # same two-pass shape: scalar-subquery min/max, then integer bit math
+    pb = "((l_partkey - p_mn) * 256) // (p_mx - p_mn + 1)"
+    sb = "((l_suppkey - s_mn) * 256) // (s_mx - s_mn + 1)"
+    bits = " + ".join(
+        f"((({pb} >> {i}) & 1) << {2 * i}) + ((({sb} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+WITH mm AS (
+  SELECT min(l_partkey) AS p_mn, max(l_partkey) AS p_mx,
+         min(l_suppkey) AS s_mn, max(l_suppkey) AS s_mx
+  FROM lineitem
+), z AS (
+  SELECT CAST(({bits}) AS BIGINT) AS zorder, l_partkey, l_suppkey
+  FROM lineitem, mm
+)
+SELECT zorder // 1024 AS zprefix, count(*) AS n_rows,
+       min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+       min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi
+FROM z GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -555,6 +629,7 @@ QUERIES = {
     "docs_snapshot_diff": (docs_snapshot_diff, _snapshot_diff_sql()),
     "docs_mixture_plan": (docs_mixture_plan, MIXTURE_PLAN_SQL),
     "scan_ewma_trend": (scan_ewma_trend, _ewma_sql()),
+    "rel_zorder_layout": (rel_zorder_layout, _zorder_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
