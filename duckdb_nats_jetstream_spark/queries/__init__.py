@@ -45,6 +45,7 @@ _NEW_R03: list[str] = [
     "docs_mixture_plan",
     "scan_ewma_trend",
     "rel_zorder_layout",
+    "docs_leakage_safe_split",
     "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",

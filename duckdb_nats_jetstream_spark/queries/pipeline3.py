@@ -620,6 +620,60 @@ FROM z GROUP BY 1
 """
 
 
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must land
+    in the SAME split (else eval leaks training content), so the split key
+    is the doc's near-dup component (LSH pairs → connected components),
+    falling back to the doc id for singletons. Assignment is the salted-md5
+    hex-threshold trick the sampling operators use ('cc' ≈ 79.7 %,
+    'e6' ≈ 89.8 % — identical lexicographic comparison in both engines),
+    so the split is deterministic, engine-independent, and component-atomic
+    by construction."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D2
+    from duckdb_nats_jetstream_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D2.minhash_lsh_pairs(docs, k=8, band_size=2, threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b", edges_unique=True)
+    grp = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("grp"),
+        )
+    )
+    h = F.md5(F.concat(F.lit("split:"), F.col("grp").cast("string")))
+    split = (
+        F.when(h < F.lit("cc"), F.lit("train"))
+        .when(h < F.lit("e6"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return grp.select("doc_id", "grp", split.alias("split"))
+
+
+def _leakage_split_sql() -> str:
+    from duckdb_nats_jetstream_spark.queries.pipeline import (
+        _dedup_components_sql,
+    )
+
+    comp = _dedup_components_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comp AS ({comp}),
+grp AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, grp,
+       CASE WHEN md5('split:' || CAST(grp AS VARCHAR)) < 'cc' THEN 'train'
+            WHEN md5('split:' || CAST(grp AS VARCHAR)) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM grp
+"""
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -630,6 +684,7 @@ QUERIES = {
     "docs_mixture_plan": (docs_mixture_plan, MIXTURE_PLAN_SQL),
     "scan_ewma_trend": (scan_ewma_trend, _ewma_sql()),
     "rel_zorder_layout": (rel_zorder_layout, _zorder_sql()),
+    "docs_leakage_safe_split": (docs_leakage_safe_split, _leakage_split_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),

@@ -677,3 +677,18 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_leakage_safe_split_is_component_atomic(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline3 import (
+        docs_leakage_safe_split,
+    )
+
+    rows = docs_leakage_safe_split(spark, sf_dir).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values())  # no component spans splits
+    mix = {s: sum(1 for r in rows if r.split == s) for s in ("train", "val", "test")}
+    n = len(rows)
+    assert mix["train"] > 0.6 * n and mix["val"] > 0 and mix["test"] > 0
