@@ -46,6 +46,7 @@ _NEW_R03: list[str] = [
     "scan_ewma_trend",
     "rel_zorder_layout",
     "docs_leakage_safe_split",
+    "scan_fuzzy_subjects",
     "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",

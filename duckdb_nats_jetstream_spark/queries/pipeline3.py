@@ -674,6 +674,28 @@ FROM grp
 """
 
 
+def scan_fuzzy_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy subject matching (:mod:`operators.fuzzy`): distinct subject
+    pairs at Levenshtein distance 1, found via symmetric-delete blocking —
+    the entity-resolution/typo-clustering primitive. The oracle is the
+    quadratic brute-force join the blocking avoids."""
+    from duckdb_nats_jetstream_spark.operators.fuzzy import fuzzy_key_pairs
+    from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
+
+    return fuzzy_key_pairs(message_scan(spark, sf_dir), "subject")
+
+
+def _fuzzy_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.fuzzy import sql_fuzzy_key_pairs
+    from duckdb_nats_jetstream_spark.sources.message_scan import (
+        EVENTS_ORACLE_SCAN_SQL,
+    )
+
+    return sql_fuzzy_key_pairs(
+        f"SELECT subject AS s FROM ({EVENTS_ORACLE_SCAN_SQL})"
+    )
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -685,6 +707,7 @@ QUERIES = {
     "scan_ewma_trend": (scan_ewma_trend, _ewma_sql()),
     "rel_zorder_layout": (rel_zorder_layout, _zorder_sql()),
     "docs_leakage_safe_split": (docs_leakage_safe_split, _leakage_split_sql()),
+    "scan_fuzzy_subjects": (scan_fuzzy_subjects, _fuzzy_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),

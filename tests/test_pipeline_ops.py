@@ -692,3 +692,24 @@ def test_leakage_safe_split_is_component_atomic(spark, sf_dir):
     mix = {s: sum(1 for r in rows if r.split == s) for s in ("train", "val", "test")}
     n = len(rows)
     assert mix["train"] > 0.6 * n and mix["val"] > 0 and mix["test"] > 0
+
+
+def test_fuzzy_key_pairs_blocking_complete(spark):
+    from duckdb_nats_jetstream_spark.operators.fuzzy import fuzzy_key_pairs
+
+    rows = [
+        Row(s="events.click.u12"),
+        Row(s="events.click.u13"),     # substitution
+        Row(s="events.click.u1"),      # deletion
+        Row(s="events.click.u123"),    # insertion vs u12
+        Row(s="events.view.u12"),      # distance 2+ from all click ones
+        Row(s="events.click.u12"),     # duplicate input row
+    ]
+    got = {(r.s_a, r.s_b) for r in fuzzy_key_pairs(spark.createDataFrame(rows), "s").collect()}
+    assert got == {
+        ("events.click.u12", "events.click.u13"),
+        ("events.click.u1", "events.click.u12"),
+        ("events.click.u1", "events.click.u13"),
+        ("events.click.u12", "events.click.u123"),
+        ("events.click.u123", "events.click.u13"),  # delete the '2'
+    }
