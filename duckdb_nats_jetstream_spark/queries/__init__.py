@@ -47,6 +47,7 @@ _NEW_R03: list[str] = [
     "rel_zorder_layout",
     "docs_leakage_safe_split",
     "scan_fuzzy_subjects",
+    "scan_cohort_retention",
     "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",

@@ -696,6 +696,48 @@ def _fuzzy_sql() -> str:
     )
 
 
+def scan_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the message stream: users cohorted by their
+    first-active 6-hour bucket; per (cohort, bucket-offset) distinct active
+    users — the standard product-analytics retention triangle. Plan: one
+    distinct to (user, bucket) grain, a tiny per-user min agg, then one
+    count-distinct keyed (cohort, offset). All integer bucket math."""
+    from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
+
+    df = message_scan(spark, sf_dir)
+    acts = df.select(
+        F.regexp_extract("subject", r"\.u(\d+)$", 1).cast("long").alias("user_id"),
+        F.expr("unix_micros(ts_nats) div 21600000000").alias("b"),
+    ).distinct()
+    cohorts = acts.groupBy("user_id").agg(F.min("b").alias("cohort"))
+    return (
+        acts.join(cohorts, "user_id")
+        .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def _cohort_sql() -> str:
+    from duckdb_nats_jetstream_spark.queries.pipeline import _SCAN_CTE
+
+    return (
+        _SCAN_CTE
+        + r""", acts AS (
+  SELECT DISTINCT
+         CAST(regexp_extract(subject, '\.u(\d+)$', 1) AS BIGINT) AS user_id,
+         epoch_us(ts_nats) // 21600000000 AS b
+  FROM scan
+), cohorts AS (
+  SELECT user_id, min(b) AS cohort FROM acts GROUP BY user_id
+)
+SELECT cohort, b - cohort AS offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM acts JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+    )
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -708,6 +750,7 @@ QUERIES = {
     "rel_zorder_layout": (rel_zorder_layout, _zorder_sql()),
     "docs_leakage_safe_split": (docs_leakage_safe_split, _leakage_split_sql()),
     "scan_fuzzy_subjects": (scan_fuzzy_subjects, _fuzzy_sql()),
+    "scan_cohort_retention": (scan_cohort_retention, _cohort_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
