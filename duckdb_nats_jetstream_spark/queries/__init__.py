@@ -48,6 +48,7 @@ _NEW_R03: list[str] = [
     "docs_leakage_safe_split",
     "scan_fuzzy_subjects",
     "scan_cohort_retention",
+    "docs_curation_v2",
     "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",

@@ -738,6 +738,91 @@ GROUP BY 1, 2
     )
 
 
+def docs_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 capstone curation pipeline, composed from this round's
+    operators: Gopher rule gate + corpus-frequency boilerplate ceiling +
+    exact dedup (min-id representative) + strict truncation-duplicate
+    removal (prefix containment), reported as per-source survivor counts
+    and token totals. Every stage is the operator the individual queries
+    verify; the composition shares one documents scan per stage and joins
+    on doc_id — the shape a 100 TB curation run takes."""
+    from pyspark.sql import Window as W
+
+    from duckdb_nats_jetstream_spark.operators import dedup as D2
+    from duckdb_nats_jetstream_spark.operators.boilerplate import (
+        segment_boilerplate_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    g = text_gopher_filters(spark, sf_dir).select("doc_id", "keep")
+    b = segment_boilerplate_stats(docs).select("doc_id", "boiler_frac")
+    trunc = (
+        D2.prefix_containment_pairs(docs)
+        .filter(F.col("len_short") < F.col("len_long"))
+        .select(F.col("id_short").alias("doc_id"))
+        .distinct()
+        .withColumn("is_trunc", F.lit(1))
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    ).withColumn("rn", F.row_number().over(w))
+    surv = (
+        ranked.join(g, "doc_id")
+        .join(b, "doc_id", "left")
+        .join(trunc, "doc_id", "left")
+        .filter(
+            (F.col("keep") == 1)
+            & (F.coalesce(F.col("boiler_frac"), F.lit(0.0)) <= 0.5)
+            & (F.col("rn") == 1)
+            & F.col("is_trunc").isNull()
+        )
+    )
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _curation_v2_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.boilerplate import (
+        sql_segment_boilerplate,
+    )
+    from duckdb_nats_jetstream_spark.operators.dedup import (
+        sql_prefix_containment,
+    )
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, keep FROM ({_gopher_sql()}) gq
+), b AS (
+  SELECT doc_id, boiler_frac FROM ({sql_segment_boilerplate()}) bq
+), trunc AS (
+  SELECT DISTINCT id_short AS doc_id
+  FROM ({sql_prefix_containment()}) pq WHERE len_short < len_long
+), ranked AS (
+  SELECT doc_id, source, {TX.sql_token_count('text')} AS n_tokens,
+         row_number() OVER (
+           PARTITION BY {TX.sql_fingerprint('text')} ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT r.source, count(*) AS n_docs,
+       CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens
+FROM ranked r
+JOIN g USING (doc_id)
+LEFT JOIN b USING (doc_id)
+LEFT JOIN trunc t ON t.doc_id = r.doc_id
+WHERE g.keep = 1
+  AND coalesce(b.boiler_frac, CAST(0.0 AS DOUBLE)) <= CAST(0.5 AS DOUBLE)
+  AND r.rn = 1
+  AND t.doc_id IS NULL
+GROUP BY r.source
+"""
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -751,6 +836,7 @@ QUERIES = {
     "docs_leakage_safe_split": (docs_leakage_safe_split, _leakage_split_sql()),
     "scan_fuzzy_subjects": (scan_fuzzy_subjects, _fuzzy_sql()),
     "scan_cohort_retention": (scan_cohort_retention, _cohort_sql()),
+    "docs_curation_v2": (docs_curation_v2, _curation_v2_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
