@@ -247,3 +247,39 @@ def test_q22_scalar_subquery_is_single_row_broadcast(spark, sf_dir):
     # subquery idiom), never a shuffled cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_prunes_to_two_columns(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline3 import rel_zorder_layout
+
+    # only the two bucketed keys are ever read from lineitem
+    assert_read_schema_pruned(
+        rel_zorder_layout(spark, sf_dir), ["l_extendedprice", "l_comment", "l_shipdate"]
+    )
+
+
+def test_prefix_containment_is_hash_join_on_block_key(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline3 import (
+        dedup_prefix_containment,
+    )
+
+    df = dedup_prefix_containment(spark, sf_dir)
+    plan = physical_plan(df)
+    assert_no_cartesian(df)
+    assert "NestedLoop" not in plan  # the prefix predicate must NOT be the join key
+
+
+def test_knn_join_no_cartesian_and_bounded_shape(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline3 import sim_knn_join
+
+    df = sim_knn_join(spark, sf_dir)
+    assert_no_cartesian(df)
+    # the merge is a window rank over the partial top-k stream, not a join
+    assert "FlatMapGroupsInPandas" in physical_plan(df)
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline3 import docs_snapshot_diff
+
+    plan = physical_plan(docs_snapshot_diff(spark, sf_dir))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
