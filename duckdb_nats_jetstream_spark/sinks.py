@@ -100,3 +100,39 @@ def read_batched_parquet(spark, path: str) -> DataFrame:
     """Read everything an :func:`idempotent_parquet_sink` produced (the
     ``batch=<id>`` level is a normal hive partition column, dropped here)."""
     return spark.read.option("basePath", path).parquet(f"{path}/batch=*").drop("batch")
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE/maintenance pass every streaming
+    sink eventually needs): rewrite a fragmented parquet directory into
+    ``ceil(input_bytes / target_file_bytes)`` size-targeted files,
+    optionally re-establishing a hive partition layout. Returns the output
+    file count chosen.
+
+    Sizing reads the source's file statuses through the Hadoop FileSystem
+    API (works for any supported scheme, not just local paths); the data
+    itself moves through one repartition — no driver materialization."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    for uri in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    if partition_cols:
+        write_partitioned_parquet(
+            df, dst_path, partition_cols, files_per_partition=1
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

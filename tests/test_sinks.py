@@ -82,3 +82,21 @@ def test_idempotent_streaming_sink_replay_safe(spark, tmp_path):
     q2 = sinks.idempotent_parquet_sink(message_stream(spark, str(log)), out, ckpt)
     q2.awaitTermination()
     assert sinks.read_batched_parquet(spark, out).count() == n1
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from duckdb_nats_jetstream_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # 40 tiny files
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(40).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    out = spark.read.parquet(dst)
+    import glob
+
+    n_out = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert n_out <= max(n, 1) < 40
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b  # lossless rewrite
