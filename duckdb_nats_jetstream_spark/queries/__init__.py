@@ -49,6 +49,7 @@ _NEW_R03: list[str] = [
     "scan_fuzzy_subjects",
     "scan_cohort_retention",
     "docs_curation_v2",
+    "multimodal_audio_stats",
     "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",

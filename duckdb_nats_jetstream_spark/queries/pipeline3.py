@@ -823,6 +823,69 @@ GROUP BY r.source
 """
 
 
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM waveform audit (:func:`operators.multimodal.audio_waveform_stats`)
+    over payload bytes inflated ×8 into synthetic audio clips — the
+    audio-modality plumbing (binary → typed features) with every signal an
+    exact integer, so the oracle re-decodes the samples from hex and must
+    agree bit-for-bit (including the column-side RMS)."""
+    from duckdb_nats_jetstream_spark.operators.multimodal import (
+        audio_waveform_stats,
+    )
+    from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
+
+    src = message_scan(spark, sf_dir, start_seq=1, end_seq=500)
+    media = src.select(
+        F.col("seq").alias("media_id"),
+        F.concat(*([F.coalesce(F.col("payload"), F.lit(b""))] * 8)).alias("data"),
+    )
+    return audio_waveform_stats(media)
+
+
+def _audio_stats_sql() -> str:
+    from duckdb_nats_jetstream_spark.queries.pipeline import _SCAN_CTE
+
+    # sample i (0-based): low byte at hex pos 4i+1, high at 4i+3 (LE int16)
+    raw = (
+        "CAST('0x' || substr(hx, CAST(4 * i + 1 AS BIGINT), 2) AS INT) "
+        "+ 256 * CAST('0x' || substr(hx, CAST(4 * i + 3 AS BIGINT), 2) AS INT)"
+    )
+    return (
+        _SCAN_CTE
+        + f""", b AS (
+  SELECT seq AS media_id,
+         repeat(lower(hex(coalesce(payload, '')::BLOB)), 8) AS hx
+  FROM scan WHERE seq BETWEEN 1 AND 500
+), n AS (
+  SELECT media_id, hx, length(hx) // 4 AS ns FROM b
+), s AS (
+  SELECT media_id, ns,
+         list_transform(range(0, ns),
+                        i -> CASE WHEN {raw} >= 32768
+                                  THEN ({raw}) - 65536
+                                  ELSE {raw} END) AS xs
+  FROM n
+)
+SELECT media_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(coalesce(list_max(list_transform(xs, x -> abs(x))), 0) AS BIGINT)
+         AS peak,
+       CAST(coalesce(list_sum(list_transform(xs, x -> CAST(x AS BIGINT) * x)), 0)
+            AS BIGINT) AS sum_sq,
+       CAST(len(list_filter(range(1, ns),
+                i -> (xs[CAST(i AS INT)] >= 0)
+                     != (xs[CAST(i + 1 AS INT)] >= 0))) AS BIGINT)
+         AS zero_crossings,
+       CASE WHEN ns > 0
+            THEN sqrt(CAST(coalesce(list_sum(
+                   list_transform(xs, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT)
+                 / CAST(ns AS BIGINT))
+            ELSE CAST(0.0 AS DOUBLE) END AS rms
+FROM s
+"""
+    )
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -837,6 +900,7 @@ QUERIES = {
     "scan_fuzzy_subjects": (scan_fuzzy_subjects, _fuzzy_sql()),
     "scan_cohort_retention": (scan_cohort_retention, _cohort_sql()),
     "docs_curation_v2": (docs_curation_v2, _curation_v2_sql()),
+    "multimodal_audio_stats": (multimodal_audio_stats, _audio_stats_sql()),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
