@@ -23,7 +23,9 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #: on a "no_oracle" non-verdict).
 #:
 #: Round-3 allocation, in order:
-#:   1. queries NEW this round (never existed before — must prove themselves)
+#:   1. queries NEW this round (never existed before — must prove themselves;
+#:      23 of them, including sim_ivf_topk which was rows-only in r02 and is
+#:      now oracle-backed via the embedded-codebook mirror)
 #:   2. the 10 oracle-backed queries that have NEVER had a driver row
 #:      (landed past the r02 cut)
 #:   3. multimodal_features — r02's one `err` row, fixed AND upgraded from
@@ -32,9 +34,9 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #:      once to prove it executes under the driver, then rotate it out
 #:   5. the r01-only-green scan queries: round 2 canonicalized `ts` to
 #:      TimestampType and touched the scan path after their last rows
-#:   6. the r01-only-green relational remainder (oldest evidence first)
-#: Everything else (r02-green, then sim_ivf_topk and other rows-only) follows
-#: past the cut; they rotate back in future rounds.
+#: That fills the ~50 budget exactly; the r01-green relational remainder
+#: follows immediately past the cut (unchanged code, r01 rows + local
+#: multi-SF parity as evidence) and rotates in next round.
 _NEW_R03: list[str] = [
     # appended as round-3 operators land; keep ahead of the backlog
     "sim_knn_join",

@@ -1,11 +1,18 @@
-"""Training-data pipeline queries, batch 3 (round 3): Gopher-style quality
-rule filtering, embedding int8 quantization, SRP-bucket centroids
-(codebook refresh), DF-capped winnowing pairs, and TPC-H Q6.
+"""Training-data pipeline queries, batch 3 (round 3).
 
-Scale notes: every new query is either pure row-local column math
-(gopher rules, quantization) or a single hash aggregation on a key the
-downstream join already shuffles on (centroids, DF cap) — no new shuffle
-shapes, no windows over raw rows, no driver collects.
+First wave: Gopher-style quality rules, int8 quantization, SRP-bucket
+centroids, DF-capped winnowing, duplicated-span audit, exact group
+quantiles, TPC-H Q6. Second wave: exact k-NN self-join, corpus-frequency
+boilerplate, frame sampling, prefix-containment dedup, snapshot diff
+(CDC), mixture planning, EWMA trends, Z-order layout audit, leakage-safe
+splitting, SymSpell fuzzy matching, cohort retention, char diversity,
+audio waveform stats, and the capstone curation pipeline composing them.
+
+Scale notes: each query is row-local column math, one-or-two hash
+aggregations on the key its join already shuffles on, or a blocked join
+whose key bounds the pair explosion — no new shuffle shapes, no windows
+over raw rows, no unbounded driver collects (the z-order min/max and the
+IVF fit sample are the two bounded exceptions, both documented).
 """
 
 from __future__ import annotations
