@@ -52,6 +52,8 @@ _NEW_R03: list[str] = [
     "scan_cohort_retention",
     "docs_curation_v2",
     "multimodal_audio_stats",
+    "docs_quality_percentile",
+    "docs_domain_shift",
     "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",

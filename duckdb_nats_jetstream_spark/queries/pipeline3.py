@@ -893,6 +893,123 @@ FROM s
     )
 
 
+def docs_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score percentile normalization: map each doc's
+    quality score to its ``percent_rank`` WITHIN its source — the
+    calibration step before cross-domain quality thresholds (a 0.6 in a
+    clean domain and a 0.6 in a noisy one mean different things).
+    ``percent_rank = (rank−1)/(n−1)`` is an exact integer ratio, so the
+    oracle matches bit-for-bit. Window partitioned by source — per-source
+    sort, distributed across sources at scale."""
+    from pyspark.sql import Window as W
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score(TX.tokens(F.col("text"))).alias("qs")
+    )
+    w = W.partitionBy("source").orderBy("qs", "doc_id")
+    return scored.select(
+        "doc_id", "source", "qs", F.percent_rank().over(w).alias("q_pct")
+    )
+
+
+QUALITY_PERCENTILE_SQL = f"""
+SELECT doc_id, source, qs,
+       percent_rank() OVER (PARTITION BY source ORDER BY qs, doc_id) AS q_pct
+FROM (SELECT doc_id, source, {TX.sql_quality_score(_TOKS)} AS qs FROM documents) t
+"""
+
+
+def docs_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift audit: chi-square statistic of each source's token
+    distribution against the corpus distribution over the corpus's top-50
+    tokens (transcendental-free alternative to KL divergence — log's last
+    ulp differs cross-engine; χ² is subtract/square/divide in one pinned
+    order). High values mark sources whose vocabulary diverges from the
+    mixture — the signal a curation run uses to reweight or quarantine a
+    domain. Plan: one (source, token) hash agg, a broadcast of the top-50
+    corpus rows, and a per-source fold over the SORTED token list."""
+    tok = spread(read_table(spark, sf_dir, "documents")).select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o"))
+    corpus = (
+        st.groupBy("token")
+        .agg(F.sum("o").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(50)
+    )
+    totals = st.groupBy("source").agg(F.sum("o").alias("src_total"))
+    corpus_total = corpus.agg(F.sum("c").alias("ct"))
+    # 50-row (token, c, ct) side is explicitly broadcast: the cross joins
+    # plan as BroadcastNestedLoopJoin over a tiny build side, never a
+    # shuffled cartesian
+    small = F.broadcast(corpus.crossJoin(F.broadcast(corpus_total)))
+    j = (
+        totals.crossJoin(small)
+        .join(st, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+            "c",
+            "src_total",
+            "ct",
+        )
+    )
+    # fold over tokens sorted by name so the double sum order is pinned
+    per_tok = j.select(
+        "source",
+        "src_total",
+        F.struct("token", "o", "c", "ct").alias("s"),
+    )
+    agg = per_tok.groupBy("source", "src_total").agg(
+        F.array_sort(F.collect_list("s")).alias("xs")
+    )
+    term = lambda acc, x: acc + (  # noqa: E731
+        (x["o"] - (x["c"] * F.col("src_total")) / x["ct"])
+        * (x["o"] - (x["c"] * F.col("src_total")) / x["ct"])
+    ) / ((x["c"] * F.col("src_total")) / x["ct"])
+    return agg.select(
+        "source",
+        F.col("src_total").cast("long").alias("n_tokens"),
+        F.aggregate("xs", F.lit(0.0), term).alias("chi2"),
+    )
+
+
+DOMAIN_SHIFT_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+), st AS (
+  SELECT source, token, count(*) AS o FROM tok GROUP BY 1, 2
+), corpus AS (
+  SELECT token, sum(o) AS c FROM st GROUP BY token
+  ORDER BY c DESC, token LIMIT 50
+), ctot AS (SELECT sum(c) AS ct FROM corpus),
+totals AS (SELECT source, CAST(sum(o) AS BIGINT) AS src_total FROM st GROUP BY source),
+j AS (
+  SELECT t.source, t.src_total, cp.token,
+         CAST(coalesce(s.o, 0) AS BIGINT) AS o,
+         CAST(cp.c AS BIGINT) AS c, CAST(ctot.ct AS BIGINT) AS ct
+  FROM totals t CROSS JOIN corpus cp CROSS JOIN ctot
+  LEFT JOIN st s ON s.source = t.source AND s.token = cp.token
+), packed AS (
+  SELECT source, src_total,
+         list_sort(list({{'token': token, 'o': o, 'c': c, 'ct': ct}})) AS xs
+  FROM j GROUP BY source, src_total
+)
+SELECT source, src_total AS n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(xs, x ->
+             ((x.o - (x.c * src_total) / x.ct)
+              * (x.o - (x.c * src_total) / x.ct))
+             / ((x.c * src_total) / x.ct))),
+         (acc, v) -> acc + v) AS chi2
+FROM packed
+"""
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -908,6 +1025,8 @@ QUERIES = {
     "scan_cohort_retention": (scan_cohort_retention, _cohort_sql()),
     "docs_curation_v2": (docs_curation_v2, _curation_v2_sql()),
     "multimodal_audio_stats": (multimodal_audio_stats, _audio_stats_sql()),
+    "docs_quality_percentile": (docs_quality_percentile, QUALITY_PERCENTILE_SQL),
+    "docs_domain_shift": (docs_domain_shift, DOMAIN_SHIFT_SQL),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
