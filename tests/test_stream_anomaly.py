@@ -1,0 +1,61 @@
+"""Streaming EWMA anomaly baseline: every CLOSED hour's smoothed value
+must equal the batch prefix-EWMA over the same observed-hour series."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
+from duckdb_nats_jetstream_spark.streaming.anomaly import streaming_ewma_anomaly
+from duckdb_nats_jetstream_spark.streaming.stream_scan import message_stream
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("ewma_log")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    return str(d)
+
+
+def test_streaming_ewma_matches_batch_prefix(spark, sf_dir, log_dir, tmp_path):
+    stream = message_stream(spark, log_dir)
+    out = streaming_ewma_anomaly(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.subject, r.hour): (r.n_msgs, r.ewma)
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+    assert got, "no closed hours emitted"
+
+    hourly = (
+        message_scan(spark, sf_dir)
+        .groupBy("subject", F.expr("unix_micros(ts_nats) div 3600000000").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r.subject, []).append((r.h, r.c))
+    n_checked = 0
+    for subject, pts in series.items():
+        pts.sort()
+        ewma = None
+        for i, (h, c) in enumerate(pts):
+            ewma = float(c) if ewma is None else 0.25 * c + 0.75 * ewma
+            if i < len(pts) - 1:  # last hour per subject stays open
+                assert got[(subject, h)] == (c, ewma), (subject, h)
+                n_checked += 1
+            else:
+                assert (subject, h) not in got
+    assert n_checked > 0 and len(got) == n_checked
