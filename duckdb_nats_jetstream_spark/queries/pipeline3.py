@@ -1010,6 +1010,57 @@ FROM packed
 """
 
 
+def docs_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the complement of sequence packing: split
+    each document into ≤64-token chunks with an 8-token overlap (stride
+    56), the standard long-document preparation for a fixed context
+    window. Row-local array slicing (explode of per-row chunk indices) —
+    rides the scan; the md5 digest pins every chunk's exact content for
+    the oracle."""
+    size, stride = 64, 56
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2·stride … while start < n (last chunk may
+    # be short); empty docs yield none
+    n_chunks = F.when(n > 0, F.floor((n - 1) / stride) + 1).otherwise(F.lit(0))
+    idxs = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("__t"),
+        F.explode(idxs).alias("chunk_no"),
+    )
+    chunk = F.slice(F.col("__t"), F.col("chunk_no") * stride + 1, size)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+CHUNK_SEQUENCES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, CASE WHEN len(t) > 0
+                              THEN (len(t) - 1) // 56 + 1 ELSE 0 END)) AS i
+  FROM tok
+), ch AS (
+  SELECT doc_id, i,
+         t[CAST(i * 56 + 1 AS INT):CAST(i * 56 + 64 AS INT)] AS c
+  FROM idx
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+       CAST(len(c) AS BIGINT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_md5
+FROM ch
+"""
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -1027,6 +1078,7 @@ QUERIES = {
     "multimodal_audio_stats": (multimodal_audio_stats, _audio_stats_sql()),
     "docs_quality_percentile": (docs_quality_percentile, QUALITY_PERCENTILE_SQL),
     "docs_domain_shift": (docs_domain_shift, DOMAIN_SHIFT_SQL),
+    "docs_chunk_sequences": (docs_chunk_sequences, CHUNK_SEQUENCES_SQL),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
