@@ -62,6 +62,7 @@ def message_stream(
     *,
     subject: str | None = None,
     json_fields: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """``readStream`` over a directory of parquet message-log files,
     projected to the message schema. New files appearing in ``log_dir`` are
@@ -69,11 +70,12 @@ def message_stream(
     TimestampType whatever the stored flavor (schema.py BASE_FIELDS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = _events_raw_ts_type(log_dir)
-    raw = (
-        spark.readStream.schema(_events_raw_schema(ts_type))
-        .format("parquet")
-        .load(log_dir)
-    )
+    reader = spark.readStream.schema(_events_raw_schema(ts_type)).format("parquet")
+    if max_files_per_trigger is not None:
+        # bounds each micro-batch (availableNow honors it too) — the knob
+        # tests use to force multi-batch state round-trips
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(log_dir)
     if isinstance(ts_type, T.LongType):
         ts_nats = F.timestamp_micros(F.expr("ts div 1000"))
     else:

@@ -92,3 +92,60 @@ def test_streaming_heavy_hitters_bounds(spark, sf_dir, log_dir, tmp_path):
             assert (p, s) in kept, f"heavy hitter {s} (count {c}) missing"
         if (p, s) in kept:  # kept counters never overestimate, bounded under
             assert c - err <= kept[(p, s)] <= c
+
+
+def test_streaming_heavy_hitters_multibatch_state(spark, sf_dir, tmp_path):
+    """The array-typed GroupState must round-trip across micro-batches:
+    split the log into two files, one file per trigger, and the final
+    snapshots must equal the single-batch run's."""
+    d = tmp_path / "hh_log2"
+    d.mkdir()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(d / "p0"))
+    events.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(d / "p1"))
+    import glob
+    import shutil
+
+    for i, part in enumerate(sorted(glob.glob(f"{d}/p*/part-*.parquet"))):
+        shutil.copy(part, d / f"{i}.parquet")
+    shutil.rmtree(d / "p0")
+    shutil.rmtree(d / "p1")
+
+    stream = message_stream(spark, str(d), max_files_per_trigger=1)
+    out = streaming_heavy_hitters(stream, token_col="subject", k=K, n_parts=N_PARTS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_mb_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        """
+        SELECT part, token, mg_count, n_seen FROM (
+          SELECT *, max(n_seen) OVER (PARTITION BY part) AS mx FROM hh_mb_out
+        ) WHERE n_seen = mx
+        """
+    ).collect()
+    # more than one snapshot generation proves multiple batches ran
+    n_gens = spark.sql(
+        "SELECT count(DISTINCT n_seen) c FROM hh_mb_out"
+    ).collect()[0].c
+    assert n_gens > 1, "expected multiple micro-batches"
+    # n_seen must equal the full exact totals per partition
+    from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
+
+    batch = message_scan(spark, sf_dir)
+    exact_n = {
+        r.part: r.n
+        for r in batch.select(
+            F.pmod(F.xxhash64("subject"), F.lit(N_PARTS)).cast("int").alias("part")
+        )
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_n = {r.part: r.n_seen for r in rows}
+    assert got_n == exact_n
