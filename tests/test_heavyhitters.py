@@ -106,8 +106,13 @@ def test_streaming_heavy_hitters_multibatch_state(spark, sf_dir, tmp_path):
     import glob
     import shutil
 
+    import os
+    import time
+
     for i, part in enumerate(sorted(glob.glob(f"{d}/p*/part-*.parquet"))):
-        shutil.copy(part, d / f"{i}.parquet")
+        dst = d / f"{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
     shutil.rmtree(d / "p0")
     shutil.rmtree(d / "p1")
 

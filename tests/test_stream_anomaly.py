@@ -59,3 +59,66 @@ def test_streaming_ewma_matches_batch_prefix(spark, sf_dir, log_dir, tmp_path):
             else:
                 assert (subject, h) not in got
     assert n_checked > 0 and len(got) == n_checked
+
+
+def test_streaming_ewma_multibatch_chronological(spark, sf_dir, tmp_path):
+    """State must carry across micro-batches: chronological split (the
+    source contract — per-subject hours non-decreasing), one file per
+    trigger; closed hours must still equal the batch prefix, including the
+    boundary hour that spans both batches."""
+    import glob
+    import shutil
+
+    d = tmp_path / "ewma_log2"
+    d.mkdir()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    events.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(str(d / "p0"))
+    events.filter(F.col("event_id") > mid).coalesce(1).write.parquet(str(d / "p1"))
+    import os
+    import time
+
+    for i, part in enumerate(sorted(glob.glob(f"{d}/p*/part-*.parquet"))):
+        dst = d / f"{i}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders batches by modification time, and a live
+        # tail's files appear in time order — equal mtimes from the copies
+        # would leave the order unspecified and can replay the halves
+        # backwards (observed), violating the operator's ordering contract
+        os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
+    shutil.rmtree(d / "p0")
+    shutil.rmtree(d / "p1")
+
+    stream = message_stream(spark, str(d), max_files_per_trigger=1)
+    out = streaming_ewma_anomaly(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_mb_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.subject, r.hour): (r.n_msgs, r.ewma)
+        for r in spark.sql("SELECT * FROM ewma_mb_out").collect()
+    }
+    assert got
+
+    hourly = (
+        message_scan(spark, sf_dir)
+        .groupBy("subject", F.expr("unix_micros(ts_nats) div 3600000000").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r.subject, []).append((r.h, r.c))
+    for subject, pts in series.items():
+        pts.sort()
+        ewma = None
+        for i, (h, c) in enumerate(pts):
+            ewma = float(c) if ewma is None else 0.25 * c + 0.75 * ewma
+            if i < len(pts) - 1:
+                assert got[(subject, h)] == (c, ewma), (subject, h)
