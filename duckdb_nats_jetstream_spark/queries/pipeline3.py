@@ -707,8 +707,13 @@ def scan_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention over the message stream: users cohorted by their
     first-active 6-hour bucket; per (cohort, bucket-offset) distinct active
     users — the standard product-analytics retention triangle. Plan: one
-    distinct to (user, bucket) grain, a tiny per-user min agg, then one
-    count-distinct keyed (cohort, offset). All integer bucket math."""
+    distinct to (user, bucket) grain, cohort via a per-user window MIN
+    (the min-agg + join-back form re-scanned the events table — two
+    ReadSchema entries in the plan; the window reuses the distinct's
+    user-keyed shuffle), then one count-distinct keyed (cohort, offset).
+    All integer bucket math; ONE table scan."""
+    from pyspark.sql import Window as W
+
     from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
 
     df = message_scan(spark, sf_dir)
@@ -716,9 +721,9 @@ def scan_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("subject", r"\.u(\d+)$", 1).cast("long").alias("user_id"),
         F.expr("unix_micros(ts_nats) div 21600000000").alias("b"),
     ).distinct()
-    cohorts = acts.groupBy("user_id").agg(F.min("b").alias("cohort"))
+    cohort = F.min("b").over(W.partitionBy("user_id"))
     return (
-        acts.join(cohorts, "user_id")
+        acts.withColumn("cohort", cohort)
         .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("offset"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
