@@ -52,10 +52,29 @@ HEADLINE = [
 ]
 
 
+def _duckdb_con(sf_dir: str):
+    """One DuckDB connection with the 10 shared-table views registered —
+    used by both the full opt-in sweep and the incremental fill."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders "
+        "lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # the IVF oracle embeds a codebook trained from SPARK_GRAFT_ORACLE_SF_DIR
+    # at registry-import time; point it at THIS bench's sf_dir (unless the
+    # caller pinned it) so the timed mirror actually mirrors the data
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
 
     from duckdb_nats_jetstream_spark.queries import full_registry
     from duckdb_nats_jetstream_spark.session import get_spark
@@ -124,16 +143,7 @@ def main() -> None:
         except Exception:
             prior = {}
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
-        import duckdb
-
-        con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders "
-            "lineitem events documents embeddings"
-        ).split():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+        con = _duckdb_con(sf_dir)
         for name in sorted(registry):
             _fn, sql = registry[name]
             if not sql:
@@ -156,16 +166,7 @@ def main() -> None:
             n for n in sorted(timings) if registry[n][1] and n not in duckdb_s
         ]
         if missing:
-            import duckdb
-
-            con = duckdb.connect()
-            for t in (
-                "region nation customer supplier part orders "
-                "lineitem events documents embeddings"
-            ).split():
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-                )
+            con = _duckdb_con(sf_dir)
             for name in missing:
                 try:
                     t0 = time.perf_counter()

@@ -283,12 +283,14 @@ def char_diversity(c: Column) -> Column:
         F.array().cast("array<string>")
     )
     n = F.size(chars)
-    sumsq = F.aggregate(
+    # bind each distinct char's count ONCE (the O(n) filter ran twice per
+    # char before — doubling the dominant cost of this row-local path)
+    counts = F.transform(
         F.array_sort(F.array_distinct(chars)),
-        F.lit(0.0),
-        lambda acc, ch: acc
-        + (F.size(F.filter(chars, lambda x: x == ch)) / n)
-        * (F.size(F.filter(chars, lambda x: x == ch)) / n),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+    )
+    sumsq = F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + (c / n) * (c / n)
     )
     return F.when(n > 0, F.lit(1.0) - sumsq).otherwise(F.lit(0.0))
 
@@ -298,13 +300,15 @@ def sql_char_diversity(x: str) -> str:
         f"list_transform(range(1, length({x}) + 1), "
         f"i -> substring({x}, CAST(i AS INT), 1))"
     )
-    cnt = f"len(list_filter({chars}, y -> y = ch))"
     n = f"len({chars})"
-    p = f"(CAST({cnt} AS DOUBLE) / {n})"
+    counts = (
+        f"list_transform(list_sort(list_distinct({chars})), "
+        f"ch -> len(list_filter({chars}, y -> y = ch)))"
+    )
+    p = f"(CAST(c AS DOUBLE) / {n})"
     sumsq = (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(list_sort(list_distinct({chars})), "
-        f"ch -> {p} * {p})), (acc, v) -> acc + v)"
+        f"list_transform({counts}, c -> {p} * {p})), (acc, v) -> acc + v)"
     )
     return (
         f"CASE WHEN length({x}) > 0 THEN CAST(1.0 AS DOUBLE) - {sumsq} "

@@ -36,14 +36,18 @@ def segment_boilerplate_stats(
     distinct documents, and the exact fraction. Documents shorter than
     ``w`` words have no segments and are absent (mirrors the SQL, where
     ``range(0, 0)`` is empty)."""
-    words = F.split(F.col(text_col), " ")
+    # materialize the split FIRST: a transform lambda referencing the raw
+    # split(text) expression re-evaluates the whole split once per segment
+    # index (the PERF.md transform-lambda trap)
+    tokenized = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    words = F.col("__w")
     n_seg = F.floor(F.size(words) / w).cast("int")
     # guard the empty case: F.sequence(0, -1) yields a DESCENDING [0, -1],
     # not [] (the r02 winnowing lesson — ADVICE.md)
     idxs = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - F.lit(1))).otherwise(
         F.array().cast("array<int>")
     )
-    segs = df.select(
+    segs = tokenized.select(
         F.col(id_col),
         F.explode(
             F.transform(

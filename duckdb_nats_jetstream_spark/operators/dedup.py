@@ -616,10 +616,13 @@ def prefix_containment_pairs(
     for the short tail). Exactly-equal texts pair once (id order breaks the
     tie). Returns (id_short, id_long, len_short, len_long).
     """
+    # length measured on the LOWERED text: case folding can change string
+    # length (e.g. 'İ' lowers to two chars in the JVM), and the prefix test
+    # runs on __t — measuring the original would compare the wrong span
     base = df.select(
         F.col(id_col),
         F.lower(F.col(text_col)).alias("__t"),
-        F.length(text_col).alias("__l"),
+        F.length(F.lower(F.col(text_col))).alias("__l"),
     ).filter(F.col("__l") >= block_chars)
     keyed = base.withColumn("__blk", F.md5(F.substring("__t", 1, block_chars)))
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -655,8 +658,8 @@ def sql_prefix_containment(
     """DuckDB mirror of :func:`prefix_containment_pairs`."""
     return f"""
 WITH base AS (
-  SELECT {id_col}, lower({text_col}) AS t, length({text_col}) AS l
-  FROM {table} WHERE length({text_col}) >= {block_chars}
+  SELECT {id_col}, lower({text_col}) AS t, length(lower({text_col})) AS l
+  FROM {table} WHERE length(lower({text_col})) >= {block_chars}
 ), keyed AS (
   SELECT *, md5(substring(t, 1, {block_chars})) AS blk FROM base
 )

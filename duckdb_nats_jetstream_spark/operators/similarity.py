@@ -419,8 +419,10 @@ def knn_join(
     corpora beyond a few million vectors use :func:`srp_topk` / IVF.
 
     Cosine uses the fold-exact numpy kernel, so results are bit-identical to
-    the column-fold oracle (cross join + row_number). Returns
-    (query_id, neighbor_id, rnk, cos_r).
+    the column-fold oracle (cross join + row_number). ``dim`` is accepted
+    for API symmetry with :func:`cosine_topk` / ``functions.vector.dot``
+    and, like there, does NOT truncate vectors — the kernel always uses the
+    full stored width. Returns (query_id, neighbor_id, rnk, cos_r).
     """
     import numpy as np
 

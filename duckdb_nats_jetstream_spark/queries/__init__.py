@@ -24,7 +24,7 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #:
 #: Round-3 allocation, in order:
 #:   1. queries NEW this round (never existed before — must prove themselves;
-#:      23 of them, including sim_ivf_topk which was rows-only in r02 and is
+#:      25 of them, including sim_ivf_topk which was rows-only in r02 and is
 #:      now oracle-backed via the embedded-codebook mirror)
 #:   2. the 10 oracle-backed queries that have NEVER had a driver row
 #:      (landed past the r02 cut)
@@ -34,9 +34,10 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #:      once to prove it executes under the driver, then rotate it out
 #:   5. the r01-only-green scan queries: round 2 canonicalized `ts` to
 #:      TimestampType and touched the scan path after their last rows
-#: That fills the ~50 budget exactly; the r01-green relational remainder
-#: follows immediately past the cut (unchanged code, r01 rows + local
-#: multi-SF parity as evidence) and rotates in next round.
+#: Prefix arithmetic: 25 + 10 + 2 + 15 = 52, slightly over the observed
+#: ~50-row budget — the tail of the scan rotation (r01-green, unchanged
+#: code, multi-SF local parity) absorbs the overflow; the r01-green
+#: relational remainder follows past the cut and rotates next round.
 _NEW_R03: list[str] = [
     # appended as round-3 operators land; keep ahead of the backlog
     "sim_knn_join",

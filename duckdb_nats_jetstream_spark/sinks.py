@@ -23,6 +23,8 @@ Scale notes baked into each writer:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from duckdb_nats_jetstream_spark.errors import BindError
@@ -112,14 +114,22 @@ def compact_parquet(
     """Small-file compaction (the OPTIMIZE/maintenance pass every streaming
     sink eventually needs): rewrite a fragmented parquet directory into
     ``ceil(input_bytes / target_file_bytes)`` size-targeted files,
-    optionally re-establishing a hive partition layout. Returns the output
-    file count chosen.
+    optionally re-establishing a hive partition layout. Returns the
+    size-derived file-count target — in flat mode exactly that many files
+    are written; in partitioned mode the layout writer produces one file
+    per hive partition instead (small-file discipline comes from the
+    partition-column repartition) and the return value is informational.
 
     Sizing reads the source's file statuses through the Hadoop FileSystem
     API (works for any supported scheme, not just local paths); the data
     itself moves through one repartition — no driver materialization."""
     import math
 
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise BindError(
+            "compact_parquet: dst_path must differ from src_path — "
+            "overwriting the directory being lazily read loses the data"
+        )
     df = spark.read.parquet(src_path)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()

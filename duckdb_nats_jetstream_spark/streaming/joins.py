@@ -59,9 +59,13 @@ def stream_static_enrich(
     how: str = "left",
 ) -> DataFrame:
     """Stream–static enrichment join: every micro-batch joins against the
-    (batch) dimension table — no state, no watermark needed; Spark
-    re-evaluates the static side per trigger, so slowly-changing dims pick
-    up updates between batches. The dimension is broadcast-hinted: at
-    scale the stream side never shuffles, each executor probes a local
-    hash map (the only sane plan for a hot-path enrichment)."""
+    (batch) dimension table — no state, no watermark needed. Spark
+    re-evaluates the static side's PLAN per trigger, so a dim backed by a
+    re-resolvable source (catalog table, view, Delta-style table) picks up
+    updates between batches; a plain ``spark.read.parquet`` dim pins its
+    file listing at creation — new/overwritten files are NOT seen (rebuild
+    the dim DataFrame or use a table for SCD use). The dimension is
+    broadcast-hinted: at scale the stream side never shuffles, each
+    executor probes a local hash map (the only sane plan for a hot-path
+    enrichment)."""
     return stream.join(F.broadcast(dim), on, how)
