@@ -31,6 +31,7 @@ def asof_join(
     right_cols: dict[str, str],
     direction: str = "backward",
     tie_col: str | None = None,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: each left row gains the right row with the greatest
     ``right_ts <= left_ts`` (``backward``, inclusive — DuckDB ``ASOF JOIN``
@@ -40,6 +41,11 @@ def asof_join(
     ``right_cols`` maps right column → output alias. ``tie_col`` (a right
     column) deterministically breaks ties between right rows sharing one
     timestamp; required only when (key, right_ts) is not unique.
+    ``tolerance_us`` (timestamp columns only) is the feature-store
+    max-staleness bound: a match farther than this many microseconds from
+    the left timestamp is nulled out, exactly as if no right row existed —
+    stale features are worse than missing ones. Enforced AFTER the window
+    (row-local), so the plan shape is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise BindError(f"asof_join direction must be backward|forward, got {direction!r}")
@@ -54,7 +60,9 @@ def asof_join(
     if clash:
         raise BindError(f"asof_join output column(s) {sorted(clash)} collide with left side")
 
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload = F.struct(
+        F.col(right_ts).alias("__asof_mts"), *[F.col(c) for c in right_cols]
+    )
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts"),
@@ -84,6 +92,14 @@ def asof_join(
         u.withColumn("__asof_match", F.last(_R, ignorenulls=True).over(w))
         .filter(F.col(_L) == 1)
     )
+    if tolerance_us is not None:
+        lus = F.unix_micros(F.col("__asof_ts"))
+        mus = F.unix_micros(F.col("__asof_match.__asof_mts"))
+        staleness = lus - mus if direction == "backward" else mus - lus
+        matched = matched.withColumn(
+            "__asof_match",
+            F.when(staleness <= F.lit(tolerance_us), F.col("__asof_match")),
+        )
     out_cols = [c for c in left.columns] + [
         F.col(f"__asof_match.{src}").alias(dst) for src, dst in right_cols.items()
     ]

@@ -56,6 +56,7 @@ _NEW_R03: list[str] = [
     "docs_quality_percentile",
     "docs_domain_shift",
     "docs_chunk_sequences",
+    "scan_asof_tolerance",
     "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
     "text_char_diversity",
     "text_gopher_filters",

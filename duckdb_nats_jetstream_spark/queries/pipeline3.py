@@ -1066,6 +1066,43 @@ FROM ch
 """
 
 
+def scan_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a feature-store staleness bound: each error event
+    takes the user's most recent click ONLY if it is at most 6 hours old —
+    older matches are nulled as if absent (stale features are worse than
+    missing ones). Same union+window plan as ``scan_asof_join``; the bound
+    is one row-local predicate after the window."""
+    from duckdb_nats_jetstream_spark.operators.asof import asof_join
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"event_id": "click_id", "value": "click_value"},
+        tolerance_us=6 * 3600 * 1_000_000,
+    )
+
+
+ASOF_TOLERANCE_SQL = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       CASE WHEN r.ts IS NOT NULL
+             AND epoch_us(l.ts) - epoch_us(r.ts) <= 21600000000
+            THEN r.event_id END AS click_id,
+       CASE WHEN r.ts IS NOT NULL
+             AND epoch_us(l.ts) - epoch_us(r.ts) <= 21600000000
+            THEN r.value END AS click_value
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 QUERIES = {
     "text_gopher_filters": (text_gopher_filters, _gopher_sql()),
     "sim_knn_join": (sim_knn_join, S.sql_knn_join(k=3)),
@@ -1084,6 +1121,7 @@ QUERIES = {
     "docs_quality_percentile": (docs_quality_percentile, QUALITY_PERCENTILE_SQL),
     "docs_domain_shift": (docs_domain_shift, DOMAIN_SHIFT_SQL),
     "docs_chunk_sequences": (docs_chunk_sequences, CHUNK_SEQUENCES_SQL),
+    "scan_asof_tolerance": (scan_asof_tolerance, ASOF_TOLERANCE_SQL),
     "text_char_diversity": (text_char_diversity, CHAR_DIVERSITY_SQL),
     "sim_quantize_int8": (sim_quantize_int8, S.sql_quantize_int8()),
     "sim_bucket_centroids": (sim_bucket_centroids, S.sql_bucket_centroids()),
