@@ -66,6 +66,13 @@ _NEW_R03: list[str] = [
     "dedup_span_fraction",
     "docs_quality_quantiles",
     "rel_forecast_revenue",
+    # second wave (this session): named-technique gaps in the curation
+    # surface — each displaces an r01-green scan-rotation entry at the tail
+    # of the prefix (multi-SF local parity on those; new operators need
+    # their FIRST row more than rotation needs a repeat)
+    "dedup_semantic",
+    "docs_chunk_dedup",
+    "sim_kmeans",
 ]
 _NEVER_CHECKED_R02 = [
     "scan_subject_wildcard",
@@ -146,13 +153,14 @@ def full_registry() -> Registry:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
         relational,
         relational2,
         stream,
     )
 
     merged: Registry = {}
-    for mod in (pipeline, pipeline2, pipeline3, relational2, stream, relational):
+    for mod in (pipeline, pipeline2, pipeline3, pipeline4, relational2, stream, relational):
         for name, entry in mod.QUERIES.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = entry

@@ -1,0 +1,134 @@
+"""Operator-level invariants for the batch-4 pipeline ops (SemDeDup,
+chunk-frequency dedup with reassembly, distributed Lloyd k-means)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark.operators import chunkdedup as CD
+from duckdb_nats_jetstream_spark.operators import dedup as D
+from duckdb_nats_jetstream_spark.operators import kmeans as KM
+from duckdb_nats_jetstream_spark.operators import semantic as SD
+from duckdb_nats_jetstream_spark.session import read_table
+
+
+# --- SemDeDup -----------------------------------------------------------------
+
+
+def test_semantic_dedup_precision_is_exact(spark, sf_dir):
+    """Every pruned id must be the higher id of a TRUE near-dup pair at the
+    same threshold: bucketing only reduces recall, never precision (cosine
+    inside the bucket is exact)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pruned = {
+        r.vec_id
+        for r in SD.semantic_dedup_pruned(emb, threshold=0.4, n_bits=6).collect()
+    }
+    exact_higher = {
+        r.id_b
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert pruned <= exact_higher
+    # and the blocking actually found something at this corpus/threshold
+    assert pruned
+
+
+def test_semantic_dedup_fewer_bits_more_recall(spark, sf_dir):
+    """Shrinking the bucket count (fewer bits) can only grow the candidate
+    set — monotone recall, the documented dial."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    p3 = {r.vec_id for r in SD.semantic_dedup_pruned(emb, 0.4, n_bits=3).collect()}
+    p6 = {r.vec_id for r in SD.semantic_dedup_pruned(emb, 0.4, n_bits=6).collect()}
+    assert p6 <= p3
+
+
+# --- chunk dedup --------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_dedup_drops_shared_chunk_keeps_rest(spark):
+    shared = " ".join(f"s{i}" for i in range(8))  # one full 8-word chunk
+    a_rest = " ".join(f"a{i}" for i in range(8))
+    b_rest = " ".join(f"b{i}" for i in range(8))
+    df = _docs(
+        spark,
+        [(1, f"{shared} {a_rest}"), (2, f"{shared} {b_rest}"), (3, "lonely words")],
+    )
+    out = {r.doc_id: r for r in CD.chunk_dedup(df, chunk_words=8).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_dropped == 1
+    assert out[2].n_chunks == 2 and out[2].n_dropped == 1
+    assert out[1].cleaned_md5 == hashlib.md5(a_rest.encode()).hexdigest()
+    assert out[2].cleaned_md5 == hashlib.md5(b_rest.encode()).hexdigest()
+    # untouched doc reassembles to its original text byte-for-byte
+    assert out[3].n_dropped == 0
+    assert out[3].cleaned_md5 == hashlib.md5(b"lonely words").hexdigest()
+
+
+def test_chunk_dedup_fully_boilerplate_doc_empties(spark):
+    same = " ".join(f"w{i}" for i in range(16))
+    df = _docs(spark, [(1, same), (2, same)])
+    out = {r.doc_id: r for r in CD.chunk_dedup(df, chunk_words=8).collect()}
+    for r in out.values():
+        assert r.n_dropped == r.n_chunks == 2
+        assert r.cleaned_chars == 0
+        assert r.cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_chunk_dedup_within_doc_repetition_is_not_boilerplate(spark):
+    """A chunk repeated twice INSIDE one doc has doc_freq=1 — kept (that's
+    the repetition operator's job, not this one's)."""
+    rep = " ".join(f"r{i}" for i in range(8))
+    df = _docs(spark, [(1, f"{rep} {rep}"), (2, "other words entirely")])
+    out = {r.doc_id: r for r in CD.chunk_dedup(df, chunk_words=8).collect()}
+    assert out[1].n_dropped == 0
+
+
+def test_chunk_dedup_reassembly_preserves_corpus_unique_text(spark, sf_dir):
+    """On the real corpus with max_doc_freq high enough to keep everything,
+    reassembly must reproduce every document exactly."""
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    out = CD.chunk_dedup(docs, chunk_words=8, max_doc_freq=10**9)
+    joined = out.join(docs, "doc_id").filter(
+        F.md5(F.col("text")) != F.col("cleaned_md5")
+    )
+    assert joined.count() == 0
+
+
+# --- distributed k-means ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def km_sizes(spark):
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    return KM.kmeans_cluster_sizes(emb, k=8).collect()
+
+
+def test_kmeans_partitions_the_corpus(spark, km_sizes):
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    assert sum(r.n_iter1 for r in km_sizes) == n
+    assert sum(r.n_iter2 for r in km_sizes) == n
+    assert {r.cluster for r in km_sizes} <= set(range(8))
+
+
+def test_kmeans_stayed_bounded_and_update_moves_rows(km_sizes):
+    for r in km_sizes:
+        assert 0 <= r.n_stayed <= min(r.n_iter1, r.n_iter2)
+    # iteration 2 must keep a majority in place (centroids move toward the
+    # data) while the seed-init guarantees SOME movement on a real corpus
+    stayed = sum(r.n_stayed for r in km_sizes)
+    total = sum(r.n_iter2 for r in km_sizes)
+    assert stayed > total // 2
+
+
+def test_kmeans_deterministic(spark):
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, KM.kmeans_cluster_sizes(emb, k=4).collect()))
+    b = sorted(map(tuple, KM.kmeans_cluster_sizes(emb, k=4).collect()))
+    assert a == b
