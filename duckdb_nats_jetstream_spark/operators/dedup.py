@@ -670,3 +670,116 @@ FROM keyed a JOIN keyed b
  AND substring(b.t, 1, CAST(a.l AS BIGINT)) = a.t
  AND (a.l < b.l OR a.{id_col} < b.{id_col})
 """
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """Incoming-batch vs existing-corpus near-dup screen — the production
+    shape of LSH dedup: an incremental crawl/batch is checked against the
+    already-accepted training set, NOT against itself (intra-batch dedup is
+    :func:`minhash_lsh_pairs`'s job; run both for full hygiene).
+
+    Candidates = band-key equi-join between the batch's and the corpus's
+    banded min-hash signatures; verification = exact shingle Jaccard.
+    Returns one row per *flagged* incoming document:
+    ``(doc_id, n_ref_dups)`` — how many existing documents it near-matches.
+    Anti-join the batch against this result to admit the survivors.
+
+    Scale shape: the reference side's banded signatures are a narrow
+    (id, band_key) relation that at steady state is precomputed once and
+    stored (signature store), so each incremental batch costs
+    O(batch grams) + one equi-join keyed band_key against the store —
+    corpus text is never rescanned per batch. Candidate verification
+    fetches only the matched candidates' shingles via join-back.
+    """
+    new_sh = _with_shingles(new_df, text_col, id_col, n)
+    ref_sh = _with_shingles(ref_df, text_col, id_col, n)
+    new_sh.persist()
+    ref_sh.persist()
+    nb = _banded_signatures(new_sh, id_col, k, band_size).alias("nb")
+    rb = _banded_signatures(ref_sh, id_col, k, band_size).alias("rb")
+    cand = (
+        nb.join(rb, F.col("nb.band_key") == F.col("rb.band_key"))
+        .select(
+            F.col(f"nb.{id_col}").alias("new_id"),
+            F.col(f"rb.{id_col}").alias("ref_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            new_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_n")),
+            "new_id",
+        )
+        .join(
+            ref_sh.select(F.col(id_col).alias("ref_id"), F.col("sh").alias("sh_r")),
+            "ref_id",
+        )
+        .filter(jaccard(F.col("sh_n"), F.col("sh_r")) >= threshold)
+    )
+    out = verified.groupBy(F.col("new_id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_ref_dups")
+    )
+    out = out.localCheckpoint(eager=True)
+    new_sh.unpersist(blocking=False)
+    ref_sh.unpersist(blocking=False)
+    return out
+
+
+def sql_incremental_near_dups(
+    new_pred: str,
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror: ``new_pred`` selects the incoming batch; its negation
+    is the reference corpus."""
+    from duckdb_nats_jetstream_spark.functions.text import (
+        sql_minhash_signature,
+        sql_shingles,
+        sql_tokens,
+    )
+
+    sig = sql_minhash_signature("sh", k)
+    sig_cols = ", ".join(f"{s} AS sig_{i}" for i, s in enumerate(sig))
+    n_bands = k // band_size
+    band_selects = []
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"sig_{b * band_size + j}" for j in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT {id_col}, is_new, sh, md5('{b}' || '|' || {parts}) AS band_key FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    from duckdb_nats_jetstream_spark.functions.text import sql_jaccard
+
+    return f"""
+WITH docs AS (
+  SELECT {id_col}, ({new_pred}) AS is_new,
+         {sql_shingles(sql_tokens('text'))} AS sh
+  FROM {table}
+), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
+sigs AS (SELECT {id_col}, is_new, sh, {sig_cols} FROM nonempty),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT n.{id_col} AS new_id, r.{id_col} AS ref_id,
+         n.sh AS sh_n, r.sh AS sh_r
+  FROM banded n JOIN banded r
+    ON n.band_key = r.band_key AND n.is_new AND NOT r.is_new
+)
+SELECT new_id AS {id_col}, COUNT(*) AS n_ref_dups
+FROM cand
+WHERE {sql_jaccard('sh_n', 'sh_r')} >= {threshold}
+GROUP BY 1
+"""

@@ -73,6 +73,8 @@ _NEW_R03: list[str] = [
     "dedup_semantic",
     "docs_chunk_dedup",
     "sim_kmeans",
+    "dedup_incremental",
+    "decon_bloom",
 ]
 _NEVER_CHECKED_R02 = [
     "scan_subject_wildcard",

@@ -20,12 +20,18 @@ aggregation per update — no shuffle grows super-linearly in corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from duckdb_nats_jetstream_spark.operators import chunkdedup as CD
+from duckdb_nats_jetstream_spark.operators import dedup as D
+from duckdb_nats_jetstream_spark.operators import decon as DC
 from duckdb_nats_jetstream_spark.operators import kmeans as KM
 from duckdb_nats_jetstream_spark.operators import semantic as SD
 from duckdb_nats_jetstream_spark.session import read_table
+
+#: the incoming "batch" for the incremental dedup screen: two of the
+#: twenty sources play the freshly crawled slice
+_NEW_SOURCES = ("src0", "src1")
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,8 +52,35 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-batch (sources src0/src1) vs accepted-corpus near-dup
+    screen — the production LSH shape: each new crawl slice is checked
+    against the existing training set, never rescanning it per batch."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source").isin(*_NEW_SOURCES))
+    ref = docs.filter(~F.col("source").isin(*_NEW_SOURCES))
+    return D.incremental_near_dups(new, ref, k=8, band_size=2, threshold=0.2)
+
+
+def decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch benchmark decontamination (same every-50th-doc eval
+    split as ``decon_ngram_overlap``): constant broadcast memory in
+    benchmark size, zero false negatives, tunable false-positive rate."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return DC.bloom_contamination(train, bench, n=3, n_hashes=3, cell_hex=3)
+
+
+_NEW_PRED = "source IN ('src0', 'src1')"
+
 QUERIES = {
     "dedup_semantic": (dedup_semantic, SD.sql_semantic_dedup_pruned(0.4, 6)),
     "docs_chunk_dedup": (docs_chunk_dedup, CD.sql_chunk_dedup(8, 1)),
     "sim_kmeans": (sim_kmeans, KM.sql_kmeans_cluster_sizes(8)),
+    "dedup_incremental": (
+        dedup_incremental,
+        D.sql_incremental_near_dups(_NEW_PRED, 8, 2, 0.2),
+    ),
+    "decon_bloom": (decon_bloom, DC.sql_bloom_contamination("doc_id % 50 = 0")),
 }

@@ -132,3 +132,73 @@ def test_kmeans_deterministic(spark):
     a = sorted(map(tuple, KM.kmeans_cluster_sizes(emb, k=4).collect()))
     b = sorted(map(tuple, KM.kmeans_cluster_sizes(emb, k=4).collect()))
     assert a == b
+
+
+# --- bloom decontamination ----------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Every gram the exact operator matches must also be flagged by the
+    Bloom screen: n_flagged >= n_matched per document, always."""
+    from duckdb_nats_jetstream_spark.operators.decon import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    exact = {
+        r.doc_id: r.n_matched
+        for r in ngram_contamination(train, bench, n=3).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged
+        for r in bloom_contamination(train, bench, n=3).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d, m in exact.items():
+        assert bloom[d] >= m, f"doc {d}: bloom {bloom[d]} < exact {m}"
+
+
+def test_bloom_fp_rate_shrinks_with_bigger_filter(spark, sf_dir):
+    """More cells (larger m) can only reduce flagged counts — the m/k dial."""
+    from duckdb_nats_jetstream_spark.operators.decon import bloom_contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    small = {
+        r.doc_id: r.n_flagged
+        for r in bloom_contamination(train, bench, cell_hex=2).collect()
+    }
+    big = {
+        r.doc_id: r.n_flagged
+        for r in bloom_contamination(train, bench, cell_hex=4).collect()
+    }
+    assert all(big[d] <= small[d] for d in big)
+
+
+# --- incremental dedup --------------------------------------------------------
+
+
+def test_incremental_agrees_with_corpus_lsh_cross_pairs(spark, sf_dir):
+    """The incremental screen must flag exactly the batch docs that the
+    whole-corpus LSH pair query links across the batch/corpus boundary
+    (same signatures, same bands, same verification threshold)."""
+    docs = read_table(spark, sf_dir, "documents")
+    new_src = F.col("source").isin("src0", "src1")
+    flagged = {
+        r.doc_id
+        for r in D.incremental_near_dups(
+            docs.filter(new_src), docs.filter(~new_src), threshold=0.2
+        ).collect()
+    }
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    cross = set()
+    for r in D.minhash_lsh_pairs(docs, threshold=0.2).collect():
+        a_new = src[r.id_a] in ("src0", "src1")
+        b_new = src[r.id_b] in ("src0", "src1")
+        if a_new != b_new:
+            cross.add(r.id_a if a_new else r.id_b)
+    assert flagged == cross
