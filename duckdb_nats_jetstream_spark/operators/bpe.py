@@ -1,0 +1,187 @@
+"""Byte-pair-encoding merge induction over a corpus — tokenizer vocabulary
+training as a data-pipeline operator (Sennrich et al. 2016).
+
+The classic algorithm runs on the corpus's **word-frequency table**, not the
+raw corpus: one corpus-scale aggregation builds ``(word, count)``, and every
+merge round after that runs on the vocabulary relation (≪ corpus; a 100 TB
+corpus has a few-million-row vocab). Per round:
+
+  1. count adjacent symbol pairs, weighted by word count (one hash agg on
+     the pair string);
+  2. pick the most frequent pair — deterministic tie-break on the pair
+     string; this 1-row result is the round's only driver materialization;
+  3. apply the merge everywhere via literal string replacement on a
+     delimiter-wrapped symbol encoding (see below) — map-only.
+
+Symbol encoding: a word's symbol sequence is rendered as ``<s1><s2>...``.
+Wrapping every symbol in ``<`` ``>`` makes the merge a plain substring
+replacement — the pattern ``<a><b>`` can never straddle a symbol boundary,
+and left-to-right non-overlapping ``replace`` (identical semantics in Spark
+and DuckDB, verified) reproduces BPE's greedy merge order exactly (e.g. the
+pair (a,a) on ``aaa`` → ``aa a``, not ``a aa``). Words containing the
+delimiter characters are dropped with a documented guard (the corpus
+tokenizer emits ``[a-z0-9]`` words, so the guard is a no-op here).
+
+Cross-engine exactness: counts are integer sums; the argmax is ORDER BY
+(count DESC, pair) both sides; replacement strings are byte-identical — no
+floats anywhere.
+
+Reference scope note: beyond the reference extension (scan + extraction
+only, ref:src/nats_scan.cpp:700-790); north-star tokenizer-induction
+surface of a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from duckdb_nats_jetstream_spark.functions.text import (
+    shingles,
+    sql_norm,
+    sql_shingles,
+    tokens,
+)
+
+_SYMS = "regexp_extract_all(seq, '<([^>]*)>', 1)"
+
+
+def _encode(word: F.Column) -> F.Column:
+    return F.concat(
+        F.lit("<"), F.array_join(F.split(word, ""), "><"), F.lit(">")
+    )
+
+
+def _pair_counts(enc: DataFrame) -> DataFrame:
+    """(pair, n) — adjacent symbol pairs weighted by word count; the pair
+    key is ``"a b"`` (symbols never contain spaces: words are space-split)."""
+    return (
+        enc.select("cnt", F.expr(_SYMS).alias("syms"))
+        .select("cnt", F.explode(shingles(F.col("syms"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    rounds: int = 3,
+    top_k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Run ``rounds`` BPE merge rounds; return the learned merges plus the
+    ``top_k`` most frequent pairs still unmerged afterwards:
+    ``(step, rank, pair, n_occ)`` — steps 1..rounds are the chosen merges
+    (rank 1), step rounds+1 holds the final top-k frontier.
+
+    Scale: the vocab aggregation is the single corpus-scale shuffle; each
+    round adds one hash agg + one map over the vocab relation and collects
+    exactly ONE row. ``enc`` is persisted per round (lineage would otherwise
+    re-run all prior rounds' replacements).
+    """
+    from duckdb_nats_jetstream_spark.session import spread
+
+    spark = df.sparkSession
+    vocab = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").rlike("[<>]"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    enc = vocab.select(F.col("cnt"), _encode(F.col("w")).alias("seq")).persist()
+
+    out_rows: list[tuple[int, int, str, int]] = []
+    for r in range(1, rounds + 1):
+        best = (
+            _pair_counts(enc)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0].pair, best[0].n
+        out_rows.append((r, 1, pair, n))
+        a, b = pair.split(" ", 1)
+        nxt = enc.select(
+            "cnt",
+            F.replace(
+                F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")
+            ).alias("seq"),
+        ).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        enc.unpersist(blocking=False)
+        enc = nxt
+
+    frontier = (
+        _pair_counts(enc)
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top_k)
+        .collect()
+    )
+    enc.unpersist(blocking=False)
+    out_rows += [
+        (rounds + 1, i + 1, row.pair, row.n) for i, row in enumerate(frontier)
+    ]
+    return spark.createDataFrame(
+        out_rows, "step int, rank int, pair string, n_occ long"
+    )
+
+
+def sql_bpe_merge_table(
+    rounds: int = 3,
+    top_k: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror with the merge rounds unrolled as CTEs (the chosen
+    pair is a 1-row CTE cross-joined into the next round's replacement)."""
+    syms = "regexp_extract_all(seq, '<([^>]*)>', 1)"
+    pair_cte = (
+        "SELECT pair, SUM(cnt) AS n FROM ("
+        f"SELECT cnt, unnest({sql_shingles(syms, 2)}) AS pair FROM ENC"
+        ") GROUP BY pair"
+    )
+    parts = [
+        f"""
+vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split({sql_norm(text_col)}, ' ')) AS w FROM {table})
+  WHERE w <> '' AND NOT regexp_matches(w, '[<>]')
+  GROUP BY w
+),
+enc0 AS (
+  SELECT cnt, '<' || array_to_string(string_split(w, ''), '><') || '>' AS seq
+  FROM vocab
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"enc{r - 1}"
+        parts.append(
+            f"p{r} AS ({pair_cte.replace('ENC', prev)}),\n"
+            f"b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),\n"
+            f"enc{r} AS (\n"
+            f"  SELECT cnt, replace(seq,\n"
+            f"    '<' || string_split(b{r}.pair, ' ')[1] || '><' || string_split(b{r}.pair, ' ')[2] || '>',\n"
+            f"    '<' || string_split(b{r}.pair, ' ')[1] || string_split(b{r}.pair, ' ')[2] || '>') AS seq\n"
+            f"  FROM {prev}, b{r}\n"
+            f")"
+        )
+    final_pairs = pair_cte.replace("ENC", f"enc{rounds}")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, 1 AS rank, pair, CAST(n AS BIGINT) AS n_occ FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH {','.join(parts)},
+frontier AS (
+  SELECT {rounds + 1} AS step,
+         CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank,
+         pair, CAST(n AS BIGINT) AS n_occ
+  FROM ({final_pairs})
+  ORDER BY n DESC, pair LIMIT {top_k}
+)
+{merge_rows}
+UNION ALL
+SELECT step, rank, pair, n_occ FROM frontier
+"""

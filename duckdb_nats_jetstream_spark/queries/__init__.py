@@ -75,6 +75,7 @@ _NEW_R03: list[str] = [
     "sim_kmeans",
     "dedup_incremental",
     "decon_bloom",
+    "text_bpe_merges",
 ]
 _NEVER_CHECKED_R02 = [
     "scan_subject_wildcard",

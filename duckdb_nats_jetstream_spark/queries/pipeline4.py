@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from duckdb_nats_jetstream_spark.operators import bpe as BPE
 from duckdb_nats_jetstream_spark.operators import chunkdedup as CD
 from duckdb_nats_jetstream_spark.operators import dedup as D
 from duckdb_nats_jetstream_spark.operators import decon as DC
@@ -72,6 +73,15 @@ def decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DC.bloom_contamination(train, bench, n=3, n_hashes=3, cell_hex=3)
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE merge rounds on the corpus word-frequency table plus the
+    top-10 unmerged-pair frontier — tokenizer-vocabulary induction as a
+    pipeline operator (see :mod:`operators.bpe` for the scale analysis)."""
+    return BPE.bpe_merge_table(
+        read_table(spark, sf_dir, "documents"), rounds=3, top_k=10
+    )
+
+
 _NEW_PRED = "source IN ('src0', 'src1')"
 
 QUERIES = {
@@ -83,4 +93,5 @@ QUERIES = {
         D.sql_incremental_near_dups(_NEW_PRED, 8, 2, 0.2),
     ),
     "decon_bloom": (decon_bloom, DC.sql_bloom_contamination("doc_id % 50 = 0")),
+    "text_bpe_merges": (text_bpe_merges, BPE.sql_bpe_merge_table(3, 10)),
 }

@@ -202,3 +202,32 @@ def test_incremental_agrees_with_corpus_lsh_cross_pairs(spark, sf_dir):
         if a_new != b_new:
             cross.add(r.id_a if a_new else r.id_b)
     assert flagged == cross
+
+
+# --- BPE merge induction ------------------------------------------------------
+
+
+def test_bpe_greedy_nonoverlap_merge(spark):
+    """BPE's left-to-right greedy rule: merging (a,a) on 'aaa' must produce
+    symbols [aa, a], so after one round the top remaining pair is 'aa a'."""
+    from duckdb_nats_jetstream_spark.operators.bpe import bpe_merge_table
+
+    df = spark.createDataFrame([(1, "aaa aaa aaa")], "doc_id long, text string")
+    rows = bpe_merge_table(df, rounds=1, top_k=3).collect()
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r.step, []).append((r.rank, r.pair, r.n_occ))
+    assert by_step[1] == [(1, "a a", 6)]  # two positions x 3 words
+    assert by_step[2][0] == (1, "aa a", 3)
+
+
+def test_bpe_merges_feed_later_rounds(spark):
+    """A round-2 pair may be built from a round-1 merged symbol."""
+    from duckdb_nats_jetstream_spark.operators.bpe import bpe_merge_table
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abab ab")], "doc_id long, text string"
+    )
+    rows = {(r.step, r.rank): (r.pair, r.n_occ) for r in bpe_merge_table(df, rounds=2).collect()}
+    assert rows[(1, 1)] == ("a b", 7)
+    assert rows[(2, 1)] == ("ab ab", 3)
