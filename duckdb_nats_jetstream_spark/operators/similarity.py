@@ -197,6 +197,26 @@ def _kmeans_sample(X, n_clusters: int, seed: int, iters: int = 20):
     return C
 
 
+def nearest_centroid_udf(c_list: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment against a broadcast
+    codebook, with fold-exact distances (not BLAS): an oracle recomputing
+    the same ``(xx - 2*gram) + cc`` doubles sees the identical argmin —
+    assignments can't flip across engines. Shared by :func:`ivf_topk` and
+    the ANN index sink (``sinks.write_ann_index``)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from duckdb_nats_jetstream_spark.functions.vector_np import fold_d2
+
+    @pandas_udf("int")
+    def nearest(vs: pd.Series) -> pd.Series:
+        carr = np.asarray(c_list)
+        xs = np.stack(vs.to_numpy())
+        return pd.Series(fold_d2(xs, carr).argmin(axis=1).astype("int32"))
+
+    return nearest
+
+
 def ivf_topk(
     df: DataFrame,
     query_max_id: int = 10,
@@ -239,14 +259,7 @@ def ivf_topk(
 
     from duckdb_nats_jetstream_spark.functions.vector_np import fold_d2
 
-    @pandas_udf("int")
-    def nearest_centroid(vs: pd.Series) -> pd.Series:
-        # fold-exact distances (not BLAS _d2): the SQL oracle recomputes the
-        # same (xx - 2·gram) + cc doubles, so assignment argmin can't flip
-        carr = np.asarray(c_list)
-        xs = np.stack(vs.to_numpy())
-        a = fold_d2(xs, carr).argmin(axis=1)
-        return pd.Series(a.astype("int32"))
+    nearest_centroid = nearest_centroid_udf(c_list)
 
     @pandas_udf("array<int>")
     def probe_clusters(vs: pd.Series) -> pd.Series:

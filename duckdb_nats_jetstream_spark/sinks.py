@@ -146,3 +146,53 @@ def compact_parquet(
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def write_ann_index(
+    df,
+    path: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> list[list[float]]:
+    """Persist an IVF-style ANN index as a cluster-partitioned parquet
+    layout: train centroids on a bounded sample (same codebook path as
+    :func:`operators.similarity.ivf_topk`), assign every vector, and write
+    hive-partitioned by ``cluster``.
+
+    The payoff is *partition-pruned serving*: a probe that searches
+    ``n_probe`` clusters reads only ``n_probe/n_clusters`` of the corpus
+    bytes — Spark's partition pruning turns the cluster filter into a
+    directory skip, no data touched (asserted by the sink test via
+    ``inputFiles()``). This is the batch-serving complement of the query-
+    side ``ivf_topk``: build once, probe many.
+
+    Returns the trained centroid matrix (k×dim floats) — the caller stores
+    it next to the index (it IS the index metadata a prober needs).
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        _kmeans_sample,
+        nearest_centroid_udf,
+    )
+
+    sample = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .sort(id_col)
+        .limit(100_000)
+        .collect()
+    )
+    C = _kmeans_sample(
+        np.asarray([r.v for r in sample], dtype=float), n_clusters, seed
+    )
+    c_list = C.tolist()
+    assigned = df.withColumn(
+        "cluster", nearest_centroid_udf(c_list)(F.col(vec_col).cast("array<double>"))
+    )
+    write_partitioned_parquet(assigned, path, ["cluster"], mode=mode)
+    return c_list

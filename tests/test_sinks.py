@@ -100,3 +100,46 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b  # lossless rewrite
+
+
+def test_ann_index_sink_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """write_ann_index lays the corpus out cluster-partitioned; a probe
+    filtered to n_probe clusters must read only those directories
+    (partition pruning visible via inputFiles), and the unfiltered
+    read must round-trip every vector with its assignment."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index")
+    centroids = sinks.write_ann_index(emb, path, n_clusters=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    clusters = sorted(r.cluster for r in back.select("cluster").distinct().collect())
+    assert set(clusters) <= set(range(8))
+
+    probe = back.filter(F.col("cluster").isin(clusters[0], clusters[1]))
+    # pruning: the cluster predicate must land in the scan's partition
+    # filters (a directory skip — no data read for unprobed clusters)
+    from duckdb_nats_jetstream_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the probed row count equals the per-partition sum (sanity)
+    per_part = {
+        r.cluster: r.n
+        for r in back.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert probe.count() == per_part[clusters[0]] + per_part[clusters[1]]
+
+    # assignments in the index agree with a fresh assignment pass using the
+    # returned codebook (the metadata a prober would load)
+    from duckdb_nats_jetstream_spark.operators.similarity import nearest_centroid_udf
+
+    fresh = emb.withColumn(
+        "c2", nearest_centroid_udf(centroids)(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", "c2")
+    mismatch = (
+        back.select("vec_id", "cluster").join(fresh, "vec_id")
+        .filter(F.col("cluster") != F.col("c2"))
+    )
+    assert mismatch.count() == 0
