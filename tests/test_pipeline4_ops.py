@@ -231,3 +231,87 @@ def test_bpe_merges_feed_later_rounds(spark):
     rows = {(r.step, r.rank): (r.pair, r.n_occ) for r in bpe_merge_table(df, rounds=2).collect()}
     assert rows[(1, 1)] == ("a b", 7)
     assert rows[(2, 1)] == ("ab ab", 3)
+
+
+# --- property tests (hypothesis) ---------------------------------------------
+
+
+def _bpe_ref(word_counts: dict[str, int], rounds: int):
+    """Pure-Python BPE reference (Sennrich-style, greedy left-to-right
+    non-overlapping merges over a word-frequency table)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        # deterministic tie-break: highest count, then pair string ascending
+        top_n = max(counts.values())
+        best_pair = min(f"{a} {b}" for (a, b), n in counts.items() if n == top_n)
+        a, b = best_pair.split(" ", 1)
+        merges.append((best_pair, top_n))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_nats_jetstream_spark.operators.bpe import bpe_merge_table
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=12))
+    def check(words):
+        text = " ".join(words)
+        counts: dict[str, int] = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        expected = _bpe_ref(counts, rounds=2)
+        rows = bpe_merge_table(
+            spark.createDataFrame([(1, text)], "doc_id long, text string"),
+            rounds=2,
+            top_k=1,
+        ).collect()
+        got = [(r.pair, r.n_occ) for r in sorted(rows, key=lambda r: r.step) if r.rank == 1 and r.step <= 2]
+        assert got == expected, f"{words}: {got} != {expected}"
+
+    check()
+
+
+def test_chunk_dedup_reassembly_property(spark):
+    """For any corpus, with an infinite doc-frequency cap the reassembled
+    text equals the original for every document."""
+    import hashlib as _h
+
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_nats_jetstream_spark.operators.chunkdedup import chunk_dedup
+
+    word = st.text(alphabet="xyz", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=1, max_size=20).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.cleaned_md5 for r in chunk_dedup(df, 3, 10**9).collect()}
+        for i, t in enumerate(texts):
+            assert out[i] == _h.md5(t.encode()).hexdigest()
+
+    check()
