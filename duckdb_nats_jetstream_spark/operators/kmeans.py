@@ -160,10 +160,12 @@ def kmeans_cluster_sizes(
     )
 
 
-def sql_kmeans_cluster_sizes(
+def sql_kmeans_assignment_ctes(
     k: int = 8, dim: int = 64, table: str = "embeddings", id_col: str = "vec_id"
 ) -> str:
-    """DuckDB mirror — the two Lloyd iterations unrolled as CTEs.
+    """The two unrolled Lloyd iterations as a CTE chain ending in
+    ``joined(id, c1, c2)`` — shared by the cluster-sizes mirror and the
+    k-means-blocked SemDeDup mirror.
 
     Iteration-1 distance is all-integer (list_sum over BIGINT — order-free);
     iteration-2 uses the canonical left-fold double dot via ``list_reduce``
@@ -178,8 +180,7 @@ def sql_kmeans_cluster_sizes(
         )
 
     d2_fold = f"(({fdot('q.qv', 'q.qv')}) - 2.0 * ({fdot('q.qv', 'c.cv')})) + ({fdot('c.cv', 'c.cv')})"
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT {id_col} AS id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
@@ -228,7 +229,16 @@ a2 AS (
 ),
 joined AS (
   SELECT a1.id, a1.c1, a2.c2 FROM a1 JOIN a2 USING (id)
-),
+)"""
+
+
+def sql_kmeans_cluster_sizes(
+    k: int = 8, dim: int = 64, table: str = "embeddings", id_col: str = "vec_id"
+) -> str:
+    """DuckDB mirror of :func:`kmeans_cluster_sizes` (see the CTE builder
+    for the exactness argument)."""
+    return f"""
+WITH {sql_kmeans_assignment_ctes(k, dim, table, id_col)},
 i1 AS (SELECT c1 AS cluster, COUNT(*) AS n_iter1 FROM joined GROUP BY 1),
 i2 AS (SELECT c2 AS cluster, COUNT(*) AS n_iter2,
               SUM(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS n_stayed

@@ -64,24 +64,98 @@ def semantic_dedup_pruned(
         F.col(vec_col).alias("v"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
     )
+    return _prune_within_block(b, "bucket", id_col, dim, threshold)
+
+
+def _prune_within_block(
+    b: DataFrame, block_col: str, id_col: str, dim: int, threshold: float
+) -> DataFrame:
+    """Shared pair-prune core: self-join on the block key, exact
+    fold-cosine, condemn the higher id of each qualifying pair. ``b`` must
+    carry ``(id, block, v, nrm)``."""
     cos = dot(F.col("a.v"), F.col("b.v"), dim) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
         b.alias("a")
         .join(
             b.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"b.{id_col}").alias(id_col),
-            F.col("b.bucket").alias("bucket"),
+            F.col(f"b.{block_col}").alias(block_col),
             cos.alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
-    return pairs.groupBy(id_col, "bucket").agg(
+    return pairs.groupBy(id_col, block_col).agg(
         F.count("*").cast("long").alias("n_dups")
     )
+
+
+def semantic_dedup_pruned_kmeans(
+    df: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """The paper-faithful SemDeDup blocking: k-means clusters (two
+    distributed Lloyd iterations, `operators.kmeans`) instead of SRP
+    buckets. Same prune rule inside each cluster; returns
+    ``(vec_id, cluster, n_dups)``.
+
+    Trade vs the SRP variant: clusters adapt to the data distribution
+    (better recall for the same block count on clustered corpora) at the
+    cost of the clustering passes; SRP needs no training at all. Both are
+    one blocked self-join after assignment."""
+    from duckdb_nats_jetstream_spark.operators.kmeans import kmeans_assignments
+
+    a = kmeans_assignments(df, k, vec_col, id_col, dim).select(
+        id_col, F.col("cluster_iter2").alias("cluster")
+    )
+    b = df.join(a, id_col).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
+    )
+    return _prune_within_block(b, "cluster", id_col, dim, threshold)
+
+
+def sql_semantic_dedup_pruned_kmeans(
+    threshold: float = 0.4,
+    k: int = 8,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror: the unrolled k-means assignment CTEs feed the same
+    blocked pair query."""
+    from duckdb_nats_jetstream_spark.operators.kmeans import (
+        sql_kmeans_assignment_ctes,
+    )
+
+    return f"""
+WITH {sql_kmeans_assignment_ctes(k, dim, table, id_col)},
+base AS (
+  SELECT e.{id_col},
+         CAST(joined.c2 AS BIGINT) AS cluster,
+         e.embedding AS v,
+         sqrt({sql_dot('e.embedding', 'e.embedding')}) AS nrm
+  FROM {table} e JOIN joined ON joined.id = e.{id_col}
+)
+SELECT {id_col}, cluster, COUNT(*) AS n_dups
+FROM (
+  SELECT b.{id_col} AS {id_col}, b.cluster AS cluster,
+         {sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+  FROM base a JOIN base b
+    ON a.cluster = b.cluster AND a.{id_col} < b.{id_col}
+) t
+WHERE cos >= {threshold}
+GROUP BY {id_col}, cluster
+"""
 
 
 def sql_semantic_dedup_pruned(

@@ -76,6 +76,8 @@ _NEW_R03: list[str] = [
     "dedup_incremental",
     "decon_bloom",
     "text_bpe_merges",
+    "dedup_semantic_kmeans",
+    "docs_train_order",
 ]
 _NEVER_CHECKED_R02 = [
     "scan_subject_wildcard",

@@ -82,6 +82,62 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's k-means blocking (clusters from the two
+    distributed Lloyd iterations) instead of SRP buckets."""
+    return SD.semantic_dedup_pruned_kmeans(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.4, k=8
+    )
+
+
+def docs_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data ordering: every document gets a shard
+    (md5 2-hex prefix → 256 shards), a curriculum band (row-local length
+    thresholds — shortest docs first), and a position within its shard
+    (band, then salted shuffle key). This is the final write-order step of
+    a training pipeline: reproducible global shuffle + curriculum without
+    a global sort — the only shuffle is the 256-way shard window, each
+    shard sorting corpus/256 rows independently."""
+    docs = read_table(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 2)
+    band = (
+        F.when(F.col("n_chars") < 120, 0)
+        .when(F.col("n_chars") < 200, 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    shuffle_key = F.md5(F.concat(F.lit("order:"), F.col("doc_id")))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("band", "__k", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            shard.alias("shard"),
+            band.alias("band"),
+            shuffle_key.alias("__k"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "band", "pos")
+    )
+
+
+TRAIN_ORDER_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+         CAST(CASE WHEN n_chars < 120 THEN 0
+                   WHEN n_chars < 200 THEN 1
+                   ELSE 2 END AS INT) AS band,
+         md5('order:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+SELECT doc_id, shard, band,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY band, k, doc_id) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
 _NEW_PRED = "source IN ('src0', 'src1')"
 
 QUERIES = {
@@ -94,4 +150,9 @@ QUERIES = {
     ),
     "decon_bloom": (decon_bloom, DC.sql_bloom_contamination("doc_id % 50 = 0")),
     "text_bpe_merges": (text_bpe_merges, BPE.sql_bpe_merge_table(3, 10)),
+    "dedup_semantic_kmeans": (
+        dedup_semantic_kmeans,
+        SD.sql_semantic_dedup_pruned_kmeans(0.4, 8),
+    ),
+    "docs_train_order": (docs_train_order, TRAIN_ORDER_SQL),
 }

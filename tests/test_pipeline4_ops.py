@@ -315,3 +315,35 @@ def test_chunk_dedup_reassembly_property(spark):
             assert out[i] == _h.md5(t.encode()).hexdigest()
 
     check()
+
+
+def test_semantic_kmeans_precision_is_exact(spark, sf_dir):
+    """Same invariant as the SRP variant: k-means blocking can only lower
+    recall, never precision."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pruned = {
+        r.vec_id
+        for r in SD.semantic_dedup_pruned_kmeans(emb, threshold=0.4, k=8).collect()
+    }
+    exact_higher = {
+        r.id_b for r in D.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert pruned <= exact_higher and pruned
+
+
+def test_train_order_positions_dense_and_deterministic(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline4 import docs_train_order
+
+    a = docs_train_order(spark, sf_dir).collect()
+    b = docs_train_order(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict[str, list[int]] = {}
+    bands: dict[str, list[tuple[int, int]]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+        bands.setdefault(r.shard, []).append((r.pos, r.band))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1..n
+    for shard, pb in bands.items():  # curriculum: bands ascend with pos
+        ordered = [b for _, b in sorted(pb)]
+        assert ordered == sorted(ordered)
