@@ -34,10 +34,11 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #:      once to prove it executes under the driver, then rotate it out
 #:   5. the r01-only-green scan queries: round 2 canonicalized `ts` to
 #:      TimestampType and touched the scan path after their last rows
-#: Prefix arithmetic: 25 + 10 + 2 + 15 = 52, slightly over the observed
-#: ~50-row budget — the tail of the scan rotation (r01-green, unchanged
-#: code, multi-SF local parity) absorbs the overflow; the r01-green
-#: relational remainder follows past the cut and rotates next round.
+#: Prefix arithmetic: 35 new + 10 never-checked + 2 fixed = 47 before the
+#: scan rotation, so only the first few rotation entries make the ~50-row
+#: budget — a deliberate trade: queries with NO driver row ever can't be
+#: verified any other way, while the rotation entries all carry r01 rows
+#: plus multi-SF local parity; the remainder rotates next round.
 _NEW_R03: list[str] = [
     # appended as round-3 operators land; keep ahead of the backlog
     "sim_knn_join",
