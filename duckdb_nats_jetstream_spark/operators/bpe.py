@@ -19,8 +19,11 @@ replacement — the pattern ``<a><b>`` can never straddle a symbol boundary,
 and left-to-right non-overlapping ``replace`` (identical semantics in Spark
 and DuckDB, verified) reproduces BPE's greedy merge order exactly (e.g. the
 pair (a,a) on ``aaa`` → ``aa a``, not ``a aa``). Words containing the
-delimiter characters are dropped with a documented guard (the corpus
-tokenizer emits ``[a-z0-9]`` words, so the guard is a no-op here).
+delimiter characters are dropped by an explicit guard — a REAL filter on
+corpora whose text can contain ``<``/``>`` (normalization only lowercases
+and collapses whitespace); on this synthetic corpus every word is
+``[a-z0-9]`` so nothing is dropped. The guard is mirrored in the oracle,
+so the two engines always agree on the surviving vocabulary.
 
 Cross-engine exactness: counts are integer sums; the argmax is ORDER BY
 (count DESC, pair) both sides; replacement strings are byte-identical — no

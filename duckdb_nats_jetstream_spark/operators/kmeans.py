@@ -122,11 +122,17 @@ def kmeans_assignments(
             C2.append([dims[i][0] / dims[i][1] for i in range(dim)])
 
     a2 = a1.withColumn("c2", _assign_udf(C2)(F.col("qv").cast("array<double>")))
-    return a2.select(
+    out = a2.select(
         F.col(id_col),
         F.col("c1").cast("long").alias("cluster_iter1"),
         F.col("c2").cast("long").alias("cluster_iter2"),
     )
+    # truncate lineage so the a1 cache can be released NOW — without this,
+    # every kmeans call leaks one cached quantized corpus for the session
+    # lifetime (the minhash operator uses the same pattern)
+    out = out.localCheckpoint(eager=True)
+    a1.unpersist(blocking=False)
+    return out
 
 
 def kmeans_cluster_sizes(

@@ -197,6 +197,31 @@ def _kmeans_sample(X, n_clusters: int, seed: int, iters: int = 20):
     return C
 
 
+def fit_codebook(
+    df: DataFrame,
+    n_clusters: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_sample_size: int = 100_000,
+) -> list[list[float]]:
+    """Train a k-means codebook on a bounded deterministic sample (the k
+    smallest ids — TakeOrderedAndProject, not a full sort): the production
+    IVF pattern where index training never scans the full corpus. The one
+    shared fit path for :func:`ivf_topk` and ``sinks.write_ann_index``."""
+    import numpy as np
+
+    sample = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .sort(id_col)
+        .limit(fit_sample_size)
+        .collect()
+    )
+    return _kmeans_sample(
+        np.asarray([r.v for r in sample], dtype=float), n_clusters, seed
+    ).tolist()
+
+
 def nearest_centroid_udf(c_list: list[list[float]]):
     """Arrow-vectorized nearest-centroid assignment against a broadcast
     codebook, with fold-exact distances (not BLAS): an oracle recomputing
@@ -245,17 +270,9 @@ def ivf_topk(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    # bounded deterministic sample: TakeOrderedAndProject, not a full sort
-    sample = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .sort(id_col)
-        .limit(fit_sample_size)
-        .collect()
-    )
-    C = _kmeans_sample(
-        np.asarray([r.v for r in sample], dtype=float), n_clusters, seed
-    )
-    c_list = C.tolist()  # closure-captured; broadcast with the udf
+    c_list = fit_codebook(
+        df, n_clusters, seed, vec_col, id_col, fit_sample_size
+    )  # closure-captured; broadcast with the udf
 
     from duckdb_nats_jetstream_spark.functions.vector_np import fold_d2
 

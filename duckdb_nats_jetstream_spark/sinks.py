@@ -157,6 +157,7 @@ def write_ann_index(
     dim: int = 64,
     seed: int = 42,
     mode: str = "overwrite",
+    fit_sample_size: int = 100_000,
 ) -> list[list[float]]:
     """Persist an IVF-style ANN index as a cluster-partitioned parquet
     layout: train centroids on a bounded sample (same codebook path as
@@ -167,30 +168,28 @@ def write_ann_index(
     ``n_probe`` clusters reads only ``n_probe/n_clusters`` of the corpus
     bytes — Spark's partition pruning turns the cluster filter into a
     directory skip, no data touched (asserted by the sink test via
-    ``inputFiles()``). This is the batch-serving complement of the query-
+    the plan's ``PartitionFilters``). This is the batch-serving complement of the query-
     side ``ivf_topk``: build once, probe many.
 
     Returns the trained centroid matrix (k×dim floats) — the caller stores
     it next to the index (it IS the index metadata a prober needs).
     """
-    import numpy as np
-
     from pyspark.sql import functions as F
     from duckdb_nats_jetstream_spark.operators.similarity import (
-        _kmeans_sample,
+        fit_codebook,
         nearest_centroid_udf,
     )
 
-    sample = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .sort(id_col)
-        .limit(100_000)
-        .collect()
+    c_list = fit_codebook(
+        df, n_clusters, seed, vec_col, id_col, fit_sample_size
     )
-    C = _kmeans_sample(
-        np.asarray([r.v for r in sample], dtype=float), n_clusters, seed
-    )
-    c_list = C.tolist()
+    if any(len(c) != dim for c in c_list):
+        from duckdb_nats_jetstream_spark.errors import BindError
+
+        raise BindError(
+            f"embedding dimension mismatch: expected {dim}, "
+            f"codebook fit produced {len(c_list[0])}"
+        )
     assigned = df.withColumn(
         "cluster", nearest_centroid_udf(c_list)(F.col(vec_col).cast("array<double>"))
     )
