@@ -1,5 +1,6 @@
 """Byte-pair-encoding merge induction over a corpus — tokenizer vocabulary
-training as a data-pipeline operator (Sennrich et al. 2016).
+training as a data-pipeline operator (Sennrich et al. 2016) — plus the
+apply side: re-encoding the corpus with the learned merges.
 
 The classic algorithm runs on the corpus's **word-frequency table**, not the
 raw corpus: one corpus-scale aggregation builds ``(word, count)``, and every
@@ -24,6 +25,11 @@ corpora whose text can contain ``<``/``>`` (normalization only lowercases
 and collapses whitespace); on this synthetic corpus every word is
 ``[a-z0-9]`` so nothing is dropped. The guard is mirrored in the oracle,
 so the two engines always agree on the surviving vocabulary.
+
+Applying the tokenizer (:func:`bpe_token_counts`) is one join: the corpus's
+exploded tokens against the vocabulary's post-merge symbol counts — the
+standard deployment shape (the trained tokenizer is a word→pieces lookup;
+the corpus never re-runs the merges).
 
 Cross-engine exactness: counts are integer sums; the argmax is ORDER BY
 (count DESC, pair) both sides; replacement strings are byte-identical — no
@@ -65,6 +71,49 @@ def _pair_counts(enc: DataFrame) -> DataFrame:
     )
 
 
+def _learn_merges(
+    df: DataFrame, rounds: int, text_col: str
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """Shared training core: returns the post-merge encoded vocabulary
+    ``(w, cnt, seq)`` (persisted — caller must unpersist) and the list of
+    chosen ``(pair, n)`` merges in order."""
+    from duckdb_nats_jetstream_spark.session import spread
+
+    vocab = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & ~F.col("w").rlike("[<>]"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    enc = vocab.select("w", "cnt", _encode(F.col("w")).alias("seq")).persist()
+
+    merges: list[tuple[str, int]] = []
+    for _ in range(rounds):
+        best = (
+            _pair_counts(enc)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0].pair, best[0].n
+        merges.append((pair, n))
+        a, b = pair.split(" ", 1)
+        nxt = enc.select(
+            "w",
+            "cnt",
+            F.replace(
+                F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")
+            ).alias("seq"),
+        ).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        enc.unpersist(blocking=False)
+        enc = nxt
+    return enc, merges
+
+
 def bpe_merge_table(
     df: DataFrame,
     rounds: int = 3,
@@ -81,41 +130,9 @@ def bpe_merge_table(
     exactly ONE row. ``enc`` is persisted per round (lineage would otherwise
     re-run all prior rounds' replacements).
     """
-    from duckdb_nats_jetstream_spark.session import spread
-
     spark = df.sparkSession
-    vocab = (
-        spread(df)
-        .select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .filter((F.col("w") != "") & ~F.col("w").rlike("[<>]"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    )
-    enc = vocab.select(F.col("cnt"), _encode(F.col("w")).alias("seq")).persist()
-
-    out_rows: list[tuple[int, int, str, int]] = []
-    for r in range(1, rounds + 1):
-        best = (
-            _pair_counts(enc)
-            .orderBy(F.col("n").desc(), F.col("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        pair, n = best[0].pair, best[0].n
-        out_rows.append((r, 1, pair, n))
-        a, b = pair.split(" ", 1)
-        nxt = enc.select(
-            "cnt",
-            F.replace(
-                F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")
-            ).alias("seq"),
-        ).persist()
-        nxt.count()  # materialize before dropping the parent cache
-        enc.unpersist(blocking=False)
-        enc = nxt
-
+    enc, merges = _learn_merges(df, rounds, text_col)
+    out_rows = [(r + 1, 1, pair, n) for r, (pair, n) in enumerate(merges)]
     frontier = (
         _pair_counts(enc)
         .orderBy(F.col("n").desc(), F.col("pair"))
@@ -129,6 +146,86 @@ def bpe_merge_table(
     return spark.createDataFrame(
         out_rows, "step int, rank int, pair string, n_occ long"
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned tokenizer to the corpus: per document,
+    ``(doc_id, n_words, n_chars, n_tokens)`` where ``n_tokens`` sums the
+    post-merge symbol counts of the document's words and ``n_chars`` the
+    pre-merge (character-level) counts — ``n_chars - n_tokens`` is exactly
+    the number of merge applications, the compression the tokenizer buys.
+
+    Scale shape: training cost as in :func:`bpe_merge_table`; application
+    is ONE join of the corpus's exploded tokens against the word→n_syms
+    vocabulary relation (the deployment lookup) plus a per-doc hash agg —
+    the merges never re-run over the corpus.
+    """
+    from duckdb_nats_jetstream_spark.session import spread
+
+    enc, _ = _learn_merges(df, rounds, text_col)
+    word_syms = enc.select(
+        "w",
+        F.size(F.expr(_SYMS)).cast("long").alias("n_syms"),
+        F.length("w").cast("long").alias("n_ch"),
+    )
+    exploded = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter((F.col("w") != "") & ~F.col("w").rlike("[<>]"))
+    out = (
+        exploded.join(word_syms, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_ch").alias("n_chars"),
+            F.sum("n_syms").alias("n_tokens"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    enc.unpersist(blocking=False)
+    return out
+
+
+def _sql_merge_ctes(rounds: int, table: str, text_col: str) -> tuple[str, str]:
+    """The unrolled training CTE chain; returns ``(cte_sql, final_enc)``.
+    Each ``enc{r}`` carries ``(w, cnt, seq)`` so apply-side mirrors can
+    join the final encoding back to the corpus."""
+    syms = "regexp_extract_all(seq, '<([^>]*)>', 1)"
+    pair_cte = (
+        "SELECT pair, SUM(cnt) AS n FROM ("
+        f"SELECT cnt, unnest({sql_shingles(syms, 2)}) AS pair FROM ENC"
+        ") GROUP BY pair"
+    )
+    parts = [
+        f"""
+vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split({sql_norm(text_col)}, ' ')) AS w FROM {table})
+  WHERE w <> '' AND NOT regexp_matches(w, '[<>]')
+  GROUP BY w
+),
+enc0 AS (
+  SELECT w, cnt, '<' || array_to_string(string_split(w, ''), '><') || '>' AS seq
+  FROM vocab
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"enc{r - 1}"
+        parts.append(
+            f"p{r} AS ({pair_cte.replace('ENC', prev)}),\n"
+            f"b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),\n"
+            f"enc{r} AS (\n"
+            f"  SELECT w, cnt, replace(seq,\n"
+            f"    '<' || string_split(b{r}.pair, ' ')[1] || '><' || string_split(b{r}.pair, ' ')[2] || '>',\n"
+            f"    '<' || string_split(b{r}.pair, ' ')[1] || string_split(b{r}.pair, ' ')[2] || '>') AS seq\n"
+            f"  FROM {prev}, b{r}\n"
+            f")"
+        )
+    return ",".join(parts), f"enc{rounds}"
 
 
 def sql_bpe_merge_table(
@@ -145,38 +242,14 @@ def sql_bpe_merge_table(
         f"SELECT cnt, unnest({sql_shingles(syms, 2)}) AS pair FROM ENC"
         ") GROUP BY pair"
     )
-    parts = [
-        f"""
-vocab AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(string_split({sql_norm(text_col)}, ' ')) AS w FROM {table})
-  WHERE w <> '' AND NOT regexp_matches(w, '[<>]')
-  GROUP BY w
-),
-enc0 AS (
-  SELECT cnt, '<' || array_to_string(string_split(w, ''), '><') || '>' AS seq
-  FROM vocab
-)"""
-    ]
-    for r in range(1, rounds + 1):
-        prev = f"enc{r - 1}"
-        parts.append(
-            f"p{r} AS ({pair_cte.replace('ENC', prev)}),\n"
-            f"b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),\n"
-            f"enc{r} AS (\n"
-            f"  SELECT cnt, replace(seq,\n"
-            f"    '<' || string_split(b{r}.pair, ' ')[1] || '><' || string_split(b{r}.pair, ' ')[2] || '>',\n"
-            f"    '<' || string_split(b{r}.pair, ' ')[1] || string_split(b{r}.pair, ' ')[2] || '>') AS seq\n"
-            f"  FROM {prev}, b{r}\n"
-            f")"
-        )
-    final_pairs = pair_cte.replace("ENC", f"enc{rounds}")
+    ctes, final_enc = _sql_merge_ctes(rounds, table, text_col)
+    final_pairs = pair_cte.replace("ENC", final_enc)
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT {r} AS step, 1 AS rank, pair, CAST(n AS BIGINT) AS n_occ FROM b{r}"
         for r in range(1, rounds + 1)
     )
     return f"""
-WITH {','.join(parts)},
+WITH {ctes},
 frontier AS (
   SELECT {rounds + 1} AS step,
          CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank,
@@ -187,4 +260,37 @@ frontier AS (
 {merge_rows}
 UNION ALL
 SELECT step, rank, pair, n_occ FROM frontier
+"""
+
+
+def sql_bpe_token_counts(
+    rounds: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bpe_token_counts` — same training CTEs, then
+    the word→n_syms lookup joined to the corpus's exploded tokens."""
+    syms = "regexp_extract_all(seq, '<([^>]*)>', 1)"
+    ctes, final_enc = _sql_merge_ctes(rounds, table, text_col)
+    return f"""
+WITH {ctes},
+word_syms AS (
+  SELECT w,
+         CAST(len({syms}) AS BIGINT) AS n_syms,
+         CAST(length(w) AS BIGINT) AS n_ch
+  FROM {final_enc}
+),
+exploded AS (
+  SELECT {id_col}, w FROM (
+    SELECT {id_col}, unnest(string_split({sql_norm(text_col)}, ' ')) AS w
+    FROM {table}
+  ) WHERE w <> '' AND NOT regexp_matches(w, '[<>]')
+)
+SELECT e.{id_col},
+       COUNT(*) AS n_words,
+       CAST(SUM(s.n_ch) AS BIGINT) AS n_chars,
+       CAST(SUM(s.n_syms) AS BIGINT) AS n_tokens
+FROM exploded e JOIN word_syms s USING (w)
+GROUP BY e.{id_col}
 """

@@ -79,6 +79,7 @@ _NEW_R03: list[str] = [
     "text_bpe_merges",
     "dedup_semantic_kmeans",
     "docs_train_order",
+    "text_bpe_apply",
 ]
 _NEVER_CHECKED_R02 = [
     "scan_subject_wildcard",

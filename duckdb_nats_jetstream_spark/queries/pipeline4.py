@@ -138,6 +138,15 @@ FROM keyed
 """
 
 
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3-round BPE tokenizer to the corpus: per-doc word, char,
+    and post-merge token counts (the deployment-side word→pieces lookup
+    join; merges never re-run over the corpus)."""
+    return BPE.bpe_token_counts(
+        read_table(spark, sf_dir, "documents"), rounds=3
+    )
+
+
 _NEW_PRED = "source IN ('src0', 'src1')"
 
 QUERIES = {
@@ -155,4 +164,5 @@ QUERIES = {
         SD.sql_semantic_dedup_pruned_kmeans(0.4, 8),
     ),
     "docs_train_order": (docs_train_order, TRAIN_ORDER_SQL),
+    "text_bpe_apply": (text_bpe_apply, BPE.sql_bpe_token_counts(3)),
 }

@@ -347,3 +347,19 @@ def test_train_order_positions_dense_and_deterministic(spark, sf_dir):
     for shard, pb in bands.items():  # curriculum: bands ascend with pos
         ordered = [b for _, b in sorted(pb)]
         assert ordered == sorted(ordered)
+
+
+def test_bpe_apply_compresses_monotonically(spark, sf_dir):
+    """rounds=0 must give n_tokens == n_chars (character tokenizer); more
+    merge rounds can only shrink the token count, never the word count."""
+    from duckdb_nats_jetstream_spark.operators.bpe import bpe_token_counts
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    r0 = {r.doc_id: r for r in bpe_token_counts(docs, rounds=0).collect()}
+    r3 = {r.doc_id: r for r in bpe_token_counts(docs, rounds=3).collect()}
+    assert set(r0) == set(r3)
+    for d in r0:
+        assert r0[d].n_tokens == r0[d].n_chars
+        assert r3[d].n_tokens <= r0[d].n_tokens
+        assert r3[d].n_words == r0[d].n_words
+        assert r3[d].n_chars == r0[d].n_chars
