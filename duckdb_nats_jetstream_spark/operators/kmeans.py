@@ -127,10 +127,11 @@ def kmeans_assignments(
         F.col("c1").cast("long").alias("cluster_iter1"),
         F.col("c2").cast("long").alias("cluster_iter2"),
     )
-    # truncate lineage so the a1 cache can be released NOW — without this,
-    # every kmeans call leaks one cached quantized corpus for the session
-    # lifetime (the minhash operator uses the same pattern)
-    out = out.localCheckpoint(eager=True)
+    # release the a1 cache NOW — without this every kmeans call leaks one
+    # cached quantized corpus for the session lifetime. The centroids are
+    # already driver-side literals, so the caller's eventual action just
+    # recomputes the scan + two assignment maps (one extra Arrow pass) —
+    # measured cheaper than an eager localCheckpoint materialization here.
     a1.unpersist(blocking=False)
     return out
 
