@@ -99,6 +99,13 @@ def kmeans_assignments(
     # --- init: k smallest ids (TakeOrderedAndProject, not a full sort) ---
     seed_rows = q.sort(id_col).limit(k).collect()
     C1 = [[float(v) for v in r.qv] for r in seed_rows]
+    if not C1:  # empty corpus → empty assignments (mirror: no seeds, no rows)
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster_iter1 long, cluster_iter2 long"
+        )
+    # fewer rows than k: only the seeded clusters exist (the SQL mirror's
+    # seeds CTE is naturally bounded by the corpus; match it)
+    k = len(C1)
 
     a1 = q.withColumn("c1", _assign_udf(C1)(F.col("qv").cast("array<double>")))
     a1.persist()  # both the update agg and the final join-back read it

@@ -363,3 +363,17 @@ def test_bpe_apply_compresses_monotonically(spark, sf_dir):
         assert r3[d].n_tokens <= r0[d].n_tokens
         assert r3[d].n_words == r0[d].n_words
         assert r3[d].n_chars == r0[d].n_chars
+
+
+def test_kmeans_small_and_empty_corpus(spark):
+    """k larger than the corpus must degrade to one cluster per row (the
+    SQL mirror's seeds CTE is naturally bounded — match it), and an empty
+    corpus must yield an empty result, not a crash."""
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sorted(map(tuple, KM.kmeans_cluster_sizes(emb, k=8).collect()))
+    assert out == [(0, 1, 1, 1), (1, 1, 1, 1), (2, 1, 1, 1)]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert KM.kmeans_cluster_sizes(empty, k=8).collect() == []
