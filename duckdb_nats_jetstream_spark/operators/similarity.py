@@ -217,6 +217,10 @@ def fit_codebook(
         .limit(fit_sample_size)
         .collect()
     )
+    if not sample:
+        from duckdb_nats_jetstream_spark.errors import BindError
+
+        raise BindError("cannot fit a codebook on an empty corpus")
     return _kmeans_sample(
         np.asarray([r.v for r in sample], dtype=float), n_clusters, seed
     ).tolist()

@@ -143,3 +143,9 @@ def test_ann_index_sink_partition_pruned_probe(spark, sf_dir, tmp_path):
         .filter(F.col("cluster") != F.col("c2"))
     )
     assert mismatch.count() == 0
+
+
+def test_ann_index_sink_empty_corpus_raises_cleanly(spark, tmp_path):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(BindError, match="empty corpus"):
+        sinks.write_ann_index(empty, str(tmp_path / "idx"), n_clusters=4)
