@@ -80,6 +80,7 @@ _NEW_R03: list[str] = [
     "dedup_semantic_kmeans",
     "docs_train_order",
     "text_bpe_apply",
+    "text_countmin_topk",
 ]
 _NEVER_CHECKED_R02 = [
     "scan_subject_wildcard",

@@ -28,6 +28,7 @@ from duckdb_nats_jetstream_spark.operators import dedup as D
 from duckdb_nats_jetstream_spark.operators import decon as DC
 from duckdb_nats_jetstream_spark.operators import kmeans as KM
 from duckdb_nats_jetstream_spark.operators import semantic as SD
+from duckdb_nats_jetstream_spark.operators import sketch as SK
 from duckdb_nats_jetstream_spark.session import read_table
 
 #: the incoming "batch" for the incremental dedup screen: two of the
@@ -147,6 +148,15 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates audited against the exact
+    top-20 tokens (est >= true always; the sketch's fixed cell grid is the
+    constant-memory alternative to a vocabulary-keyed shuffle)."""
+    return SK.countmin_estimates(
+        read_table(spark, sf_dir, "documents"), depth=3, width_hex=3, top_k=20
+    )
+
+
 _NEW_PRED = "source IN ('src0', 'src1')"
 
 QUERIES = {
@@ -165,4 +175,5 @@ QUERIES = {
     ),
     "docs_train_order": (docs_train_order, TRAIN_ORDER_SQL),
     "text_bpe_apply": (text_bpe_apply, BPE.sql_bpe_token_counts(3)),
+    "text_countmin_topk": (text_countmin_topk, SK.sql_countmin_estimates(3, 3, 20)),
 }

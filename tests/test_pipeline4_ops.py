@@ -377,3 +377,23 @@ def test_kmeans_small_and_empty_corpus(spark):
     assert out == [(0, 1, 1, 1), (1, 1, 1, 1), (2, 1, 1, 1)]
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert KM.kmeans_cluster_sizes(empty, k=8).collect() == []
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def test_countmin_never_undercounts_and_width_tightens(spark):
+    """With 16 cells (width_hex=1) and 60 distinct tokens, collisions are
+    guaranteed: every estimate must still be >= the true count, and a wider
+    sketch can only tighten estimates."""
+    from duckdb_nats_jetstream_spark.operators.sketch import countmin_estimates
+
+    text = " ".join(f"tok{i}" for i in range(60) for _ in range(i % 5 + 1))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    narrow = {r.token: r for r in countmin_estimates(df, width_hex=1, top_k=60).collect()}
+    wide = {r.token: r for r in countmin_estimates(df, width_hex=4, top_k=60).collect()}
+    assert any(r.est_n > r.true_n for r in narrow.values())  # collisions happened
+    for t, r in narrow.items():
+        assert r.est_n >= r.true_n
+        assert wide[t].est_n <= r.est_n
+        assert wide[t].est_n >= wide[t].true_n
