@@ -34,7 +34,7 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #:      once to prove it executes under the driver, then rotate it out
 #:   5. the r01-only-green scan queries: round 2 canonicalized `ts` to
 #:      TimestampType and touched the scan path after their last rows
-#: Prefix arithmetic: 34 new + 10 never-checked + 2 fixed = 46 before the
+#: Prefix arithmetic: 36 new + 10 never-checked + 2 fixed = 48 before the
 #: scan rotation, so only the first few rotation entries make the ~50-row
 #: budget — a deliberate trade: queries with NO driver row ever can't be
 #: verified any other way, while the rotation entries all carry r01 rows
