@@ -289,3 +289,50 @@ def test_snapshot_diff_single_join(spark, sf_dir):
 
     plan = physical_plan(docs_snapshot_diff(spark, sf_dir))
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_bloom_probe_is_broadcast(spark, sf_dir):
+    """The Bloom cell set must broadcast (it's constant-size by design); a
+    shuffle join on the cell key would defeat the sketch's whole point."""
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.pipeline4 import decon_bloom
+
+    plan = physical_plan(decon_bloom(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_countmin_probe_is_broadcast_and_sketch_not_cartesian(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.pipeline4 import text_countmin_topk
+
+    plan = physical_plan(text_countmin_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_is_bucket_equi_join(spark, sf_dir):
+    """SemDeDup's pair search must be an equi-join on the bucket key —
+    never a nested loop over all pairs."""
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.pipeline4 import dedup_semantic
+
+    plan = physical_plan(dedup_semantic(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_incremental_dedup_band_equi_join(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.pipeline4 import dedup_incremental
+
+    plan = physical_plan(dedup_incremental(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_on_natural_keys_only(spark, sf_dir):
+    """Chunk dedup = frequency agg (chunk hash) + join-back + reassembly
+    agg (doc_id): hash joins/aggs only, no pair joins."""
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.pipeline4 import docs_chunk_dedup
+
+    plan = physical_plan(docs_chunk_dedup(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
