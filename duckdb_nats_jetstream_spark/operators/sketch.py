@@ -36,6 +36,42 @@ def _cell(token_col: F.Column, d: int, width_hex: int) -> F.Column:
     )
 
 
+def _sketch_of(toks: DataFrame, depth: int, width_hex: int) -> DataFrame:
+    """(d, cell, n) cell table from a token relation — one agg over the
+    fixed (depth · 16^width_hex) key space."""
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cell(F.col("t"), d, width_hex).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.d").alias("d"), F.col("s.cell").alias("cell"))
+    return cells.groupBy("d", "cell").agg(F.count("*").alias("n"))
+
+
+def countmin_sketch(
+    df: DataFrame,
+    depth: int = 3,
+    width_hex: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The raw sketch: ``(d, cell, n)``. Mergeable by construction — the
+    sketch of a union is the cell-wise SUM of the parts' sketches (tested),
+    which is what lets partial sketches roll up across partitions, days,
+    or streaming micro-batches without ever re-reading the corpus."""
+    toks = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    return _sketch_of(toks, depth, width_hex)
+
+
 def countmin_estimates(
     df: DataFrame,
     depth: int = 3,
@@ -59,21 +95,7 @@ def countmin_estimates(
         .filter(F.col("t") != "")
     )
     toks = toks.persist()
-    # sketch build: one agg over (d, cell) — constant key space
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _cell(F.col("t"), d, width_hex).alias("cell"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("s")
-    ).select(F.col("s.d").alias("d"), F.col("s.cell").alias("cell"))
-    sketch = cells.groupBy("d", "cell").agg(F.count("*").alias("n"))
+    sketch = _sketch_of(toks, depth, width_hex)
 
     exact = (
         toks.groupBy("t")

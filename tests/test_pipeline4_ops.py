@@ -397,3 +397,20 @@ def test_countmin_never_undercounts_and_width_tightens(spark):
         assert r.est_n >= r.true_n
         assert wide[t].est_n <= r.est_n
         assert wide[t].est_n >= wide[t].true_n
+
+
+def test_countmin_sketch_is_mergeable(spark, sf_dir):
+    """sketch(A ∪ B) must equal the cell-wise SUM of sketch(A) and
+    sketch(B) — exactly. This is what lets partial sketches roll up across
+    partitions, days, or streaming micro-batches."""
+    from duckdb_nats_jetstream_spark.operators.sketch import countmin_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    whole = {(r.d, r.cell): r.n for r in countmin_sketch(docs).collect()}
+    merged: dict = {}
+    for half in (a, b):
+        for r in countmin_sketch(half).collect():
+            merged[(r.d, r.cell)] = merged.get((r.d, r.cell), 0) + r.n
+    assert whole == merged
