@@ -1,21 +1,28 @@
 """Training-data pipeline queries, batch 4 (round 3, second wave).
 
-Three operators that close the remaining named-technique gaps in the
-curation surface:
+The named-technique closers for the curation surface:
 
-- ``dedup_semantic`` — SemDeDup (cluster-blocked embedding dedup,
-  Abbas et al. 2023): SRP buckets bound the pair search, exact fold-cosine
-  inside, keep-lowest-id per duplicate set.
+- ``dedup_semantic`` / ``dedup_semantic_kmeans`` — SemDeDup (Abbas et al.
+  2023) with SRP-bucket and paper-faithful k-means blocking.
 - ``docs_chunk_dedup`` — CCNet/RefinedWeb-style chunk-frequency dedup WITH
   document reassembly (the cleaned text, not just an audit number).
-- ``sim_kmeans`` — two distributed Lloyd iterations with an integer-exact
-  quantization scheme that makes the iterative algorithm fully
-  SQL-mirrorable (assignment argmins cannot flip across engines).
+- ``sim_kmeans`` — two distributed Lloyd iterations, integer-exact
+  quantization so the iterative algorithm is fully SQL-mirrorable.
+- ``dedup_incremental`` — incoming batch vs accepted corpus (LSH
+  signature-store join, no corpus rescan per batch).
+- ``decon_bloom`` — Bloom-sketch decontamination (constant broadcast
+  memory, zero false negatives).
+- ``text_bpe_merges`` / ``text_bpe_apply`` — BPE tokenizer training on the
+  word-frequency table and its word→pieces application join.
+- ``docs_train_order`` — the final write-order step: md5 shards +
+  curriculum bands + salted in-shard shuffle, no global sort.
+- ``text_countmin_topk`` — count-min frequency sketch audited against the
+  exact top-k.
 
-Scale notes: semantic dedup shuffles once on the bucket key (pair explosion
-bounded by bucket size); chunk dedup shuffles on the 16-char chunk hash and
-then on doc_id; k-means is map-only per assignment plus one k×dim
-aggregation per update — no shuffle grows super-linearly in corpus size.
+Scale notes: every pair search is blocked (bucket/cluster/band keys);
+every sketch is constant-size and broadcast; every iterative step runs on
+the vocabulary or centroid relation, never re-scanning the corpus — no
+shuffle grows super-linearly in corpus size.
 """
 
 from __future__ import annotations
