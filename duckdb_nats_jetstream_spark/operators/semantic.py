@@ -62,34 +62,90 @@ def semantic_dedup_pruned(
         F.col(id_col),
         F.col("bucket"),
         F.col(vec_col).alias("v"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
     )
     return _prune_within_block(b, "bucket", id_col, dim, threshold)
 
 
 def _prune_within_block(
-    b: DataFrame, block_col: str, id_col: str, dim: int, threshold: float
+    b: DataFrame,
+    block_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float,
+    arrow: bool = True,
 ) -> DataFrame:
-    """Shared pair-prune core: self-join on the block key, exact
-    fold-cosine, condemn the higher id of each qualifying pair. ``b`` must
-    carry ``(id, block, v, nrm)``."""
-    cos = dot(F.col("a.v"), F.col("b.v"), dim) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (
-        b.alias("a")
-        .join(
-            b.alias("b"),
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    """Shared pair-prune core: within each block, exact fold-cosine over all
+    pairs, condemn the higher id of each qualifying pair. ``b`` must carry
+    ``(id, block, v)``.
+
+    ``arrow=True`` (default): ONE shuffle on the block key; each block's
+    pair matrix is computed in a single Arrow task with the fold-exact numpy
+    kernels (``functions.vector_np`` — bit-identical to the per-pair column
+    fold, see its module docstring), and the per-id dup counts are emitted
+    directly — no pair relation ever materializes into a second shuffle.
+    Per-task memory is one block of vectors (block_size × dim doubles plus
+    the block's cosine matrix); for blocks too large for one task, fall back
+    to the block-pair decomposition of ``dedup.embedding_near_dup_pairs``.
+
+    ``arrow=False``: the same semantics as a JVM self-join + re-aggregation
+    (two shuffles, interpreted fold per pair) — kept as the no-Python
+    reference path; measured 2.5-4× slower on the quadratic workload because
+    the higher-order fold lambdas don't enter whole-stage codegen.
+    """
+    if not arrow:
+        withnrm = b.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
+        cos = dot(F.col("a.v"), F.col("b.v"), dim) / (
+            F.col("a.nrm") * F.col("b.nrm")
         )
-        .select(
-            F.col(f"b.{id_col}").alias(id_col),
-            F.col(f"b.{block_col}").alias(block_col),
-            cos.alias("cos"),
+        pairs = (
+            withnrm.alias("a")
+            .join(
+                withnrm.alias("b"),
+                (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"b.{id_col}").alias(id_col),
+                F.col(f"b.{block_col}").alias(block_col),
+                cos.alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
         )
-        .filter(F.col("cos") >= threshold)
+        return pairs.groupBy(id_col, block_col).agg(
+            F.count("*").cast("long").alias("n_dups")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.functions.vector_np import (
+        fold_gram,
+        fold_norms,
     )
-    return pairs.groupBy(id_col, block_col).agg(
-        F.count("*").cast("long").alias("n_dups")
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {id_col: [], block_col: [], "n_dups": []}
+            ).astype({id_col: "int64", block_col: "int64", "n_dups": "int64"})
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = fold_norms(m)
+        # same op sequence as the JVM path: dot / (nrm_a * nrm_b)
+        cos = fold_gram(m, m) / np.outer(nrm, nrm)
+        mask = (ids[:, None] < ids[None, :]) & (cos >= threshold)
+        n_dups = mask.sum(axis=0)
+        keep = n_dups > 0
+        return pd.DataFrame(
+            {
+                id_col: ids[keep],
+                block_col: pdf[block_col].to_numpy()[keep],
+                "n_dups": n_dups[keep].astype("int64"),
+            }
+        )
+
+    return b.groupBy(block_col).applyInPandas(
+        _block, f"{id_col} long, {block_col} long, n_dups long"
     )
 
 
@@ -119,7 +175,6 @@ def semantic_dedup_pruned_kmeans(
         F.col(id_col),
         F.col("cluster"),
         F.col(vec_col).alias("v"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
     )
     return _prune_within_block(b, "cluster", id_col, dim, threshold)
 

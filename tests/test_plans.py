@@ -310,14 +310,15 @@ def test_countmin_probe_is_broadcast_and_sketch_not_cartesian(spark, sf_dir):
 
 
 def test_semantic_dedup_is_bucket_equi_join(spark, sf_dir):
-    """SemDeDup's pair search must be an equi-join on the bucket key —
-    never a nested loop over all pairs."""
+    """SemDeDup's pair search must be blocked on the bucket key — one
+    bucket-keyed shuffle into the Arrow pair kernel (no pair relation, no
+    join at all), and never a nested loop over all pairs."""
     from duckdb_nats_jetstream_spark.plans.explain import physical_plan
     from duckdb_nats_jetstream_spark.queries.pipeline4 import dedup_semantic
 
     plan = physical_plan(dedup_semantic(spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_incremental_dedup_band_equi_join(spark, sf_dir):
