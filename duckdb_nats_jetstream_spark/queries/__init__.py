@@ -98,6 +98,16 @@ _FIXED_R02 = [
     "multimodal_features",  # r02 err (unhashable array cell) — now oracle-backed
     "multimodal_resize",  # rows-only; one-time execution proof
 ]
+#: batch-5 additions (this session) — sequenced AFTER the never-checked/fixed
+#: blocks so they can't push those judge-mandated rows past the ~50 cut; the
+#: first ~2 of these take the slots the scan rotation would have repeated
+#: (those all carry r01 rows + multi-SF local parity; first rows win)
+_NEW_R03_LATE = [
+    "text_unigram_bits",
+    "scan_funnel",
+    "rel_hll_counts",
+    "rel_mad_outliers",
+]
 #: scan surface whose last rows predate the r02 ts canonicalization
 _ROTATE_SCAN = [
     "scan_base",
@@ -162,19 +172,34 @@ def full_registry() -> Registry:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         relational,
         relational2,
         stream,
     )
 
     merged: Registry = {}
-    for mod in (pipeline, pipeline2, pipeline3, pipeline4, relational2, stream, relational):
+    for mod in (
+        pipeline,
+        pipeline2,
+        pipeline3,
+        pipeline4,
+        pipeline5,
+        relational2,
+        stream,
+        relational,
+    ):
         for name, entry in mod.QUERIES.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = entry
 
     prefix = (
-        _NEW_R03 + _NEVER_CHECKED_R02 + _FIXED_R02 + _ROTATE_SCAN + _ROTATE_RELATIONAL
+        _NEW_R03
+        + _NEVER_CHECKED_R02
+        + _FIXED_R02
+        + _NEW_R03_LATE
+        + _ROTATE_SCAN
+        + _ROTATE_RELATIONAL
     )
     out: Registry = {}
     for name in prefix:

@@ -1,0 +1,261 @@
+"""Training-data pipeline queries, batch 5 (round 3, second session).
+
+- ``text_unigram_bits`` — unigram-LM surprisal quality scoring (the CCNet /
+  Wenzek et al. 2020 perplexity-filter signal) made cross-engine exact by
+  quantizing log-loss to whole bits: token surprisal = floor(log2(total /
+  count)) computed as ``length(bin(total div n)) - 1`` — pure integer/string
+  ops, so per-document sums are order-independent exact integers and the
+  only double is one final mean division. At deployment scale you'd use a
+  real float ``ln`` (no oracle constraint there); the *plan* is identical —
+  this keeps the verification gate honest without a transcendental whose
+  last ulp differs between engines.
+- ``scan_funnel`` — ordered 3-stage funnel (view → click → purchase) over
+  the event log: per-user single-pass sorted-array fold (ONE shuffle, one
+  scan) instead of the textbook 3-aggregation cascade the oracle runs —
+  same semantics, one pass.
+- ``rel_hll_counts`` — HyperLogLog distinct-count sketch
+  (:mod:`operators.hll`) with the exact distinct count alongside as the
+  accuracy audit, plus a shard-merge consistency proof in pytest.
+- ``rel_mad_outliers`` — robust outlier screen: per-type median via exact
+  interpolated percentile, MAD on the deviations, count beyond 3×MAD
+  (Iglewicz-Hoaglin; the winsorize operator's robust sibling).
+
+Scale notes: unigram_bits shuffles on the token key (combiner-reduced) and
+the doc key — the vocabulary relation joins by shuffle, never collected;
+funnel is one user-keyed aggregation whose state per user is its event
+structs (bound by per-user activity, the same state a sessionization
+window holds); HLL moves ≤ 256 rows per input partition by construction;
+MAD is two broadcast-joined per-type aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from duckdb_nats_jetstream_spark.functions import text as TX
+from duckdb_nats_jetstream_spark.operators import funnel as FN
+from duckdb_nats_jetstream_spark.operators import hll as HLL
+from duckdb_nats_jetstream_spark.session import read_table
+
+# --- unigram LM surprisal ----------------------------------------------------
+
+
+def text_unigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram surprisal in whole bits.
+
+    Pipeline: explode tokens → per-(doc, token) counts → corpus frequency
+    table → join back on the token key → integer bit-surprisal per token →
+    per-doc sum. ``mean_bits`` (total bits / total tokens) is the
+    perplexity-filter threshold signal: templated/repetitive documents score
+    low, lexically improbable ones high.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    # floor(log2(total/n)) with integer division: bin() of a positive int64
+    # has no leading zeros in either engine, so its length - 1 IS the floor
+    # log2 — no floating point anywhere in the surprisal.
+    bits = F.length(F.bin(F.expr("total div n"))) - 1
+    scored = (
+        dtc.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "c", bits.cast("long").alias("bits"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("bits")).alias("bits_total"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("bits_total").cast("long").alias("bits_total"),
+            (F.col("bits_total").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_bits"
+            ),
+        )
+    )
+
+
+UNIGRAM_BITS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TX.sql_tokens('text')}) AS token FROM documents
+), dtc AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, sum(c) AS n FROM dtc GROUP BY token
+), tot AS (
+  SELECT sum(n) AS total FROM vocab
+), scored AS (
+  SELECT dtc.doc_id, dtc.c,
+         CAST(length(bin(CAST(tot.total AS BIGINT) // CAST(vocab.n AS BIGINT))) - 1
+              AS BIGINT) AS bits
+  FROM dtc JOIN vocab USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * bits) AS BIGINT) AS bits_total,
+       CAST(sum(c * bits) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS mean_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+# --- ordered funnel ----------------------------------------------------------
+
+
+def scan_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: users entering each stage in strict
+    timestamp order, with stage-to-stage conversion rates.
+
+    Spark-first: ONE user-keyed aggregation collects each user's sorted
+    event array, and the stage timestamps fall out of ordered array filters
+    (first view; first click after it; first purchase after that). The
+    oracle runs the equivalent 3-aggregation cascade — identical semantics
+    (first matching event == min timestamp), one corpus scan instead of
+    three.
+    """
+    per_user = FN.funnel_user_stages(
+        read_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+    return per_user.agg(
+        F.count("t1").alias("u_view"),
+        F.count("t2").alias("u_click"),
+        F.count("t3").alias("u_purchase"),
+        (F.count("t2").cast("double") / F.count("t1").cast("double")).alias(
+            "conv_click"
+        ),
+        (F.count("t3").cast("double") / F.count("t2").cast("double")).alias(
+            "conv_purchase"
+        ),
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS u_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS u_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS u_purchase,
+       CAST((SELECT count(*) FROM s2) AS DOUBLE)
+         / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS conv_click,
+       CAST((SELECT count(*) FROM s3) AS DOUBLE)
+         / CAST((SELECT count(*) FROM s2) AS DOUBLE) AS conv_purchase
+"""
+
+
+# --- HLL distinct-count sketch ----------------------------------------------
+
+
+def rel_hll_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL raw estimate of distinct ordering customers vs the exact count.
+
+    The exact side joins in as the audit column — at 100 TB you'd drop it
+    and keep only the ≤ 256-row sketch; the error column is what tells you
+    whether you can.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    est = HLL.hll_estimate(HLL.hll_registers(orders, "o_custkey"))
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_present",
+        "n_zero",
+        "raw_estimate",
+        "exact_distinct",
+        (
+            (F.col("raw_estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+HLL_COUNTS_SQL = f"""
+WITH regs AS (
+{HLL.sql_hll_registers("o_custkey", "orders")}
+), est AS (
+{HLL.sql_hll_estimate("regs")}
+), ex AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct FROM orders
+)
+SELECT m, n_present, n_zero, raw_estimate, exact_distinct,
+       (raw_estimate - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_err
+FROM est CROSS JOIN ex
+"""
+
+
+# --- MAD robust outliers ----------------------------------------------------
+
+
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier counts: |value − median| > 3 × MAD.
+
+    Median and MAD use the exact interpolated percentile (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, parity proven by
+    ``rel_percentiles``); both per-type statistics relations are tiny and
+    broadcast back onto the fact scan — two broadcast joins, three hash
+    aggregations, no window over raw rows.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS dev
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN dev.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       any_value(dev.med) AS med,
+       any_value(mad.mad) AS mad
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type ORDER BY dev.event_type
+"""
+
+
+QUERIES = {
+    "text_unigram_bits": (text_unigram_bits, UNIGRAM_BITS_SQL),
+    "scan_funnel": (scan_funnel, FUNNEL_SQL),
+    "rel_hll_counts": (rel_hll_counts, HLL_COUNTS_SQL),
+    "rel_mad_outliers": (rel_mad_outliers, MAD_OUTLIERS_SQL),
+}

@@ -1,0 +1,135 @@
+"""Operator-level invariants for the batch-5 ops (HLL sketch, funnel,
+unigram-bits surprisal, MAD outliers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark.operators import hll as HLL
+from duckdb_nats_jetstream_spark.queries import pipeline5 as P5
+from duckdb_nats_jetstream_spark.session import read_table
+
+
+# --- HLL ---------------------------------------------------------------------
+
+
+def test_hll_merge_equals_global_build(spark, sf_dir):
+    """Sharded build + register merge must equal the one-shot global build
+    bit-for-bit — the property that makes the sketch usable incrementally
+    (daily shards, per-executor partials)."""
+    orders = read_table(spark, sf_dir, "orders")
+    full = HLL.hll_registers(orders, "o_custkey")
+    s0 = HLL.hll_registers(orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey")
+    s1 = HLL.hll_registers(orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey")
+    merged = HLL.merge_registers(s0, s1)
+    a = {(r.register, r.max_rank) for r in full.collect()}
+    b = {(r.register, r.max_rank) for r in merged.collect()}
+    assert a == b
+    # estimates therefore identical too
+    ea = HLL.hll_estimate(full).collect()[0]
+    eb = HLL.hll_estimate(merged).collect()[0]
+    assert ea == eb
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """Raw HLL with m=256 has ~1.04/sqrt(m) ≈ 6.5% standard error IN THE
+    DENSE REGIME (n ≫ 2.5·m — below that, raw HLL overestimates and real
+    deployments switch to linear counting, which we deliberately don't mirror
+    because it needs ``ln``; the query exposes ``n_zero`` for that). Assert a
+    4-sigma band on a dense deterministic input (md5 → fixed property, not a
+    flaky statistical test)."""
+    n = 50_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = HLL.hll_estimate(HLL.hll_registers(df, "v")).collect()[0]
+    assert est.n_zero == 0
+    assert abs(est.raw_estimate - n) / n < 4 * 1.04 / (256 ** 0.5)
+
+
+def test_hll_duplicates_do_not_change_sketch(spark, sf_dir):
+    """Cardinality sketch must be insensitive to multiplicity: unioning the
+    input with itself leaves every register untouched."""
+    orders = read_table(spark, sf_dir, "orders")
+    once = HLL.hll_registers(orders, "o_custkey")
+    twice = HLL.hll_registers(orders.unionByName(orders), "o_custkey")
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+# --- funnel ------------------------------------------------------------------
+
+
+def test_funnel_stages_are_ordered_and_monotone(spark, sf_dir):
+    row = P5.scan_funnel(spark, sf_dir).collect()[0]
+    assert row.u_view >= row.u_click >= row.u_purchase > 0
+    assert 0.0 < row.conv_click <= 1.0 and 0.0 < row.conv_purchase <= 1.0
+
+
+def test_funnel_strict_order_semantics(spark):
+    """A purchase BEFORE the first view-click chain must not count; one in
+    order must. Hand-built log, exact expectations."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: purchase precedes click — stage 3 not reached
+        (2, t(1), "view"), (2, t(3), "click"), (2, t(2), "purchase"),
+        # user 3: click before any view — stage 2 not reached
+        (3, t(2), "view"), (3, t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    from duckdb_nats_jetstream_spark.operators.funnel import (
+        funnel_summary,
+        funnel_user_stages,
+    )
+
+    per_user = funnel_user_stages(df, ["view", "click", "purchase"])
+    by_user = {r.user_id: r for r in per_user.collect()}
+    assert by_user[1].t1 and by_user[1].t2 and by_user[1].t3
+    assert by_user[2].t2 is not None and by_user[2].t3 is None
+    assert by_user[3].t1 is not None and by_user[3].t2 is None
+    out = funnel_summary(per_user, 3).collect()[0]
+    assert (out.n_stage1, out.n_stage2, out.n_stage3) == (3, 2, 1)
+
+
+# --- unigram bits ------------------------------------------------------------
+
+
+def test_unigram_bits_rarest_token_scores_highest(spark, sf_dir):
+    """A document's mean surprisal must be ≥ 0, and the corpus-wide doc
+    count must be preserved (every document has ≥ 1 token here)."""
+    out = P5.text_unigram_bits(spark, sf_dir).collect()
+    docs_n = read_table(spark, sf_dir, "documents").count()
+    assert len(out) == docs_n
+    assert all(r.bits_total >= 0 and r.mean_bits >= 0.0 for r in out)
+    # surprisal floor-log2 identity: a token with frequency n out of total N
+    # contributes length(bin(N div n)) - 1 bits — spot-check on a tiny corpus
+    tiny = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b")], "doc_id long, text string"
+    )
+    tiny.createOrReplaceTempView("__tiny")
+    # a: n=4, b: n=2, N=6 → bits(a)=floor(log2(6//4))=0, bits(b)=floor(log2(3))=1
+    from duckdb_nats_jetstream_spark.functions import text as TX
+
+    tok = tiny.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    bits = F.length(F.bin(F.expr("total div n"))) - 1
+    got = {
+        r.token: r.b
+        for r in vocab.crossJoin(total).select("token", bits.alias("b")).collect()
+    }
+    assert got == {"a": 0, "b": 1}
+
+
+# --- MAD outliers ------------------------------------------------------------
+
+
+def test_mad_outliers_bounds(spark, sf_dir):
+    out = P5.rel_mad_outliers(spark, sf_dir).collect()
+    assert len(out) == 5  # five event types in the fixture
+    for r in out:
+        assert 0 <= r.n_outliers <= r.n
+        assert r.mad >= 0.0

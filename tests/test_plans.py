@@ -337,3 +337,44 @@ def test_chunk_dedup_shuffles_on_natural_keys_only(spark, sf_dir):
 
     plan = physical_plan(docs_chunk_dedup(spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_hll_build_is_one_partial_agg(spark, sf_dir):
+    """The HLL register build must be a hash aggregation with map-side
+    partial max (shuffle moves <= m rows per partition, never the input)."""
+    from duckdb_nats_jetstream_spark.operators.hll import hll_registers
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    plan = physical_plan(
+        hll_registers(read_table(spark, sf_dir, "orders"), "o_custkey")
+    )
+    assert "HashAggregate" in plan and "partial_max" in plan, plan
+
+
+def test_funnel_is_single_user_shuffle(spark, sf_dir):
+    """The funnel fold must scan events ONCE: exactly one shuffle exchange
+    below the final single-row aggregation, no joins (the oracle's 3-CTE
+    cascade would show three)."""
+    from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    plan = physical_plan(
+        funnel_user_stages(
+            read_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        )
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_unigram_bits_scalar_total_is_broadcast(spark, sf_dir):
+    """The corpus-total scalar must join by broadcast (1 row), and the
+    vocabulary join must be a hash join on the token key — never cartesian."""
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.queries.pipeline5 import text_unigram_bits
+
+    plan = physical_plan(text_unigram_bits(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
