@@ -107,6 +107,8 @@ _NEW_R03_LATE = [
     "scan_funnel",
     "rel_hll_counts",
     "rel_mad_outliers",
+    "rel_hist_quantiles",
+    "text_pmi_topk",
 ]
 #: scan surface whose last rows predate the r02 ts canonicalization
 _ROTATE_SCAN = [

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.operators import funnel as FN
+from duckdb_nats_jetstream_spark.operators import histsketch as HS
 from duckdb_nats_jetstream_spark.operators import hll as HLL
 from duckdb_nats_jetstream_spark.session import read_table
 
@@ -253,9 +254,129 @@ GROUP BY dev.event_type ORDER BY dev.event_type
 """
 
 
+# --- histogram quantile sketch ----------------------------------------------
+
+_HLO, _HHI, _HBINS = 0.0, 640.0, 128
+_HQS = [0.25, 0.5, 0.9]
+
+
+def rel_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimates of ``events.value`` with the
+    exact interpolated percentiles alongside as the accuracy audit — the
+    constant-memory path (≤ 128-row sketch, bin-wise mergeable) vs the
+    per-group value buffer the exact percentile carries."""
+    ev = read_table(spark, sf_dir, "events")
+    sk = HS.hist_bins(ev, "value", _HLO, _HHI, _HBINS)
+    est = HS.hist_quantiles(sk, _HQS, _HLO, _HHI, _HBINS)
+    exact = ev.agg(
+        F.percentile("value", 0.25).alias("x25"),
+        F.percentile("value", 0.5).alias("x50"),
+        F.percentile("value", 0.9).alias("x90"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n", "q_0_25", "q_0_5", "q_0_9", "x25", "x50", "x90"
+    )
+
+
+HIST_QUANTILES_SQL = f"""
+WITH hist AS (
+{HS.sql_hist_bins("value", "events", _HLO, _HHI, _HBINS)}
+), est AS (
+{HS.sql_hist_quantiles(_HQS, _HLO, _HHI, _HBINS, "hist")}
+), ex AS (
+  SELECT quantile_cont(value, 0.25) AS x25,
+         quantile_cont(value, 0.5) AS x50,
+         quantile_cont(value, 0.9) AS x90
+  FROM events
+)
+SELECT n, q_0_25, q_0_5, q_0_9, x25, x50, x90 FROM est CROSS JOIN ex
+"""
+
+
+# --- PMI collocations --------------------------------------------------------
+
+
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI lift — transcendental-free: PMI is
+    monotone in ``p(xy) / (p(x)·p(y))``, so ranking by the lift ratio IS
+    ranking by PMI, with no ``log`` whose last ulp differs between engines.
+    The ratio evaluates in one fixed op sequence over exact integer counts.
+
+    Shuffle shape: bigrams/unigrams are row-local transforms; two token-key
+    aggregations; the unigram relation joins the bigram relation twice (left
+    word, right word) by hash join — vocabulary-sized, never collected. A
+    min-count floor keeps one-off pairs from dominating the ranking (the
+    standard PMI sparsity fix)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(TX.tokens(F.col("text")).alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<x:string,y:string>>"))
+    bi = (
+        toked.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    uni = (
+        toked.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu"))
+    n_bi = bi.agg(F.sum("cxy").alias("nb"))
+    lift = (F.col("cxy").cast("double") / F.col("nb").cast("double")) / (
+        (F.col("cx").cast("double") / F.col("nu").cast("double"))
+        * (F.col("cy").cast("double") / F.col("nu").cast("double"))
+    )
+    return (
+        bi.filter(F.col("cxy") >= 5)
+        .join(uni.select(F.col("t").alias("x"), F.col("c").alias("cx")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("cy")), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("x", "y", "cxy", "cx", "cy", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(20)
+    )
+
+
+PMI_TOPK_SQL = f"""
+WITH toked AS (
+  SELECT {TX.sql_tokens('text')} AS toks FROM documents
+), bi AS (
+  SELECT t.x, t.y, count(*) AS cxy FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> {{'x': toks[i], 'y': toks[i + 1]}})) AS t
+    FROM toked
+  ) GROUP BY t.x, t.y
+), uni AS (
+  SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM toked) GROUP BY t
+), nu AS (SELECT sum(c) AS nu FROM uni),
+nb AS (SELECT sum(cxy) AS nb FROM bi)
+SELECT bi.x, bi.y, bi.cxy, ux.c AS cx, uy.c AS cy,
+       (CAST(bi.cxy AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+         / ((CAST(ux.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+            * (CAST(uy.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))) AS lift
+FROM bi
+JOIN uni ux ON ux.t = bi.x
+JOIN uni uy ON uy.t = bi.y
+CROSS JOIN nu CROSS JOIN nb
+WHERE bi.cxy >= 5
+ORDER BY lift DESC, bi.x, bi.y
+LIMIT 20
+"""
+
+
 QUERIES = {
     "text_unigram_bits": (text_unigram_bits, UNIGRAM_BITS_SQL),
     "scan_funnel": (scan_funnel, FUNNEL_SQL),
     "rel_hll_counts": (rel_hll_counts, HLL_COUNTS_SQL),
     "rel_mad_outliers": (rel_mad_outliers, MAD_OUTLIERS_SQL),
+    "rel_hist_quantiles": (rel_hist_quantiles, HIST_QUANTILES_SQL),
+    "text_pmi_topk": (text_pmi_topk, PMI_TOPK_SQL),
 }

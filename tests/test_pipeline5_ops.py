@@ -133,3 +133,61 @@ def test_mad_outliers_bounds(spark, sf_dir):
     for r in out:
         assert 0 <= r.n_outliers <= r.n
         assert r.mad >= 0.0
+
+
+# --- histogram sketch --------------------------------------------------------
+
+
+def test_hist_merge_equals_global_build(spark, sf_dir):
+    """Shard sketches merge bin-wise to exactly the one-shot build — the
+    count-min/HLL mergeability contract, histogram edition."""
+    from duckdb_nats_jetstream_spark.operators import histsketch as HS
+
+    ev = read_table(spark, sf_dir, "events")
+    full = HS.hist_bins(ev, "value", 0.0, 640.0, 128)
+    s0 = HS.hist_bins(ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 640.0, 128)
+    s1 = HS.hist_bins(ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 640.0, 128)
+    merged = HS.merge_hist(s0, s1)
+    assert {tuple(r) for r in full.collect()} == {tuple(r) for r in merged.collect()}
+
+
+def test_hist_quantile_within_bin_width_of_exact(spark, sf_dir):
+    """The equi-width estimator's error bound: each estimate must fall
+    within one bin width of the exact interpolated percentile (values
+    inside [lo, hi), which holds for this column at every SF ≤ 0.1)."""
+    from duckdb_nats_jetstream_spark.queries.pipeline5 import (
+        _HBINS,
+        _HHI,
+        _HLO,
+        rel_hist_quantiles,
+    )
+
+    row = rel_hist_quantiles(spark, sf_dir).collect()[0]
+    width = (_HHI - _HLO) / _HBINS
+    for est, exact in ((row.q_0_25, row.x25), (row.q_0_5, row.x50), (row.q_0_9, row.x90)):
+        assert abs(est - exact) <= width, (est, exact)
+
+
+# --- PMI ---------------------------------------------------------------------
+
+
+def test_pmi_lift_identity(spark, sf_dir):
+    """lift must equal (cxy/nb) / ((cx/nu)(cy/nu)) recomputed from the
+    emitted counts — and every returned pair clears the count floor."""
+    from duckdb_nats_jetstream_spark.functions import text as TX
+    from duckdb_nats_jetstream_spark.queries.pipeline5 import text_pmi_topk
+
+    rows = text_pmi_topk(spark, sf_dir).collect()
+    assert rows and all(r.cxy >= 5 for r in rows)
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(TX.tokens(F.col("text")).alias("toks"))
+    nu = toked.select(F.explode("toks").alias("t")).count()
+    nb = toked.select(
+        (F.greatest(F.size("toks") - 1, F.lit(0))).alias("k")
+    ).agg(F.sum("k")).collect()[0][0]
+    for r in rows:
+        expect = (r.cxy / nb) / ((r.cx / nu) * (r.cy / nu))
+        assert abs(expect - r.lift) < 1e-9 * abs(expect)
+    # ranking is by lift descending
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
