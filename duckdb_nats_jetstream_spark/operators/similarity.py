@@ -42,8 +42,18 @@ def _lit_vec(v: list[float]) -> F.Column:
     return F.array(*[F.lit(x) for x in v])
 
 
+def sql_lit_f64(x: float) -> str:
+    """A DuckDB literal that round-trips the double EXACTLY. A bare decimal
+    literal with > 15 significant digits parses as DECIMAL first and loses
+    the last ulp before any DOUBLE cast (measured:
+    ``CAST(0.055813135980669316 AS DOUBLE)`` → ``…931``); scientific
+    notation forces the double parser, which is shortest-round-trip exact."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
 def sql_lit_vec(v: list[float]) -> str:
-    return "[" + ", ".join(str(x) for x in v) + "]::DOUBLE[]"
+    return "[" + ", ".join(sql_lit_f64(x) for x in v) + "]::DOUBLE[]"
 
 
 def with_srp_bucket(
@@ -358,7 +368,7 @@ def sql_ivf_topk(
     C = _kmeans_sample(X, n_clusters, seed)
     cc = fold_sq_norms(C)
     cent_rows = ",\n    ".join(
-        f"({j}, {sql_lit_vec(list(C[j]))}, CAST({cc[j]!r} AS DOUBLE))"
+        f"({j}, {sql_lit_vec(list(C[j]))}, {sql_lit_f64(cc[j])})"
         for j in range(n_clusters)
     )
     return f"""

@@ -109,6 +109,7 @@ _NEW_R03_LATE = [
     "rel_mad_outliers",
     "rel_hist_quantiles",
     "text_pmi_topk",
+    "sim_pq_topk",
 ]
 #: scan surface whose last rows predate the r02 ts canonicalization
 _ROTATE_SCAN = [

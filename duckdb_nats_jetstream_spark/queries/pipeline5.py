@@ -372,6 +372,37 @@ LIMIT 20
 """
 
 
+# --- product quantization ANN ------------------------------------------------
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (:mod:`operators.pq`): the corpus
+    compresses to m=8 one-byte codes per vector; queries rank candidates by
+    lookup-table distance without touching original vectors. The oracle
+    re-trains the identical deterministic per-subspace codebooks and embeds
+    them as SQL literals — same pattern as ``sim_ivf_topk``."""
+    from duckdb_nats_jetstream_spark.operators import pq as PQ
+
+    return PQ.pq_topk(
+        read_table(spark, sf_dir, "embeddings"), query_max_id=10, k=5
+    )
+
+
+def _pq_sql() -> str | None:
+    import os
+
+    from duckdb_nats_jetstream_spark.operators import pq as PQ
+
+    try:
+        return PQ.sql_pq_topk(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            query_max_id=10,
+            k=5,
+        )
+    except Exception:  # noqa: BLE001 — missing testdata → rows-only entry
+        return None
+
+
 QUERIES = {
     "text_unigram_bits": (text_unigram_bits, UNIGRAM_BITS_SQL),
     "scan_funnel": (scan_funnel, FUNNEL_SQL),
@@ -379,4 +410,5 @@ QUERIES = {
     "rel_mad_outliers": (rel_mad_outliers, MAD_OUTLIERS_SQL),
     "rel_hist_quantiles": (rel_hist_quantiles, HIST_QUANTILES_SQL),
     "text_pmi_topk": (text_pmi_topk, PMI_TOPK_SQL),
+    "sim_pq_topk": (sim_pq_topk, _pq_sql()),
 }
