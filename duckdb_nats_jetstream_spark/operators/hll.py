@@ -55,11 +55,10 @@ def _nibble(c: F.Column) -> F.Column:
     return F.conv(c, 16, 10).cast("long")
 
 
-def hll_registers(
-    df: DataFrame, value_col: str, salt: str = "hll:"
-) -> DataFrame:
-    """The sketch relation ``(register, max_rank)`` for the distinct values
-    of ``value_col`` — ≤ 256 rows whatever the input size."""
+def register_rank_cols(value_col: str, salt: str = "hll:") -> tuple[F.Column, F.Column]:
+    """The two row-local sketch expressions ``(register, rank)`` — shared by
+    the batch build and the streaming windowed build so both produce
+    identical registers by construction."""
     h = F.md5(F.concat(F.lit(salt), F.col(value_col).cast("string")))
     reg = _nibble(F.substring(h, 1, 2))
     rest = F.substring(h, 3, 30)
@@ -74,8 +73,17 @@ def hll_registers(
     rank = F.when(
         lead0 >= 30, F.lit(60)  # all 120 bits zero (P ≈ 2⁻¹²⁰): cap
     ).otherwise(F.least(lead0 * 4 + nlz_in_nibble + 1, F.lit(60)))
+    return reg.cast("long"), rank.cast("long")
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, salt: str = "hll:"
+) -> DataFrame:
+    """The sketch relation ``(register, max_rank)`` for the distinct values
+    of ``value_col`` — ≤ 256 rows whatever the input size."""
+    reg, rank = register_rank_cols(value_col, salt)
     return (
-        df.select(reg.alias("register"), rank.cast("long").alias("rank"))
+        df.select(reg.alias("register"), rank.alias("rank"))
         .groupBy("register")
         .agg(F.max("rank").alias("max_rank"))
     )
@@ -89,15 +97,18 @@ def merge_registers(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """One-row estimate from a register relation: raw HLL estimate, register
-    occupancy, and the harmonic denominator (register-index fold order)."""
+def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:
+    """Estimate rows from a register relation: raw HLL estimate, register
+    occupancy, and the harmonic denominator (register-index fold order).
+    With ``group_cols`` (e.g. a window column), one estimate per group —
+    each group folds its own ≤ m registers."""
     term = F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), max_rank)").cast(
         "double"
     )
-    packed = registers.select(
-        F.struct(F.col("register"), term.alias("term")).alias("rt")
-    ).agg(
+    grouped = registers.select(
+        *group_cols, F.struct(F.col("register"), term.alias("term")).alias("rt")
+    ).groupBy(*group_cols)
+    packed = grouped.agg(
         F.array_sort(F.collect_list("rt")).alias("arr"),
         F.count("*").alias("n_present"),
     )
@@ -111,6 +122,7 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(M)))
     ) * F.lit(float(M * M))
     return packed.select(
+        *group_cols,
         F.lit(M).cast("long").alias("m"),
         F.col("n_present").cast("long").alias("n_present"),
         (F.lit(M) - F.col("n_present")).cast("long").alias("n_zero"),
