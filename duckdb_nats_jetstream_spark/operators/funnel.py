@@ -28,9 +28,17 @@ def funnel_user_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Per-user stage timestamps ``(user, t1..tk)``; ``t_k`` is NULL once
-    the chain breaks (strict ``>`` between consecutive stages)."""
+    the chain breaks (strict ``>`` between consecutive stages). With
+    ``max_gap`` (an INTERVAL string like ``"2 hours"``), each stage must
+    also land within that gap of the previous one — the conversion-window
+    variant every funnel product exposes. Same plan either way: the bound
+    is one more predicate inside the array filter, not a new join or
+    shuffle. NOTE: a too-late event does not fail the funnel outright — a
+    later in-window event of the same stage can still convert (min matching
+    ts within the window, the standard semantics)."""
     ev = df.filter(F.col(type_col).isin(*stages)).select(
         user_col, ts_col, type_col
     )
@@ -42,7 +50,14 @@ def funnel_user_stages(
         return lambda x: x[type_col] == stage
 
     def _first_after(stage: str, prev_col: str):
-        return lambda x: (x[type_col] == stage) & (x[ts_col] > F.col(prev_col))
+        if max_gap is None:
+            return lambda x: (x[type_col] == stage) & (x[ts_col] > F.col(prev_col))
+        deadline = F.col(prev_col) + F.expr(f"INTERVAL {max_gap}")
+        return lambda x: (
+            (x[type_col] == stage)
+            & (x[ts_col] > F.col(prev_col))
+            & (x[ts_col] <= deadline)
+        )
 
     prev = None
     for i, stage in enumerate(stages, start=1):

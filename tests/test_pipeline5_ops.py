@@ -226,3 +226,26 @@ def test_pq_recall_against_exact(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx}
     e = {(r.query_id, r.neighbor_id) for r in exact}
     assert len(a & e) / len(e) > 0.1, f"PQ recall {len(a & e) / len(e):.2f}"
+
+
+def test_funnel_conversion_window(spark):
+    """max_gap bounds each stage-to-stage gap: a click 3h after the view
+    misses a 2h window; a later in-window click still converts."""
+    import datetime as dt
+
+    t = lambda h, mi=0: dt.datetime(2026, 1, 1, h, mi)
+    rows = [
+        (1, t(0), "view"), (1, t(3), "click"),            # gap 3h: out
+        (2, t(0), "view"), (2, t(1), "click"),            # gap 1h: in
+        (3, t(0), "view"), (3, t(3), "click"), (3, t(1, 30), "click"),  # late + in-window
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
+
+    by_user = {
+        r.user_id: r
+        for r in funnel_user_stages(df, ["view", "click"], max_gap="2 hours").collect()
+    }
+    assert by_user[1].t2 is None
+    assert by_user[2].t2 == t(1)
+    assert by_user[3].t2 == t(1, 30)
