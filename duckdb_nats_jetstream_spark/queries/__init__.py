@@ -110,6 +110,7 @@ _NEW_R03_LATE = [
     "rel_hist_quantiles",
     "text_pmi_topk",
     "sim_pq_topk",
+    "scan_path_mining",
 ]
 #: scan surface whose last rows predate the r02 ts canonicalization
 _ROTATE_SCAN = [

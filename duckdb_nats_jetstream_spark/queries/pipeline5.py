@@ -372,6 +372,84 @@ LIMIT 20
 """
 
 
+# --- session path mining -----------------------------------------------------
+
+
+def scan_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 user-journey paths: gap-sessionize the event log (>30 min
+    silence per user = new session, the same assignment
+    ``scan_sessionization`` proves), render each session's ordered
+    event-type sequence as a path string, count path frequencies.
+
+    Shuffle shape: the session window shuffles on user_id (same as
+    sessionization); the path aggregation shuffles (user, session) — tiny;
+    the frequency count shuffles the path strings (combiner-reduced to the
+    distinct-path relation). Ordering inside a session is total (ts, then
+    event_id), so the path string is deterministic cross-engine."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+PATH_MINING_SQL = """
+WITH flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL '30 minutes'
+            THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events) t
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
 # --- product quantization ANN ------------------------------------------------
 
 
@@ -411,4 +489,5 @@ QUERIES = {
     "rel_hist_quantiles": (rel_hist_quantiles, HIST_QUANTILES_SQL),
     "text_pmi_topk": (text_pmi_topk, PMI_TOPK_SQL),
     "sim_pq_topk": (sim_pq_topk, _pq_sql()),
+    "scan_path_mining": (scan_path_mining, PATH_MINING_SQL),
 }
