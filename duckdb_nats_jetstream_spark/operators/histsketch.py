@@ -28,18 +28,22 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from duckdb_nats_jetstream_spark.operators.similarity import sql_lit_f64
+
 
 def hist_bins(
     df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
 ) -> DataFrame:
     """The sketch relation ``(bin, cnt)``; values outside [lo, hi) clamp to
     the edge bins (they stay counted — quantiles of a clipped tail are
-    still bounded by the edge bin's range)."""
+    still bounded by the edge bin's range); NULLs are excluded, matching
+    what every SQL quantile aggregate does."""
     width = (hi - lo) / n_bins
     b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
     bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("long")
     return (
-        df.select(bin_.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(bin_.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -112,9 +116,10 @@ def sql_hist_bins(
     """DuckDB mirror of :func:`hist_bins` (CTE body)."""
     width = (hi - lo) / n_bins
     return f"""
-  SELECT CAST(least(greatest(floor((CAST({value_expr} AS DOUBLE) - {lo!r}) / {width!r}), 0), {n_bins - 1}) AS BIGINT) AS bin,
+  SELECT CAST(least(greatest(floor((CAST({value_expr} AS DOUBLE) - {sql_lit_f64(lo)}) / {sql_lit_f64(width)}), 0), {n_bins - 1}) AS BIGINT) AS bin,
          count(*) AS cnt
   FROM {table}
+  WHERE {value_expr} IS NOT NULL
   GROUP BY 1
 """
 
@@ -139,7 +144,7 @@ def sql_hist_quantiles(
         #     (which needs the PRE-update running count) must come before
         #     'cum' in field order. Spark's F.aggregate is purely functional
         #     and indifferent to the order.
-        target = f"({q!r} * (x.n - 1))"
+        target = f"({sql_lit_f64(q)} * (x.n - 1))"
         q_exprs.append(
             f"""
        (list_reduce(
@@ -149,7 +154,7 @@ def sql_hist_quantiles(
           (acc, x) -> {{
             'est': CASE WHEN acc.est IS NOT NULL THEN acc.est
                         WHEN acc.cum + x.c > {target}
-                        THEN {lo!r} + {width!r} * (x.b + ({target} - acc.cum) / x.c)
+                        THEN {sql_lit_f64(lo)} + {sql_lit_f64(width)} * (x.b + ({target} - acc.cum) / x.c)
                         ELSE CAST(NULL AS DOUBLE) END,
             'cum': acc.cum + x.c,
             'b': x.b, 'c': x.c, 'n': x.n

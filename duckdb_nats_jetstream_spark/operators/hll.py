@@ -80,10 +80,14 @@ def hll_registers(
     df: DataFrame, value_col: str, salt: str = "hll:"
 ) -> DataFrame:
     """The sketch relation ``(register, max_rank)`` for the distinct values
-    of ``value_col`` — ≤ 256 rows whatever the input size."""
+    of ``value_col`` — ≤ 256 rows whatever the input size. NULLs don't
+    count toward cardinality (SQL ``COUNT(DISTINCT)`` semantics) and are
+    filtered before hashing — otherwise ``md5(concat(...))`` nulls through
+    and a bogus NULL register row pollutes the sketch."""
     reg, rank = register_rank_cols(value_col, salt)
     return (
-        df.select(reg.alias("register"), rank.alias("rank"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(reg.alias("register"), rank.alias("rank"))
         .groupBy("register")
         .agg(F.max("rank").alias("max_rank"))
     )
@@ -160,6 +164,7 @@ def sql_hll_registers(value_expr: str, table: str, salt: str = "hll:") -> str:
                   60)
            END AS rank
     FROM {table}
+    WHERE {value_expr} IS NOT NULL
   ) t
   GROUP BY register
 """

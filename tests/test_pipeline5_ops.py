@@ -249,3 +249,18 @@ def test_funnel_conversion_window(spark):
     assert by_user[1].t2 is None
     assert by_user[2].t2 == t(1)
     assert by_user[3].t2 == t(1, 30)
+
+
+def test_sketches_ignore_nulls(spark):
+    """NULL values must not add a bogus register/bin row (COUNT(DISTINCT)
+    and quantile aggregates both ignore NULLs — the sketches must too)."""
+    from duckdb_nats_jetstream_spark.operators import histsketch as HS
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "v long"
+    )
+    regs = HLL.hll_registers(df, "v").collect()
+    assert len(regs) == 2 and all(r.register is not None for r in regs)
+    vals = spark.createDataFrame([(1.0,), (None,)], "value double")
+    bins = HS.hist_bins(vals, "value", 0.0, 10.0, 4).collect()
+    assert len(bins) == 1 and bins[0].bin is not None and bins[0].cnt == 1
