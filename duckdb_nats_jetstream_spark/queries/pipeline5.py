@@ -19,13 +19,22 @@
 - ``rel_mad_outliers`` — robust outlier screen: per-type median via exact
   interpolated percentile, MAD on the deviations, count beyond 3×MAD
   (Iglewicz-Hoaglin; the winsorize operator's robust sibling).
+- ``rel_hist_quantiles`` — mergeable equi-width histogram sketch
+  (:mod:`operators.histsketch`) quantile estimates with exact-percentile
+  audit columns.
+- ``text_pmi_topk`` — collocations ranked by the PMI-monotone lift ratio
+  (transcendental-free; exact integer counts, one fixed-order division
+  chain).
+- ``sim_pq_topk`` — product-quantization ADC top-k (:mod:`operators.pq`)
+  with an embedded-codebook SQL oracle.
+- ``scan_path_mining`` — gap-sessionized user-journey path frequencies.
 
-Scale notes: unigram_bits shuffles on the token key (combiner-reduced) and
-the doc key — the vocabulary relation joins by shuffle, never collected;
-funnel is one user-keyed aggregation whose state per user is its event
-structs (bound by per-user activity, the same state a sessionization
-window holds); HLL moves ≤ 256 rows per input partition by construction;
-MAD is two broadcast-joined per-type aggregates.
+Scale notes: unigram_bits/pmi shuffle on the token key (combiner-reduced)
+and the doc key — the vocabulary relation joins by shuffle, never
+collected; funnel and path mining are one user-keyed shuffle each; the
+HLL/histogram sketch builds move ≤ m rows per input partition by
+construction; MAD is two broadcast-joined per-type aggregates; PQ touches
+the corpus with exactly two Arrow maps.
 """
 
 from __future__ import annotations
