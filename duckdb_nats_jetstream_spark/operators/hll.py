@@ -135,20 +135,16 @@ def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:
     )
 
 
-def sql_hll_registers(value_expr: str, table: str, salt: str = "hll:") -> str:
-    """DuckDB mirror of :func:`hll_registers` (a CTE body, no trailing ;)."""
+def sql_register_rank_exprs(value_expr: str, salt: str = "hll:") -> tuple[str, str]:
+    """DuckDB mirrors of :func:`register_rank_cols` — the two row-local
+    expressions, for composing grouped/windowed register builds."""
     h = f"md5('{salt}' || CAST({value_expr} AS VARCHAR))"
     nib = "strpos('{hex}', {c}) - 1".format
     reg = (
         f"(({nib(hex=_HEX, c=f'substr({h}, 1, 1)')}) * 16 + "
         f"({nib(hex=_HEX, c=f'substr({h}, 2, 1)')}))"
     )
-    return f"""
-  SELECT CAST(register AS BIGINT) AS register,
-         CAST(max(rank) AS BIGINT) AS max_rank
-  FROM (
-    SELECT {reg} AS register,
-           CASE WHEN length(regexp_extract(substr({h}, 3, 30), '^(0*)', 1)) >= 30
+    rank = f"""CASE WHEN length(regexp_extract(substr({h}, 3, 30), '^(0*)', 1)) >= 30
                 THEN 60
                 ELSE least(
                   length(regexp_extract(substr({h}, 3, 30), '^(0*)', 1)) * 4
@@ -162,7 +158,19 @@ def sql_hll_registers(value_expr: str, table: str, salt: str = "hll:") -> str:
                        ELSE 3
                      END) + 1,
                   60)
-           END AS rank
+           END"""
+    return reg, rank
+
+
+def sql_hll_registers(value_expr: str, table: str, salt: str = "hll:") -> str:
+    """DuckDB mirror of :func:`hll_registers` (a CTE body, no trailing ;)."""
+    reg, rank = sql_register_rank_exprs(value_expr, salt)
+    return f"""
+  SELECT CAST(register AS BIGINT) AS register,
+         CAST(max(rank) AS BIGINT) AS max_rank
+  FROM (
+    SELECT {reg} AS register,
+           {rank} AS rank
     FROM {table}
     WHERE {value_expr} IS NOT NULL
   ) t

@@ -111,6 +111,8 @@ _NEW_R03_LATE = [
     "text_pmi_topk",
     "sim_pq_topk",
     "scan_path_mining",
+    "scan_cumulative_uniques",
+    "dedup_graph_triangles",
 ]
 #: scan surface whose last rows predate the r02 ts canonicalization
 _ROTATE_SCAN = [

@@ -381,6 +381,187 @@ LIMIT 20
 """
 
 
+# --- cumulative uniques via HLL register algebra -----------------------------
+
+
+def scan_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the DAU-to-date curve — computed
+    with HLL register ALGEBRA instead of a growing distinct set: daily
+    register tables, then a per-register running ``max`` over days (the
+    sketch-union of all days so far), then one estimate per day. State per
+    day is ≤ m register rows regardless of user count; the exact cumulative
+    count rides along as the audit (computable cheaply here via each user's
+    first-seen day, which is itself the scalable exact formulation).
+
+    Shuffle shape: one (day, register) aggregation (≤ m rows per partition
+    per day), one 256-row-per-day window, one first-seen aggregation on
+    user_id. Nothing scales with raw event count except the initial maps."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    reg, rank = HLL.register_rank_cols("user_id")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"), reg.alias("register"), rank.alias("rank")
+        )
+        .groupBy("day", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    # dense (day × observed-register) grid so a register seen on day 1 but
+    # silent on day 3 still carries into day 3's cumulative sketch
+    days = daily.select("day").distinct()
+    regs = daily.select("register").distinct()
+    grid = days.crossJoin(F.broadcast(regs))
+    filled = grid.join(daily, ["day", "register"], "left")
+    w = W.partitionBy("register").orderBy("day")
+    cum = filled.select(
+        "day",
+        "register",
+        F.max("max_rank")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("max_rank"),
+    ).filter(F.col("max_rank").isNotNull())
+    est = HLL.hll_estimate(cum, "day")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    new_users = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    # dense over ALL observed days: a day where no user appears for the
+    # first time still has a cumulative count (carry-forward via coalesce 0)
+    exact = days.join(new_users, "day", "left").select(
+        "day",
+        F.sum(F.coalesce(F.col("new_users"), F.lit(0)))
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("exact_cum"),
+    )
+    return est.join(exact, "day").orderBy("day")
+
+
+def _cumulative_uniques_sql() -> str:
+    reg, rank = HLL.sql_register_rank_exprs("user_id")
+    return f"""
+WITH daily AS (
+  SELECT CAST(day AS DATE) AS day, CAST(register AS BIGINT) AS register,
+         CAST(max(rank) AS BIGINT) AS max_rank
+  FROM (
+    SELECT CAST(ts AS DATE) AS day, {reg} AS register, {rank} AS rank
+    FROM events WHERE user_id IS NOT NULL
+  ) t GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, r.register
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT register FROM daily) r
+), cum AS (
+  SELECT g.day, g.register,
+         max(daily.max_rank) OVER (PARTITION BY g.register ORDER BY g.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_rank
+  FROM grid g LEFT JOIN daily ON daily.day = g.day AND daily.register = g.register
+), cum2 AS (
+  SELECT day, register, max_rank FROM cum WHERE max_rank IS NOT NULL
+), est AS (
+  SELECT day,
+         CAST({HLL.M} AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST({HLL.M} - count(*) AS BIGINT) AS n_zero,
+         list_reduce(
+           list_prepend(CAST({HLL.M} - count(*) AS DOUBLE),
+                        list(1.0 / CAST((CAST(1 AS BIGINT) << max_rank) AS DOUBLE)
+                             ORDER BY register)),
+           (acc, x) -> acc + x) AS denom
+  FROM cum2 GROUP BY day
+), first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), new_users AS (
+  SELECT day, count(*) AS n FROM first_seen GROUP BY day
+), exact AS (
+  SELECT d.day,
+         CAST(sum(coalesce(new_users.n, 0)) OVER (ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS exact_cum
+  FROM (SELECT DISTINCT day FROM daily) d
+  LEFT JOIN new_users ON new_users.day = d.day
+)
+SELECT est.day, m, n_present, n_zero, denom,
+       ((0.7213 / (1.0 + 1.079 / {float(HLL.M)})) * {float(HLL.M * HLL.M)}) / denom
+         AS raw_estimate,
+       exact.exact_cum
+FROM est JOIN exact ON est.day = exact.day
+ORDER BY est.day
+"""
+
+
+# --- near-dup graph triangles ------------------------------------------------
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure audit of the near-dup graph: edges (LSH pairs), monotone
+    2-paths (a<b<c with edges ab, bc), and triangles (2-paths whose closing
+    edge ac exists). The closure ratio separates chain-like duplication
+    (scrape drift: low closure) from clique-like duplication (mirrored
+    corpora: high closure) — which predicts whether component-based pruning
+    collapses too much or too little.
+
+    Shuffle shape: the canonical (a<b) edge relation is small (near-dup
+    pairs, not the corpus); triangles are two hash joins on it — the
+    standard distributed triangle count (node-iterator join form)."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    edges = (
+        D.minhash_lsh_pairs(
+            read_table(spark, sf_dir, "documents"), k=8, band_size=2, threshold=0.2
+        )
+        .select("id_a", "id_b")
+    )
+    wedges = edges.alias("ab").join(
+        edges.alias("bc"), F.col("ab.id_b") == F.col("bc.id_a")
+    )
+    triangles = wedges.join(
+        edges.alias("ac"),
+        (F.col("ac.id_a") == F.col("ab.id_a"))
+        & (F.col("ac.id_b") == F.col("bc.id_b")),
+    )
+    # one lazy plan (three 1-row aggregates broadcast-crossed), no eager
+    # driver counts — the whole cost stays inside whatever sink runs it
+    ce = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    cw = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    ct = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        ce.crossJoin(F.broadcast(cw))
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("closure"),
+        )
+    )
+
+
+def _triangles_sql() -> str:
+    from duckdb_nats_jetstream_spark.queries.pipeline import _minhash_lsh_sql
+
+    return f"""
+WITH edges AS (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql()}) mp
+), wedges AS (
+  SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+  FROM edges ab JOIN edges bc ON ab.id_b = bc.id_a
+), tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN edges ac ON ac.id_a = w.a AND ac.id_b = w.c
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+       CASE WHEN (SELECT count(*) FROM wedges) = 0 THEN NULL
+            ELSE CAST((SELECT count(*) FROM tri) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM wedges) AS DOUBLE) END AS closure
+"""
+
+
 # --- session path mining -----------------------------------------------------
 
 
@@ -499,4 +680,6 @@ QUERIES = {
     "text_pmi_topk": (text_pmi_topk, PMI_TOPK_SQL),
     "sim_pq_topk": (sim_pq_topk, _pq_sql()),
     "scan_path_mining": (scan_path_mining, PATH_MINING_SQL),
+    "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
+    "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),
 }

@@ -264,3 +264,25 @@ def test_sketches_ignore_nulls(spark):
     vals = spark.createDataFrame([(1.0,), (None,)], "value double")
     bins = HS.hist_bins(vals, "value", 0.0, 10.0, 4).collect()
     assert len(bins) == 1 and bins[0].bin is not None and bins[0].cnt == 1
+
+
+def test_cumulative_uniques_monotone_and_audited(spark, sf_dir):
+    """Register-algebra cumulative estimates must be non-decreasing (sketch
+    union only grows) and the exact audit strictly tracks the data."""
+    rows = P5.scan_cumulative_uniques(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    ests = [r.raw_estimate for r in rows]
+    exacts = [r.exact_cum for r in rows]
+    assert all(b >= a for a, b in zip(ests, ests[1:]))
+    assert all(b >= a for a, b in zip(exacts, exacts[1:]))
+    # final day covers every user
+    total = read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert exacts[-1] == total
+
+
+def test_triangles_consistency(spark, sf_dir):
+    row = P5.dedup_graph_triangles(spark, sf_dir).collect()[0]
+    assert row.n_edges >= 0 and row.n_wedges >= 0 and row.n_triangles >= 0
+    assert row.n_triangles <= row.n_wedges
+    if row.n_wedges:
+        assert 0.0 <= row.closure <= 1.0
