@@ -111,6 +111,7 @@ _NEW_R03_LATE = [
     "text_pmi_topk",
     "sim_pq_topk",
     "scan_path_mining",
+    "scan_hopping_rollup",
     "scan_cumulative_uniques",
     "dedup_graph_triangles",
 ]

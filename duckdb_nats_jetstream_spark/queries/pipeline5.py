@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from duckdb_nats_jetstream_spark.functions import exact as EX
 from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.operators import funnel as FN
 from duckdb_nats_jetstream_spark.operators import histsketch as HS
@@ -381,6 +382,56 @@ LIMIT 20
 """
 
 
+# --- hopping-window rollup ---------------------------------------------------
+
+
+def scan_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event counts/volumes over HOPPING windows (1 h length,
+    30 min slide — each event lands in exactly 2 overlapping windows).
+    Spark-first this is just ``F.window(ts, '1 hour', '30 minutes')`` — the
+    same construct Structured Streaming would run with a watermark; the
+    oracle has no hopping-window primitive and derives the two member
+    windows per event from epoch-slot integer arithmetic (identical
+    alignment: Spark windows anchor to the 1970 epoch on the slide grid).
+
+    Scale shape: one hash aggregation; the window expansion is row-local
+    (factor = length/slide), so shuffle volume is 2× events pre-combine —
+    map-side partials reduce it to windows × types per partition."""
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), EX.dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SLIDE_US = 30 * 60 * 1_000_000
+
+HOPPING_ROLLUP_SQL = f"""
+WITH slotted AS (
+  SELECT event_type, value, epoch_us(ts) // {_SLIDE_US} AS slot FROM events
+), expanded AS (
+  SELECT event_type, value, unnest([slot, slot - 1]) AS wslot FROM slotted
+)
+SELECT make_timestamp(wslot * {_SLIDE_US}) AS window_start,
+       make_timestamp((wslot + 2) * {_SLIDE_US}) AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY wslot, event_type
+ORDER BY window_start, event_type
+"""
+
+
 # --- cumulative uniques via HLL register algebra -----------------------------
 
 
@@ -680,6 +731,7 @@ QUERIES = {
     "text_pmi_topk": (text_pmi_topk, PMI_TOPK_SQL),
     "sim_pq_topk": (sim_pq_topk, _pq_sql()),
     "scan_path_mining": (scan_path_mining, PATH_MINING_SQL),
+    "scan_hopping_rollup": (scan_hopping_rollup, HOPPING_ROLLUP_SQL),
     "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
     "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),
 }
