@@ -1,0 +1,100 @@
+"""Streaming stateful funnel — the constant-state streaming twin of
+``operators/funnel.funnel_user_stages``.
+
+Per user, the state is just ``(stage_reached, t_last_us)`` — two scalars
+forever, however long the log. Each micro-batch advances the stage machine
+greedily in timestamp order: an event of the NEXT stage's type with
+``ts > t_last`` advances, and greedy-first-match equals the batch
+semantics exactly (the first qualifying event IS the min qualifying
+timestamp). Every advancement emits ``(user, stage_no, stage, ts)``, so
+the output is the melted form of the batch operator's ``(user, t1..tk)``
+row — pinned bit-for-bat by ``tests/test_stream_funnel.py`` on a replayed
+log.
+
+Ordering contract (same as `streaming/anomaly.py`): rows are sorted
+within each micro-batch; across batches a user's events must arrive with
+non-decreasing timestamps (true for the append-only replay log). An event
+that arrives after the machine already passed its stage does not rewind —
+monitoring semantics, documented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage_no", T.IntegerType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("ts", T.LongType()),  # µs — stays integer across engines
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage_reached", T.IntegerType()),
+        T.StructField("t_last", T.LongType()),
+    ]
+)
+
+
+def _funnel_fn(stages: Sequence[str]):
+    stages = list(stages)
+    k = len(stages)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover — NoTimeout configured
+            state.remove()
+            return
+        stage_reached, t_last = state.get if state.exists else (0, -1)
+
+        events: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            events.extend(zip((int(t) for t in pdf["t_us"]), pdf["event_type"]))
+        events.sort()
+
+        rows = []
+        for t_us, etype in events:
+            if stage_reached >= k:
+                break
+            want = stages[stage_reached]
+            if etype == want and (stage_reached == 0 or t_us > t_last):
+                stage_reached += 1
+                t_last = t_us
+                rows.append((user_id, stage_reached, want, t_us))
+        state.update((stage_reached, t_last))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "stage_no", "stage", "ts"])
+
+    return fn
+
+
+def streaming_funnel(
+    stream_df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stage-advancement events ``(user_id, stage_no, stage, ts_us)`` from a
+    streaming event source. Filters to the funnel's event types before the
+    state operator, so state traffic is only funnel-relevant rows."""
+    ev = stream_df.filter(F.col(type_col).isin(*stages)).select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("t_us"),
+        F.col(type_col).alias("event_type"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(stages),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
