@@ -112,6 +112,7 @@ _NEW_R03_LATE = [
     "sim_pq_topk",
     "scan_path_mining",
     "scan_hopping_rollup",
+    "rel_kmv_intersection",
     "scan_cumulative_uniques",
     "dedup_graph_triangles",
 ]

@@ -382,6 +382,85 @@ LIMIT 20
 """
 
 
+# --- KMV theta-sketch set algebra --------------------------------------------
+
+
+def rel_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra (:mod:`operators.kmv`): estimate the overlap
+    between the customers with finished ('F') and open ('O') orders from
+    two ≤ k-row KMV sketches — union sketch, Jaccard from sketch
+    membership, intersection = J × |A∪B| — with the exact counts as audit
+    columns. This is the question HLL cannot answer (register maxima
+    destroy membership) and the reason theta sketches exist."""
+    from duckdb_nats_jetstream_spark.operators import kmv as KMV
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F")
+    b = orders.filter(F.col("o_orderstatus") == "O")
+    ka = KMV.kmv_sketch(a, "o_custkey")
+    kb = KMV.kmv_sketch(b, "o_custkey")
+    ku = KMV.kmv_union(ka, kb)
+    est_u = KMV.kmv_estimate(ku).select(
+        F.col("n_sketch").alias("n_union"), F.col("estimate").alias("est_union")
+    )
+    matches = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    exact = (
+        a.select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .join(b.select(F.col("o_custkey").alias("ck")).distinct(), "ck", "inner")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    jac = F.col("n_match").cast("double") / F.col("n_union").cast("double")
+    return (
+        est_u.crossJoin(F.broadcast(matches))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_union",
+            F.col("n_match").cast("long").alias("n_match"),
+            "est_union",
+            jac.alias("jaccard_est"),
+            (jac * F.col("est_union")).alias("inter_est"),
+            "exact_inter",
+        )
+    )
+
+
+def _kmv_intersection_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators import kmv as KMV
+
+    a_tbl = "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ta"
+    b_tbl = "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') tb"
+    return f"""
+WITH ka AS ({KMV.sql_kmv_sketch("o_custkey", a_tbl)}),
+kb AS ({KMV.sql_kmv_sketch("o_custkey", b_tbl)}),
+ku AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) u
+  ORDER BY h LIMIT {KMV.K}
+), est_u AS ({KMV.sql_kmv_estimate("ku")}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_match
+  FROM ku
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  ) i
+)
+SELECT est_u.n_sketch AS n_union, m.n_match, est_u.estimate AS est_union,
+       CAST(m.n_match AS DOUBLE) / CAST(est_u.n_sketch AS DOUBLE) AS jaccard_est,
+       (CAST(m.n_match AS DOUBLE) / CAST(est_u.n_sketch AS DOUBLE)) * est_u.estimate
+         AS inter_est,
+       ex.exact_inter
+FROM est_u CROSS JOIN m CROSS JOIN ex
+"""
+
+
 # --- hopping-window rollup ---------------------------------------------------
 
 
@@ -732,6 +811,7 @@ QUERIES = {
     "sim_pq_topk": (sim_pq_topk, _pq_sql()),
     "scan_path_mining": (scan_path_mining, PATH_MINING_SQL),
     "scan_hopping_rollup": (scan_hopping_rollup, HOPPING_ROLLUP_SQL),
+    "rel_kmv_intersection": (rel_kmv_intersection, _kmv_intersection_sql()),
     "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
     "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),
 }

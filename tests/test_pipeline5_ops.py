@@ -286,3 +286,51 @@ def test_triangles_consistency(spark, sf_dir):
     assert row.n_triangles <= row.n_wedges
     if row.n_wedges:
         assert 0.0 <= row.closure <= 1.0
+
+
+# --- KMV sketch --------------------------------------------------------------
+
+
+def test_kmv_union_is_mergeable(spark, sf_dir):
+    """Union of shard sketches == sketch of the union, bit-for-bit (the
+    k smallest of A∪B are among the k smallest of A plus the k smallest
+    of B)."""
+    from duckdb_nats_jetstream_spark.operators import kmv as KMV
+
+    orders = read_table(spark, sf_dir, "orders")
+    s0 = KMV.kmv_sketch(orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey")
+    s1 = KMV.kmv_sketch(orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey")
+    merged = {r.h for r in KMV.kmv_union(s0, s1).collect()}
+    direct = {r.h for r in KMV.kmv_sketch(orders, "o_custkey").collect()}
+    assert merged == direct
+
+
+def test_kmv_estimate_accuracy_dense(spark):
+    """(k−1)/U_k with k=256 has ~6.3% std error; 4-sigma band on a dense
+    deterministic input (md5 → fixed, not flaky)."""
+    from duckdb_nats_jetstream_spark.operators import kmv as KMV
+
+    n = 50_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = KMV.kmv_estimate(KMV.kmv_sketch(df, "v")).collect()[0]
+    assert est.n_sketch == KMV.K
+    assert abs(est.estimate - n) / n < 4 / ((KMV.K - 2) ** 0.5)
+
+
+def test_kmv_small_set_is_exact(spark):
+    from duckdb_nats_jetstream_spark.operators import kmv as KMV
+
+    df = spark.range(40).select(F.col("id").alias("v"))
+    est = KMV.kmv_estimate(KMV.kmv_sketch(df, "v")).collect()[0]
+    assert est.n_sketch == 40 and est.estimate == 40.0
+
+
+def test_kmv_intersection_sane(spark, sf_dir):
+    row = P5.rel_kmv_intersection(spark, sf_dir).collect()[0]
+    assert 0 <= row.n_match <= row.n_union
+    assert 0.0 <= row.jaccard_est <= 1.0
+    assert row.inter_est >= 0.0
+    # when the overlap is large enough for the sketch to see it, the
+    # estimate lands within a loose 50% band (deterministic md5 → fixed)
+    if row.exact_inter >= 100:
+        assert abs(row.inter_est - row.exact_inter) / row.exact_inter < 0.5
