@@ -32,21 +32,25 @@ from duckdb_nats_jetstream_spark.operators.similarity import sql_lit_f64
 
 
 def hist_bins(
-    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    *group_cols: str | F.Column,
 ) -> DataFrame:
-    """The sketch relation ``(bin, cnt)``; values outside [lo, hi) clamp to
+    """The sketch relation ``(bin, cnt)`` — per group when ``group_cols``
+    are given (≤ n_bins rows per group). Values outside [lo, hi) clamp to
     the edge bins (they stay counted — quantiles of a clipped tail are
     still bounded by the edge bin's range); NULLs are excluded, matching
     what every SQL quantile aggregate does."""
     width = (hi - lo) / n_bins
     b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
     bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("long")
-    return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(bin_.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    sel = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, bin_.alias("bin")
     )
+    return sel.groupBy(*sel.columns).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def merge_hist(*sketches: DataFrame) -> DataFrame:
@@ -63,18 +67,23 @@ def hist_quantiles(
     lo: float,
     hi: float,
     n_bins: int,
+    *group_cols: str,
 ) -> DataFrame:
-    """One-row quantile estimates from a sketch relation.
+    """Quantile-estimate rows from a sketch relation — one row per group
+    (e.g. a day column; no groups → a single global row).
 
     For each q: target = q·(N−1) ranks into the cumulative bin counts; the
     estimate interpolates position inside the covering bin:
     ``lo + width·(bin + (target − cum_before) / cnt_bin)``.
     """
     width = (hi - lo) / n_bins
-    packed = sketch.select(
-        F.struct("bin", "cnt").alias("bc")
-    ).agg(F.array_sort(F.collect_list("bc")).alias("arr"))
+    packed = (
+        sketch.select(*group_cols, F.struct("bin", "cnt").alias("bc"))
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("bc")).alias("arr"))
+    )
     packed = packed.select(
+        *group_cols,
         "arr",
         F.aggregate(
             "arr", F.lit(0).cast("long"), lambda a, x: a + x["cnt"]
@@ -107,7 +116,7 @@ def hist_quantiles(
         return F.aggregate("arr", init, step)["est"]
 
     cols = [_fold(q).alias(f"q_{str(q).replace('.', '_')}") for q in qs]
-    return packed.select(F.col("n").alias("n"), *cols)
+    return packed.select(*group_cols, F.col("n").alias("n"), *cols)
 
 
 def sql_hist_bins(

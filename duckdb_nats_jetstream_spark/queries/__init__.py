@@ -113,6 +113,8 @@ _NEW_R03_LATE = [
     "scan_path_mining",
     "scan_hopping_rollup",
     "rel_kmv_intersection",
+    "scan_funnel_windowed",
+    "scan_daily_dashboard",
     "scan_cumulative_uniques",
     "dedup_graph_triangles",
 ]

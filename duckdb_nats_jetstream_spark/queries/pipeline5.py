@@ -166,6 +166,45 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS u_view,
 """
 
 
+def scan_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-window funnel variant: each stage must land within
+    2 hours of the previous one (``max_gap`` — one more predicate in the
+    same single-shuffle fold; see ``operators/funnel.funnel_user_stages``).
+    The oracle adds the identical deadline to its cascade."""
+    per_user = FN.funnel_user_stages(
+        read_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap="2 hours",
+    )
+    return per_user.agg(
+        F.count("t1").alias("u_view"),
+        F.count("t2").alias("u_click"),
+        F.count("t3").alias("u_purchase"),
+    )
+
+
+FUNNEL_WINDOWED_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL '2 hours'
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL '2 hours'
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS u_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS u_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS u_purchase
+"""
+
+
 # --- HLL distinct-count sketch ----------------------------------------------
 
 
@@ -379,6 +418,112 @@ CROSS JOIN nu CROSS JOIN nb
 WHERE bi.cxy >= 5
 ORDER BY lift DESC, bi.x, bi.y
 LIMIT 20
+"""
+
+
+# --- daily sketch dashboard --------------------------------------------------
+
+
+def scan_daily_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch layer AS a serving layer: one row per day with event
+    volume (exact), distinct-user estimate (HLL registers), median value
+    estimate (histogram sketch), and the day's top event type — everything
+    derivable from ≤ m-row per-day sketch relations that a 100 TB pipeline
+    would maintain incrementally (all three sketches merge, so daily
+    partials roll up without rescans; the exact columns here are the
+    audit)."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    vol = ev.groupBy(day).agg(F.count(F.lit(1)).alias("n_events"))
+    reg, rank = HLL.register_rank_cols("user_id")
+    regs = (
+        ev.select(day, reg.alias("register"), rank.alias("rank"))
+        .groupBy("day", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    uniq = HLL.hll_estimate(regs, "day").select(
+        "day", F.col("raw_estimate").alias("uniques_est")
+    )
+    hist = HS.hist_bins(ev, "value", _HLO, _HHI, _HBINS, day)
+    p50 = HS.hist_quantiles(hist, [0.5], _HLO, _HHI, _HBINS, "day").select(
+        "day", F.col("q_0_5").alias("p50_value_est")
+    )
+    w = W.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    top = (
+        ev.groupBy(day, F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("day", F.col("event_type").alias("top_type"), F.col("n").alias("top_type_n"))
+    )
+    return (
+        vol.join(uniq, "day").join(p50, "day").join(top, "day").orderBy("day")
+    )
+
+
+def _daily_dashboard_sql() -> str:
+    reg, rank = HLL.sql_register_rank_exprs("user_id")
+    width = (_HHI - _HLO) / _HBINS
+    return f"""
+WITH vol AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), regs AS (
+  SELECT day, register, CAST(max(rank) AS BIGINT) AS max_rank FROM (
+    SELECT CAST(ts AS DATE) AS day, {reg} AS register, {rank} AS rank
+    FROM events WHERE user_id IS NOT NULL
+  ) t GROUP BY day, register
+), uniq AS (
+  SELECT day,
+         ((0.7213 / (1.0 + 1.079 / {float(HLL.M)})) * {float(HLL.M * HLL.M)})
+           / list_reduce(
+               list_prepend(CAST({HLL.M} - count(*) AS DOUBLE),
+                            list(1.0 / CAST((CAST(1 AS BIGINT) << max_rank) AS DOUBLE)
+                                 ORDER BY register)),
+               (acc, x) -> acc + x) AS uniques_est
+  FROM regs GROUP BY day
+), hist AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(least(greatest(floor((CAST(value AS DOUBLE) - {_HLO!r}) / {width!r}), 0),
+                    {_HBINS - 1}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), htot AS (
+  SELECT day, CAST(sum(cnt) AS DOUBLE) AS nd FROM hist GROUP BY day
+), p50 AS (
+  SELECT hist.day,
+         (list_reduce(
+            list_prepend({{'est': CAST(NULL AS DOUBLE), 'cum': CAST(0 AS DOUBLE),
+                           'b': CAST(0 AS DOUBLE), 'c': CAST(0 AS DOUBLE),
+                           'n': CAST(0 AS DOUBLE)}},
+              list({{'est': CAST(NULL AS DOUBLE), 'cum': CAST(cnt AS DOUBLE),
+                     'b': CAST(bin AS DOUBLE), 'c': CAST(cnt AS DOUBLE),
+                     'n': htot.nd}} ORDER BY bin)),
+            (acc, x) -> {{
+              'est': CASE WHEN acc.est IS NOT NULL THEN acc.est
+                          WHEN acc.cum + x.c > (0.5 * (x.n - 1))
+                          THEN {_HLO!r} + {width!r} * (x.b + ((0.5 * (x.n - 1)) - acc.cum) / x.c)
+                          ELSE CAST(NULL AS DOUBLE) END,
+              'cum': acc.cum + x.c,
+              'b': x.b, 'c': x.c, 'n': x.n
+            }})).est AS p50_value_est
+  FROM hist JOIN htot ON htot.day = hist.day
+  GROUP BY hist.day, htot.nd
+), top AS (
+  SELECT day, event_type AS top_type, CAST(n AS BIGINT) AS top_type_n FROM (
+    SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+           row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                              ORDER BY count(*) DESC, event_type) AS rn
+    FROM events GROUP BY 1, 2
+  ) WHERE rn = 1
+)
+SELECT vol.day, n_events, uniques_est, p50_value_est, top_type, top_type_n
+FROM vol JOIN uniq ON uniq.day = vol.day
+JOIN p50 ON p50.day = vol.day
+JOIN top ON top.day = vol.day
+ORDER BY vol.day
 """
 
 
@@ -804,6 +949,7 @@ def _pq_sql() -> str | None:
 QUERIES = {
     "text_unigram_bits": (text_unigram_bits, UNIGRAM_BITS_SQL),
     "scan_funnel": (scan_funnel, FUNNEL_SQL),
+    "scan_funnel_windowed": (scan_funnel_windowed, FUNNEL_WINDOWED_SQL),
     "rel_hll_counts": (rel_hll_counts, HLL_COUNTS_SQL),
     "rel_mad_outliers": (rel_mad_outliers, MAD_OUTLIERS_SQL),
     "rel_hist_quantiles": (rel_hist_quantiles, HIST_QUANTILES_SQL),
@@ -812,6 +958,7 @@ QUERIES = {
     "scan_path_mining": (scan_path_mining, PATH_MINING_SQL),
     "scan_hopping_rollup": (scan_hopping_rollup, HOPPING_ROLLUP_SQL),
     "rel_kmv_intersection": (rel_kmv_intersection, _kmv_intersection_sql()),
+    "scan_daily_dashboard": (scan_daily_dashboard, _daily_dashboard_sql()),
     "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
     "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),
 }
