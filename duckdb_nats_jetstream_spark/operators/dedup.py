@@ -783,3 +783,110 @@ FROM cand
 WHERE {sql_jaccard('sh_n', 'sh_r')} >= {threshold}
 GROUP BY 1
 """
+
+
+def span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the transform step that
+    :func:`dup_span_stats` only measures (Lee et al. 2022 remove the spans,
+    not the documents): every token covered by a word n-gram that also
+    occurs in another document is dropped, and the scrubbed text is
+    re-rendered.
+
+    Plan: positioned grams (posexplode) → hot-fp relation (≥2 distinct
+    docs) on the same 8-hex fp key as the stats operator → per-doc sorted
+    hot-start array (collect on the doc key the final agg shuffles anyway)
+    → one row-local array filter keeps token j unless some hot start s
+    covers it (s ≤ j ≤ s+n−1, positions 1-based both engines — NOTE
+    Spark's indexed filter lambda is 0-based, DuckDB's is 1-based, so the
+    Spark side shifts). Shuffles: fp, then id — identical shape to the
+    stats pass. Documents shorter than n tokens have no grams and pass
+    through unscrubbed. Returns (id, n_tokens, n_removed, scrubbed)."""
+    from duckdb_nats_jetstream_spark.functions.text import shingles, tokens
+    from duckdb_nats_jetstream_spark.session import spread
+
+    toked = spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    grams = toked.select(
+        id_col,
+        F.posexplode(shingles(F.col("__t"), n)).alias("__p0", "__s"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("p"),  # 1-based gram start
+        F.substring(F.md5("__s"), 1, 8).alias("fp"),
+    )
+    grams = grams.persist()
+    hot = (
+        grams.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("fp")
+    )
+    starts = (
+        grams.join(hot, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("p")).alias("starts"))
+    )
+    joined = toked.join(starts, id_col, "left").select(
+        id_col,
+        "__t",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("st"),
+    )
+    kept = F.filter(
+        "__t",
+        lambda t, j: ~F.exists(
+            "st", lambda s: (s <= j + 1) & (j + 1 <= s + F.lit(n - 1))
+        ),
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("scrubbed"),
+    )
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist(blocking=False)
+    return out
+
+
+def sql_span_scrub(n: int = 13, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`span_scrub` (1-based indexed lambdas;
+    ``array_to_string([])`` is NULL in DuckDB vs Spark's '' — coalesced)."""
+    from duckdb_nats_jetstream_spark.functions.text import (
+        sql_shingles,
+        sql_tokens,
+    )
+
+    sh = sql_shingles("t", n)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM {table}
+), g AS (
+  SELECT doc_id, i AS p, substr(md5(sh[i]), 1, 8) AS fp
+  FROM (SELECT doc_id, {sh} AS sh FROM toked),
+       LATERAL (SELECT unnest(generate_series(1, len(sh))) AS i)
+), hot AS (
+  SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+), starts AS (
+  SELECT doc_id, list_sort(list(p)) AS st
+  FROM g WHERE fp IN (SELECT fp FROM hot) GROUP BY doc_id
+), joined AS (
+  SELECT toked.doc_id, toked.t, coalesce(starts.st, []::BIGINT[]) AS st
+  FROM toked LEFT JOIN starts ON starts.doc_id = toked.doc_id
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS scrubbed
+FROM (
+  SELECT doc_id, t,
+         list_filter(t, (x, j) ->
+           len(list_filter(st, s -> s <= j AND j <= s + {n - 1})) = 0) AS kept
+  FROM joined
+) q
+"""

@@ -115,6 +115,7 @@ _NEW_R03_LATE = [
     "rel_kmv_intersection",
     "scan_funnel_windowed",
     "scan_daily_dashboard",
+    "docs_span_scrub",
     "scan_cumulative_uniques",
     "dedup_graph_triangles",
 ]

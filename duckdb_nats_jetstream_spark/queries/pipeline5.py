@@ -421,6 +421,19 @@ LIMIT 20
 """
 
 
+# --- duplicated-span scrubbing -----------------------------------------------
+
+
+def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (Lee et al. 2022 — the transform
+    ``dedup_span_fraction`` only measures): tokens covered by any
+    cross-document 13-gram are dropped and the text re-rendered
+    (:func:`operators.dedup.span_scrub`)."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    return D.span_scrub(read_table(spark, sf_dir, "documents"), n=13)
+
+
 # --- daily sketch dashboard --------------------------------------------------
 
 
@@ -959,6 +972,7 @@ QUERIES = {
     "scan_hopping_rollup": (scan_hopping_rollup, HOPPING_ROLLUP_SQL),
     "rel_kmv_intersection": (rel_kmv_intersection, _kmv_intersection_sql()),
     "scan_daily_dashboard": (scan_daily_dashboard, _daily_dashboard_sql()),
+    "docs_span_scrub": (docs_span_scrub, __import__("duckdb_nats_jetstream_spark.operators.dedup", fromlist=["sql_span_scrub"]).sql_span_scrub(13)),
     "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
     "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),
 }

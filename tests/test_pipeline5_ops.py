@@ -334,3 +334,27 @@ def test_kmv_intersection_sane(spark, sf_dir):
     # estimate lands within a loose 50% band (deterministic md5 → fixed)
     if row.exact_inter >= 100:
         assert abs(row.inter_est - row.exact_inter) / row.exact_inter < 0.5
+
+
+def test_span_scrub_consistent_with_span_stats(spark, sf_dir):
+    """The scrubber must remove tokens exactly where the stats operator
+    sees duplicated spans: docs with dup_frac == 0 lose nothing; every doc
+    with dup_frac > 0 loses at least n tokens (one full span); removal
+    never exceeds the token count; and a clean doc's text survives
+    verbatim modulo whitespace normalization."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    scrub = {r.doc_id: r for r in D.span_scrub(docs, n=13).collect()}
+    stats = {r.doc_id: r for r in D.dup_span_stats(docs, n=13).collect()}
+    assert scrub
+    for doc_id, s in scrub.items():
+        assert 0 <= s.n_removed <= s.n_tokens
+        st = stats.get(doc_id)
+        if st is None:  # fewer than n tokens → no grams → untouched
+            assert s.n_removed == 0
+            continue
+        if st.n_dup_spans == 0:
+            assert s.n_removed == 0
+        else:
+            assert s.n_removed >= 13
