@@ -116,6 +116,7 @@ _NEW_R03_LATE = [
     "scan_funnel_windowed",
     "scan_daily_dashboard",
     "docs_span_scrub",
+    "docs_curation_v3",
     "scan_cumulative_uniques",
     "dedup_graph_triangles",
 ]

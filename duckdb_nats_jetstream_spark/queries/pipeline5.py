@@ -434,6 +434,77 @@ def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.span_scrub(read_table(spark, sf_dir, "documents"), n=13)
 
 
+def docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-5 capstone: span-scrub the corpus, re-score the SCRUBBED text
+    with unigram-bit surprisal (vocabulary rebuilt post-scrub — boilerplate
+    removal shifts the distribution, so scoring pre-scrub text would
+    threshold against the wrong model), and keep documents inside the
+    [1.5, 9] mean-bits band. Fully-scrubbed documents (everything was
+    boilerplate) drop out, which is the point.
+
+    Output: (doc_id, n_tokens, mean_bits, content_md5) — the md5 pins the
+    scrubbed text bytes through the oracle gate."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+
+    scrub = D.span_scrub(read_table(spark, sf_dir, "documents"), n=13).filter(
+        F.col("scrubbed") != ""
+    )
+    tok = scrub.select(
+        "doc_id", "scrubbed", F.explode(TX.tokens(F.col("scrubbed"))).alias("token")
+    )
+    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    bits = F.length(F.bin(F.expr("total div n"))) - 1
+    scored = (
+        dtc.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "c", bits.cast("long").alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * F.col("bits")).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("mean_bits"),
+        )
+    )
+    return (
+        scored.filter((F.col("mean_bits") >= 1.5) & (F.col("mean_bits") <= 9.0))
+        .join(scrub.select("doc_id", F.md5("scrubbed").alias("content_md5")), "doc_id")
+        .select("doc_id", "n_tokens", "mean_bits", "content_md5")
+    )
+
+
+def _curation_v3_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.dedup import sql_span_scrub
+
+    return f"""
+WITH scrub0 AS ({sql_span_scrub(13)}),
+scrub AS (
+  SELECT doc_id, scrubbed FROM scrub0 WHERE scrubbed <> ''
+), tok AS (
+  SELECT doc_id, unnest({TX.sql_tokens('scrubbed')}) AS token FROM scrub
+), dtc AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+), vocab AS (
+  SELECT token, sum(c) AS n FROM dtc GROUP BY token
+), tot AS (
+  SELECT sum(n) AS total FROM vocab
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * CAST(length(bin(CAST(tot.total AS BIGINT) // CAST(n AS BIGINT))) - 1 AS BIGINT)) AS DOUBLE)
+           / CAST(sum(c) AS DOUBLE) AS mean_bits
+  FROM dtc JOIN vocab USING (token) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT scored.doc_id, n_tokens, mean_bits, md5(scrub.scrubbed) AS content_md5
+FROM scored JOIN scrub ON scrub.doc_id = scored.doc_id
+WHERE mean_bits >= 1.5 AND mean_bits <= 9.0
+"""
+
+
 # --- daily sketch dashboard --------------------------------------------------
 
 
@@ -972,6 +1043,7 @@ QUERIES = {
     "scan_hopping_rollup": (scan_hopping_rollup, HOPPING_ROLLUP_SQL),
     "rel_kmv_intersection": (rel_kmv_intersection, _kmv_intersection_sql()),
     "scan_daily_dashboard": (scan_daily_dashboard, _daily_dashboard_sql()),
+    "docs_curation_v3": (docs_curation_v3, _curation_v3_sql()),
     "docs_span_scrub": (docs_span_scrub, __import__("duckdb_nats_jetstream_spark.operators.dedup", fromlist=["sql_span_scrub"]).sql_span_scrub(13)),
     "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
     "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),
