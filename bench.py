@@ -49,6 +49,8 @@ HEADLINE = [
     "sim_srp_topk",
     "text_quality",
     "docs_pack_sequences",
+    "rel_hll_counts",
+    "sim_pq_topk",
 ]
 
 

@@ -28,6 +28,17 @@
 - ``sim_pq_topk`` — product-quantization ADC top-k (:mod:`operators.pq`)
   with an embedded-codebook SQL oracle.
 - ``scan_path_mining`` — gap-sessionized user-journey path frequencies.
+- ``scan_funnel_windowed`` — the ``max_gap`` conversion-window funnel.
+- ``rel_kmv_intersection`` — KMV theta-sketch set algebra
+  (:mod:`operators.kmv`): overlap/Jaccard between customer sets.
+- ``scan_hopping_rollup`` — overlapping 1h/30min windows (epoch-slot
+  oracle arithmetic).
+- ``scan_cumulative_uniques`` — DAU-to-date via HLL register running max.
+- ``dedup_graph_triangles`` — near-dup graph 2-path/triangle closure audit.
+- ``scan_daily_dashboard`` — per-day sketch serving layer (HLL + histogram
+  + top type).
+- ``docs_span_scrub`` / ``docs_curation_v3`` — duplicated-span removal and
+  the scrub→re-score→keep capstone.
 
 Scale notes: unigram_bits/pmi shuffle on the token key (combiner-reduced)
 and the doc key — the vocabulary relation joins by shuffle, never
