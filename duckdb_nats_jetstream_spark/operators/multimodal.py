@@ -308,3 +308,119 @@ def audio_waveform_stats(df: DataFrame, bytes_col: str = "data",
         F.sqrt(F.col("sum_sq") / F.col("n_samples")),
     ).otherwise(F.lit(0.0))
     return stats.withColumn("rms", rms)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "media",
+) -> DataFrame:
+    """Perceptual dHash over REAL decoded pixels — the image near-dup key.
+
+    Per image (Arrow-batched mapInPandas, stdlib codec — no media libs):
+    PNG-decode → luma (integer BT.601 weights: (299·R + 587·G + 114·B)
+    div 1000 — exact integer math, reproducible anywhere) → 9×8
+    nearest-neighbor resample → 64-bit horizontal-gradient hash (bit =
+    left pixel > right neighbor). Returns ``(id, dhash)`` with the hash as
+    a 16-hex string.
+
+    Near-duplicate images differ in a few bits; exact duplicates collide
+    exactly. Pair search at scale: band the 64 bits into four 16-bit keys
+    (:func:`dhash_near_pairs`) — the same OR-amplified LSH shape as
+    MinHash bands, so the shuffle carries band keys, never image pairs.
+    Non-SQL-expressible (pixel decode), so registry checks are rows-only —
+    the codec itself is pinned by byte-exact pytest fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.functions.imagecodec import (
+        png_decode,
+        resize_nearest,
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                arr = png_decode(bytes(data))
+                if arr.ndim == 3:
+                    r = arr[:, :, 0].astype(np.int64)
+                    g = arr[:, :, 1].astype(np.int64)
+                    b = arr[:, :, 2].astype(np.int64)
+                    luma = (299 * r + 587 * g + 114 * b) // 1000
+                else:
+                    luma = arr.astype(np.int64)
+                small = resize_nearest(
+                    luma.astype(np.uint8)[:, :, None], 9, 8
+                )[:, :, 0].astype(np.int64)
+                bits = (small[:, :-1] > small[:, 1:]).astype(np.uint64).ravel()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                ids.append(mid)
+                hashes.append(format(val, "016x"))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.mapInPandas(batches, f"{id_col} long, dhash string")
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash codes: four 16-bit band keys
+    (any pair within hamming ≤ 12 of each other shares at least one exact
+    band with good probability; hamming ≤ 3 GUARANTEES a shared band by
+    pigeonhole), one band-keyed self-join, exact hamming verify via
+    bit_count on the 64-bit integers. Returns (id_a, id_b, hamming)."""
+    # two 32-bit halves: a full 64-bit conv overflows signed int64 when the
+    # top bit is set
+    h = hashes.select(
+        F.col(id_col),
+        F.col("dhash"),
+        F.conv(F.substring("dhash", 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring("dhash", 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+    banded = h.select(
+        id_col,
+        "__hi",
+        "__lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("dhash", i * 4 + 1, 4).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, "__hi", "__lo",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__hi").alias("ha"),
+            F.col("a.__lo").alias("la"),
+            F.col("b.__hi").alias("hb"),
+            F.col("b.__lo").alias("lb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("ha ^ hb")) + F.bit_count(F.expr("la ^ lb"))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

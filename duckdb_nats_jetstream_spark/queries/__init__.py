@@ -175,7 +175,7 @@ _ROTATE_RELATIONAL = [
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST
 #: (multimodal_resize excepted this round, see _FIXED_R02)
-_ROWS_ONLY_LAST: list[str] = []
+_ROWS_ONLY_LAST: list[str] = ["multimodal_phash"]
 
 
 def full_registry() -> Registry:

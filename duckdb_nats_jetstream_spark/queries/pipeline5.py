@@ -516,6 +516,52 @@ WHERE mean_bits >= 1.5 AND mean_bits <= 9.0
 """
 
 
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup keys over REAL decoded pixels: deterministic
+    PNGs synthesized from message payloads (same pattern as
+    ``multimodal_resize``), dHashed by :func:`operators.multimodal.
+    image_dhash` (stdlib codec decode → integer luma → 9×8 → 64-bit
+    gradient hash), plus each hash's collision count — the exact-dup
+    signal; near-dups go through ``dhash_near_pairs``'s banded join.
+    Pixel decode is not SQL-expressible → rows-only registry check; the
+    hash math itself is pinned by pytest fixtures."""
+    from pyspark.sql import Window as W
+
+    from duckdb_nats_jetstream_spark.operators.multimodal import image_dhash
+    from duckdb_nats_jetstream_spark.sources import message_scan
+
+    src = message_scan(spark, sf_dir, start_seq=1, end_seq=500).select(
+        "seq", "payload"
+    )
+
+    def make_pngs(it):
+        import numpy as np
+        import pandas as pd
+
+        from duckdb_nats_jetstream_spark.functions.imagecodec import png_encode
+
+        for pdf in it:
+            ids, pngs = [], []
+            for seq, payload in zip(pdf["seq"], pdf["payload"]):
+                b = np.frombuffer((payload or b"\x00") * 40, dtype=np.uint8)
+                side = 16 + int(seq) % 7
+                need = side * side * 3
+                px = np.resize(b, need).reshape(side, side, 3)
+                ids.append(int(seq))
+                pngs.append(bytearray(png_encode(px)))
+            yield pd.DataFrame({"media_id": ids, "media": pngs})
+
+    media = src.mapInPandas(make_pngs, "media_id long, media binary")
+    h = image_dhash(media)
+    return h.select(
+        "media_id",
+        "dhash",
+        F.count(F.lit(1)).over(W.partitionBy("dhash")).cast("long").alias(
+            "n_same_hash"
+        ),
+    )
+
+
 # --- daily sketch dashboard --------------------------------------------------
 
 
@@ -1055,6 +1101,7 @@ QUERIES = {
     "rel_kmv_intersection": (rel_kmv_intersection, _kmv_intersection_sql()),
     "scan_daily_dashboard": (scan_daily_dashboard, _daily_dashboard_sql()),
     "docs_curation_v3": (docs_curation_v3, _curation_v3_sql()),
+    "multimodal_phash": (multimodal_phash, None),
     "docs_span_scrub": (docs_span_scrub, __import__("duckdb_nats_jetstream_spark.operators.dedup", fromlist=["sql_span_scrub"]).sql_span_scrub(13)),
     "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
     "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),

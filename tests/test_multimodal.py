@@ -203,3 +203,44 @@ def test_sample_frames_one_to_many(spark, media):
         out.select(F.col("media_id"), F.lit("image").alias("kind"), F.col("frame").alias("data"))
     )
     assert refeat.count() == len(rows)
+
+
+def test_dhash_identity_and_near_pairs(spark):
+    """Identical pixels → identical hash; a small brightness shift → near
+    hash (gradient invariance); unrelated noise → no near pair at the
+    threshold. The banded join must return the exact-dup pair at 0."""
+    import numpy as np
+
+    from duckdb_nats_jetstream_spark.functions.imagecodec import png_encode
+    from duckdb_nats_jetstream_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 255, (24, 24, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(int) + 3, 0, 255).astype(np.uint8)
+    other = rng.randint(0, 255, (24, 24, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(png_encode(base))),
+        (2, bytearray(png_encode(base))),
+        (3, bytearray(png_encode(bright))),
+        (4, bytearray(png_encode(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    h = image_dhash(df)
+    hs = {r.media_id: r.dhash for r in h.collect()}
+    assert hs[1] == hs[2]  # byte-identical input → identical hash
+    assert hs[1] == hs[3]  # uniform brightness shift preserves gradients
+    assert hs[1] != hs[4]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dhash_near_pairs(h, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0 and pairs.get((1, 3)) == 0
+    assert not any(4 in p for p in pairs)
+
+
+def test_phash_query_runs(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline5 import multimodal_phash
+
+    rows = multimodal_phash(spark, sf_dir).collect()
+    assert rows and all(len(r.dhash) == 16 for r in rows)
+    assert all(r.n_same_hash >= 1 for r in rows)
