@@ -23,22 +23,25 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #: on a "no_oracle" non-verdict).
 #:
 #: Round-3 allocation, in order:
-#:   1. queries NEW this round (never existed before — must prove themselves;
-#:      25 of them, including sim_ivf_topk which was rows-only in r02 and is
-#:      now oracle-backed via the embedded-codebook mirror)
-#:   2. the 10 oracle-backed queries that have NEVER had a driver row
-#:      (landed past the r02 cut)
-#:   3. multimodal_features — r02's one `err` row, fixed AND upgraded from
-#:      rows-only to a real md5-chain oracle
-#:   4. multimodal_resize — rows-only by nature (PNG codec); spend ONE slot
-#:      once to prove it executes under the driver, then rotate it out
-#:   5. the r01-only-green scan queries: round 2 canonicalized `ts` to
-#:      TimestampType and touched the scan path after their last rows
-#: Prefix arithmetic: 36 new + 10 never-checked + 2 fixed = 48 before the
-#: scan rotation, so only the first few rotation entries make the ~50-row
-#: budget — a deliberate trade: queries with NO driver row ever can't be
-#: verified any other way, while the rotation entries all carry r01 rows
-#: plus multi-SF local parity; the remainder rotates next round.
+#:   1. _NEW_R03 — queries NEW this round (never existed before — must prove
+#:      themselves; includes sim_ivf_topk, rows-only in r02, now
+#:      oracle-backed via the embedded-codebook mirror)
+#:   2. _NEVER_CHECKED_R02 — the 10 oracle-backed queries that have NEVER
+#:      had a driver row (landed past the r02 cut)
+#:   3. _FIXED_R02 — multimodal_features (r02's one `err` row, fixed AND
+#:      upgraded to a real md5-chain oracle) and multimodal_resize
+#:      (rows-only by nature; ONE slot to prove driver execution)
+#:   4. _NEW_R03_LATE — the second-session batch-5 operators (sketch
+#:      family, funnels, PQ, span scrub, …); the first ~2 take the slots
+#:      the scan rotation would have repeated, the rest carry multi-SF
+#:      local parity and get first rows next round
+#:   5. rotation of r01-only-green scan/relational queries (ts
+#:      canonicalization happened after their last rows)
+#: Prefix arithmetic: 36 + 10 + 2 = 48 judge-mandated entries before the
+#: batch-5 block, so ~2 of the new batch make the ~50-row budget — a
+#: deliberate trade: queries with NO driver row ever can't be verified any
+#: other way, while everything past the cut holds bit-exact local parity
+#: at sf0.001/0.01/0.1 (tests/test_oracle_parity.py).
 _NEW_R03: list[str] = [
     # appended as round-3 operators land; keep ahead of the backlog
     "sim_knn_join",
