@@ -378,3 +378,51 @@ def test_unigram_bits_scalar_total_is_broadcast(spark, sf_dir):
     plan = physical_plan(text_unigram_bits(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's runtime bloom-filter join (Spark 3.3+): when a selective
+    dimension side feeds a shuffle join, the optimizer builds a bloom
+    filter from the dim keys at runtime and applies it to the fact scan —
+    rows that cannot join never enter the shuffle. This is the engine-level
+    answer to 'minimize shuffles' for selective fact⋈dim joins at 100 TB;
+    pin that the plan actually contains the bloom_filter_agg build and the
+    might_contain probe when the feature is on and broadcast is off
+    (broadcast joins, the default for our dims, don't need it — this
+    covers the big-dim regime where broadcast is impossible)."""
+    old_bf = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB",
+    )
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        from duckdb_nats_jetstream_spark.session import read_table
+
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", old_bf)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
