@@ -54,11 +54,19 @@ def hist_bins(
 
 
 def merge_hist(*sketches: DataFrame) -> DataFrame:
-    """Union of histogram sketches = bin-wise count sum."""
+    """Union of histogram sketches = count sum per (group_cols…, bin).
+
+    Grouped sketches (built with ``group_cols``) merge per group: the key
+    is every column except ``cnt``, so group columns survive the merge
+    instead of being silently summed across groups."""
     out = sketches[0]
+    keys = [c for c in out.columns if c != "cnt"]
     for s in sketches[1:]:
+        assert set(s.columns) == set(out.columns), (
+            f"sketch schema mismatch: {s.columns} vs {out.columns}"
+        )
         out = out.unionByName(s)
-    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
 def hist_quantiles(

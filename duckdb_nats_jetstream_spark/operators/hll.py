@@ -94,11 +94,19 @@ def hll_registers(
 
 
 def merge_registers(*sketches: DataFrame) -> DataFrame:
-    """Union of HLL sketches = max per register over the stacked relations."""
+    """Union of HLL sketches = max per (group_cols…, register).
+
+    Grouped sketches (e.g. per-window registers) merge per group: the key
+    is every column except ``max_rank``, so group columns survive the merge
+    instead of collapsing distinct groups into one register table."""
     out = sketches[0]
+    keys = [c for c in out.columns if c != "max_rank"]
     for s in sketches[1:]:
+        assert set(s.columns) == set(out.columns), (
+            f"sketch schema mismatch: {s.columns} vs {out.columns}"
+        )
         out = out.unionByName(s)
-    return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+    return out.groupBy(*keys).agg(F.max("max_rank").alias("max_rank"))
 
 
 def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:

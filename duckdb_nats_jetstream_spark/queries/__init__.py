@@ -8,12 +8,40 @@ the driver checks rows-only).
 
 from __future__ import annotations
 
+import os
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+#: Oracle slot: a literal SQL string, None (rows-only), or a ZERO-ARG
+#: CALLABLE returning either — used by oracles that are expensive to build
+#: (DuckDB k-means codebook training) so module import stays side-effect
+#: free; ``full_registry`` resolves callables lazily, keyed on the oracle
+#: SF dir so a late ``SPARK_GRAFT_ORACLE_SF_DIR`` change can't serve a
+#: stale codebook.
+OracleSql = str | None | Callable[[], str | None]
 Registry = dict[str, tuple[QueryFn, str | None]]
+
+_ORACLE_CACHE: dict[tuple[Callable[[], str | None], str], str | None] = {}
+
+
+def _resolve_oracle(sql: OracleSql) -> str | None:
+    if not callable(sql):
+        return sql
+    key = (sql, os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", ""))
+    if key not in _ORACLE_CACHE:
+        try:
+            _ORACLE_CACHE[key] = sql()
+        except Exception as exc:  # noqa: BLE001 — degrade THIS entry only
+            warnings.warn(
+                f"oracle SQL builder {getattr(sql, '__qualname__', sql)!r} "
+                f"failed ({exc!r}); query degrades to rows-only",
+                stacklevel=2,
+            )
+            _ORACLE_CACHE[key] = None
+    return _ORACLE_CACHE[key]
 
 
 #: Names hoisted to the FRONT of the registry. The driver's correctness gate
@@ -22,100 +50,34 @@ Registry = dict[str, tuple[QueryFn, str | None]]
 #: cut get no row at all, and rows-only queries inside the prefix burn a slot
 #: on a "no_oracle" non-verdict).
 #:
-#: Round-3 allocation, in order:
-#:   1. _NEW_R03 — queries NEW this round (never existed before — must prove
-#:      themselves; includes sim_ivf_topk, rows-only in r02, now
-#:      oracle-backed via the embedded-codebook mirror)
-#:   2. _NEVER_CHECKED_R02 — the 10 oracle-backed queries that have NEVER
-#:      had a driver row (landed past the r02 cut)
-#:   3. _FIXED_R02 — multimodal_features (r02's one `err` row, fixed AND
-#:      upgraded to a real md5-chain oracle) and multimodal_resize
-#:      (rows-only by nature; ONE slot to prove driver execution)
-#:   4. _NEW_R03_LATE — the second-session batch-5 operators (sketch
-#:      family, funnels, PQ, span scrub, …); the first ~2 take the slots
-#:      the scan rotation would have repeated, the rest carry multi-SF
-#:      local parity and get first rows next round
-#:   5. rotation of r01-only-green scan/relational queries (ts
-#:      canonicalization happened after their last rows)
-#: Prefix arithmetic: 36 + 10 + 2 = 48 judge-mandated entries before the
-#: batch-5 block, so ~2 of the new batch make the ~50-row budget — a
-#: deliberate trade: queries with NO driver row ever can't be verified any
-#: other way, while everything past the cut holds bit-exact local parity
-#: at sf0.001/0.01/0.1 (tests/test_oracle_parity.py).
-_NEW_R03: list[str] = [
-    # appended as round-3 operators land; keep ahead of the backlog
-    "sim_knn_join",
-    "docs_boilerplate",
-    "multimodal_frame_sample",
-    "dedup_prefix_containment",
-    "docs_snapshot_diff",
-    "docs_mixture_plan",
-    "scan_ewma_trend",
-    "rel_zorder_layout",
-    "docs_leakage_safe_split",
-    "scan_fuzzy_subjects",
-    "scan_cohort_retention",
-    "docs_curation_v2",
-    "multimodal_audio_stats",
-    "docs_quality_percentile",
-    "docs_domain_shift",
-    "docs_chunk_sequences",
-    "scan_asof_tolerance",
-    "sim_ivf_topk",  # r02 burned a prefix slot as "no_oracle"; now oracle-backed
-    "text_char_diversity",
-    "text_gopher_filters",
-    "sim_quantize_int8",
-    "sim_bucket_centroids",
-    "dedup_winnow_capped",
-    "dedup_span_fraction",
-    "docs_quality_quantiles",
-    "rel_forecast_revenue",
-    # second wave (this session): named-technique gaps in the curation
-    # surface — each displaces an r01-green scan-rotation entry at the tail
-    # of the prefix (multi-SF local parity on those; new operators need
-    # their FIRST row more than rotation needs a repeat)
-    "dedup_semantic",
-    "docs_chunk_dedup",
-    "sim_kmeans",
-    "dedup_incremental",
-    "decon_bloom",
-    "text_bpe_merges",
-    "dedup_semantic_kmeans",
-    "docs_train_order",
-    "text_bpe_apply",
-    "text_countmin_topk",
-]
-_NEVER_CHECKED_R02 = [
-    "scan_subject_wildcard",
-    "scan_variant_extract",
-    "docs_winnow_fingerprints",
-    "dedup_winnow",
-    "docs_weighted_mix",
-    "rel_grouping_sets",
-    "rel_min_cost_supplier",
-    "scan_scd2_intervals",
-    "text_pii_redact",
-    "dedup_prune",
-]
-_FIXED_R02 = [
-    "multimodal_features",  # r02 err (unhashable array cell) — now oracle-backed
-    "multimodal_resize",  # rows-only; one-time execution proof
-]
-#: batch-5 additions (this session) — sequenced AFTER the never-checked/fixed
-#: blocks so they can't push those judge-mandated rows past the ~50 cut; the
-#: first ~2 of these take the slots the scan rotation would have repeated
-#: (those all carry r01 rows + multi-SF local parity; first rows win)
-_NEW_R03_LATE = [
-    "text_unigram_bits",
-    "scan_funnel",
-    "rel_hll_counts",
-    "rel_mad_outliers",
-    "rel_hist_quantiles",
+#: Round-4 allocation — REGISTRATION FREEZE (r03 verdict ask #1): zero new
+#: queries this round; the entire ~50-row prefix is spent on verification
+#: debt, in order:
+#:   1. _NEVER_CHECKED_R03 — the 14 oracle-backed queries that have NEVER
+#:      had a driver row (registered late in r03, landed past the cut).
+#:      All 14 hold bit-exact local parity at sf0.001/0.01/0.1
+#:      (tests/test_oracle_parity.py); this converts that local claim into
+#:      driver fact.
+#:   2. _ROTATE_SCAN — the scan surface whose last driver rows are r01,
+#:      pre-dating r02's timestamp canonicalization of the very path they
+#:      scan (ordered per the verdict: scan_base/time_range/seq_range/
+#:      json_extract/asof_join/windowed_rollup/session_window/gapfill
+#:      first).
+#:   3. _ROTATE_RELATIONAL — relational queries whose only rows are r01;
+#:      the first ~21 make the ~50 budget, the rest head the r05 rotation.
+#: Rows-only (no-oracle) queries sit at the VERY END of the registry
+#: (_ROWS_ONLY_LAST — now including multimodal_resize, whose one-time
+#: execution proof was banked in r03): a "no_oracle" row is a wasted slot.
+#: Prefix arithmetic: 14 + 15 + 21 = 50.
+_NEVER_CHECKED_R03 = [
     "text_pmi_topk",
     "sim_pq_topk",
     "scan_path_mining",
     "scan_hopping_rollup",
     "rel_kmv_intersection",
+    "rel_hll_counts",
+    "rel_mad_outliers",
+    "rel_hist_quantiles",
     "scan_funnel_windowed",
     "scan_daily_dashboard",
     "docs_span_scrub",
@@ -123,18 +85,20 @@ _NEW_R03_LATE = [
     "scan_cumulative_uniques",
     "dedup_graph_triangles",
 ]
-#: scan surface whose last rows predate the r02 ts canonicalization
+#: scan surface whose last rows predate the r02 ts canonicalization —
+#: verdict-mandated order (the 8 queries the canonicalization touched
+#: most directly first)
 _ROTATE_SCAN = [
     "scan_base",
     "scan_time_range",
     "scan_seq_range",
-    "scan_subject_filter",
     "scan_json_extract",
-    "scan_json_cast_agg",
     "scan_asof_join",
     "scan_windowed_rollup",
     "scan_session_window",
     "scan_gapfill",
+    "scan_subject_filter",
+    "scan_json_cast_agg",
     "scan_gap_detection",
     "scan_salted_agg",
     "scan_payload_sizes",
@@ -176,9 +140,10 @@ _ROTATE_RELATIONAL = [
     "rel_order_date_gaps",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
-#: so inside the prefix they waste a verification slot — keep them LAST
-#: (multimodal_resize excepted this round, see _FIXED_R02)
-_ROWS_ONLY_LAST: list[str] = ["multimodal_phash"]
+#: so inside the prefix they waste a verification slot — keep them LAST.
+#: multimodal_resize's one-time execution proof is banked (green-by-nature
+#: row in CORRECTNESS_r03); from r04 on it lives back here.
+_ROWS_ONLY_LAST: list[str] = ["multimodal_phash", "multimodal_resize"]
 
 
 def full_registry() -> Registry:
@@ -204,18 +169,11 @@ def full_registry() -> Registry:
         stream,
         relational,
     ):
-        for name, entry in mod.QUERIES.items():
+        for name, (fn, sql) in mod.QUERIES.items():
             assert name not in merged, f"duplicate query name {name}"
-            merged[name] = entry
+            merged[name] = (fn, _resolve_oracle(sql))
 
-    prefix = (
-        _NEW_R03
-        + _NEVER_CHECKED_R02
-        + _FIXED_R02
-        + _NEW_R03_LATE
-        + _ROTATE_SCAN
-        + _ROTATE_RELATIONAL
-    )
+    prefix = _NEVER_CHECKED_R03 + _ROTATE_SCAN + _ROTATE_RELATIONAL
     out: Registry = {}
     for name in prefix:
         out[name] = merged[name]

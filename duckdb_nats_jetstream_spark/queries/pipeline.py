@@ -737,18 +737,16 @@ def _ivf_sql() -> str | None:
     """Generate the embedded-codebook oracle for the scale factor the
     oracle will RUN against (``SPARK_GRAFT_ORACLE_SF_DIR``; bench.py points
     it at its own sf_dir before importing the registry, so the mirror's
-    codebook always matches the data it queries). Falls back to rows-only
-    (None) when the parquet is unreadable — the oracle is a verification
-    aid and must never make the other 130 queries unimportable."""
+    codebook always matches the data it queries). Registered as a LAZY
+    callable — ``queries._resolve_oracle`` runs it at registry-build time
+    (not import), caches per SF dir, and degrades this entry alone to
+    rows-only with a logged warning if the parquet is unreadable."""
     import os
 
-    try:
-        return S.sql_ivf_topk(
-            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
-            query_max_id=10, k=5, n_clusters=16, n_probe=4,
-        )
-    except Exception:  # noqa: BLE001 — missing testdata → rows-only entry
-        return None
+    return S.sql_ivf_topk(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        query_max_id=10, k=5, n_clusters=16, n_probe=4,
+    )
 
 
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,7 +809,7 @@ WHERE rn = 1
 
 QUERIES = {
     "corpus_clean": (corpus_clean, _corpus_clean_sql()),
-    "sim_ivf_topk": (sim_ivf_topk, _ivf_sql()),
+    "sim_ivf_topk": (sim_ivf_topk, _ivf_sql),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_token_frequency": (text_token_frequency, TOKEN_FREQUENCY_SQL),
     "text_tfidf_topk": (text_tfidf_top_terms, TFIDF_SQL),

@@ -580,7 +580,8 @@ def scan_daily_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = ev.groupBy(day).agg(F.count(F.lit(1)).alias("n_events"))
     reg, rank = HLL.register_rank_cols("user_id")
     regs = (
-        ev.select(day, reg.alias("register"), rank.alias("rank"))
+        ev.filter(F.col("user_id").isNotNull())
+        .select(day, reg.alias("register"), rank.alias("rank"))
         .groupBy("day", "register")
         .agg(F.max("rank").alias("max_rank"))
     )
@@ -1077,14 +1078,11 @@ def _pq_sql() -> str | None:
 
     from duckdb_nats_jetstream_spark.operators import pq as PQ
 
-    try:
-        return PQ.sql_pq_topk(
-            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
-            query_max_id=10,
-            k=5,
-        )
-    except Exception:  # noqa: BLE001 — missing testdata → rows-only entry
-        return None
+    return PQ.sql_pq_topk(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        query_max_id=10,
+        k=5,
+    )
 
 
 QUERIES = {
@@ -1095,7 +1093,7 @@ QUERIES = {
     "rel_mad_outliers": (rel_mad_outliers, MAD_OUTLIERS_SQL),
     "rel_hist_quantiles": (rel_hist_quantiles, HIST_QUANTILES_SQL),
     "text_pmi_topk": (text_pmi_topk, PMI_TOPK_SQL),
-    "sim_pq_topk": (sim_pq_topk, _pq_sql()),
+    "sim_pq_topk": (sim_pq_topk, _pq_sql),
     "scan_path_mining": (scan_path_mining, PATH_MINING_SQL),
     "scan_hopping_rollup": (scan_hopping_rollup, HOPPING_ROLLUP_SQL),
     "rel_kmv_intersection": (rel_kmv_intersection, _kmv_intersection_sql()),

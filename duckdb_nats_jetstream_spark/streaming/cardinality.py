@@ -40,6 +40,7 @@ def windowed_hll_registers(
     reg, rank = register_rank_cols(value_col, salt)
     return (
         stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(value_col).isNotNull())
         .select(
             F.col(ts_col), reg.alias("register"), rank.alias("rank")
         )
@@ -65,7 +66,8 @@ def batch_windowed_hll_registers(
     streaming build must converge to on the same closed data."""
     reg, rank = register_rank_cols(value_col, salt)
     return (
-        df.select(F.col(ts_col), reg.alias("register"), rank.alias("rank"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(ts_col), reg.alias("register"), rank.alias("rank"))
         .groupBy(F.window(ts_col, window).alias("win"), F.col("register"))
         .agg(F.max("rank").alias("max_rank"))
         .select(
