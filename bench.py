@@ -144,6 +144,10 @@ def main() -> None:
                 prior = json.load(f)
         except Exception:
             prior = {}
+    if prior.get("sf") != sf:
+        # a detail file from a DIFFERENT scale factor must not leak its
+        # duckdb_s carry-forwards or prev_s baselines into this run
+        prior = {}
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
         con = _duckdb_con(sf_dir)
         for name in sorted(registry):
@@ -177,7 +181,26 @@ def main() -> None:
                 except Exception:  # noqa: BLE001 — best-effort
                     continue
 
+    # ---- regression tracking (r03 verdict ask #6): carry the prior run's
+    # spark_s per query and the delta, and surface the top movers on stderr
+    # so a wobble classifies itself instead of needing judge archaeology.
+    prev_s = {
+        k: v["spark_s"]
+        for k, v in prior.get("queries", {}).items()
+        if isinstance(v, dict) and "spark_s" in v
+    }
+
     total = round(sum(timings.values()), 3)
+
+    def _qentry(name: str, t: float) -> dict:
+        e: dict = {"spark_s": t}
+        if name in duckdb_s:
+            e["duckdb_s"] = duckdb_s[name]
+        if name in prev_s:
+            e["prev_s"] = prev_s[name]
+            e["delta"] = round(t - prev_s[name], 3)
+        return e
+
     detail = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -185,18 +208,23 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "queries": {
-            name: (
-                {"spark_s": t, "duckdb_s": duckdb_s[name]}
-                if name in duckdb_s
-                else {"spark_s": t}
-            )
-            for name, t in timings.items()
-        },
+        "queries": {name: _qentry(name, t) for name, t in timings.items()},
         "errors": errors,
     }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+
+    movers = sorted(
+        (n for n in timings if n in prev_s),
+        key=lambda n: abs(timings[n] - prev_s[n]),
+        reverse=True,
+    )[:5]
+    for n in movers:
+        print(
+            f"mover: {n} {prev_s[n]:.3f}s -> {timings[n]:.3f}s "
+            f"({timings[n] - prev_s[n]:+.3f}s)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "total_query_wall_clock",

@@ -426,3 +426,31 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_scan,
         )
+
+
+def test_profile_is_single_scan_both_variants(spark, sf_dir):
+    """r03 verdict ask #4: the profiler must read the table ONCE however
+    many columns it profiles. Exact variant: Catalyst plans the three
+    COUNT(DISTINCT) via one Expand over a single scan (rows expand
+    k+1-way but carry only pruned columns); approx variant: HLL++
+    sketches, no Expand at all, one ordinary two-phase agg — the 100 TB
+    default."""
+    from duckdb_nats_jetstream_spark.operators.profile import profile
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type"]
+
+    exact = profile(ev, cols)._jdf.queryExecution().executedPlan().toString()
+    assert exact.count("Scan parquet") == 1, exact
+    assert exact.count("Expand") == 1, exact
+
+    approx = (
+        profile(ev, cols, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert approx.count("Scan parquet") == 1, approx
+    assert "Expand" not in approx, approx
+    assert "approx_count_distinct" in approx, approx
