@@ -358,3 +358,62 @@ def test_span_scrub_consistent_with_span_stats(spark, sf_dir):
             assert s.n_removed == 0
         else:
             assert s.n_removed >= 13
+
+
+def test_merge_preserves_group_columns(spark):
+    """r03 ADVICE: merging GROUPED sketches must key on the group columns,
+    not silently sum/max across groups."""
+    from pyspark.sql import functions as F
+
+    from duckdb_nats_jetstream_spark.operators import histsketch as HS
+    from duckdb_nats_jetstream_spark.operators import hll as HLL
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(20)]
+        + [("b", float(v)) for v in range(40)],
+        "grp string, value double",
+    )
+    half1 = df.filter(F.col("value") < 10)
+    half2 = df.filter(F.col("value") >= 10)
+
+    s1 = HS.hist_bins(half1, "value", 0.0, 40.0, 8, "grp")
+    s2 = HS.hist_bins(half2, "value", 0.0, 40.0, 8, "grp")
+    merged = HS.merge_hist(s1, s2)
+    direct = HS.hist_bins(df, "value", 0.0, 40.0, 8, "grp")
+    assert set(merged.columns) == {"grp", "bin", "cnt"}
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    def grouped_regs(d):
+        reg, rank = HLL.register_rank_cols("value")
+        return (
+            d.filter(F.col("value").isNotNull())
+            .select("grp", reg.alias("register"), rank.alias("rank"))
+            .groupBy("grp", "register")
+            .agg(F.max("rank").alias("max_rank"))
+        )
+
+    rm = HLL.merge_registers(grouped_regs(half1), grouped_regs(half2))
+    rd = grouped_regs(df)
+    assert "grp" in rm.columns
+    assert sorted(map(tuple, rm.collect())) == sorted(map(tuple, rd.collect()))
+
+
+def test_windowed_hll_ignores_null_values(spark):
+    """r03 ADVICE: a NULL value row must not poison a window's estimate."""
+    import datetime as dt
+
+    from duckdb_nats_jetstream_spark.operators.hll import hll_estimate
+    from duckdb_nats_jetstream_spark.streaming.cardinality import (
+        batch_windowed_hll_registers,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [(t0, f"u{i}") for i in range(50)] + [(t0, None)]
+    df = spark.createDataFrame(rows, "ts_nats timestamp, subject string")
+    regs = batch_windowed_hll_registers(df, "subject", "ts_nats", "1 hour")
+    assert regs.filter("register IS NULL OR max_rank IS NULL").count() == 0
+    est = hll_estimate(regs, "window_start").collect()
+    assert len(est) == 1 and est[0]["raw_estimate"] is not None
+    assert 30 <= est[0]["raw_estimate"] <= 80

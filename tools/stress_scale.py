@@ -38,7 +38,10 @@ STRESS_DIR = os.path.join(REPO, ".stress", "sf1.0")
 REPLICAS = 10
 UI_PORT = 4077
 
-HEAVY = ["dedup_winnow", "docs_span_scrub", "dedup_components", "docs_chunk_dedup"]
+HEAVY = os.environ.get(
+    "SPARK_GRAFT_STRESS_QUERIES",
+    "dedup_winnow,docs_span_scrub,dedup_components,docs_chunk_dedup",
+).split(",")
 
 
 def build_scaled_documents() -> None:
