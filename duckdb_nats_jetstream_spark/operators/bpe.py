@@ -109,7 +109,7 @@ def _learn_merges(
             ).alias("seq"),
         ).persist()
         nxt.count()  # materialize before dropping the parent cache
-        enc.unpersist(blocking=False)
+        enc.unpersist(blocking=True)
         enc = nxt
     return enc, merges
 
@@ -139,7 +139,7 @@ def bpe_merge_table(
         .limit(top_k)
         .collect()
     )
-    enc.unpersist(blocking=False)
+    enc.unpersist(blocking=True)
     out_rows += [
         (rounds + 1, i + 1, row.pair, row.n) for i, row in enumerate(frontier)
     ]
@@ -186,7 +186,7 @@ def bpe_token_counts(
         )
     )
     out = out.localCheckpoint(eager=True)
-    enc.unpersist(blocking=False)
+    enc.unpersist(blocking=True)
     return out
 
 

@@ -109,5 +109,5 @@ def connected_components(
         # old-vs-new shuffle join per round.
         if labels.filter(F.col("upd")).isEmpty():
             break
-    und.unpersist(blocking=False)
+    und.unpersist(blocking=True)
     return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))

@@ -162,7 +162,7 @@ def minhash_lsh_pairs(
     # release the shingle cache once the result is materialized; blocking=False
     # so a consumer that hasn't run yet just recomputes
     out = out.localCheckpoint(eager=True)
-    docs.unpersist(blocking=False)
+    docs.unpersist(blocking=True)
     return out
 
 
@@ -390,17 +390,21 @@ def winnow_pairs(
     # persist: both join sides read the same fingerprint relation — without
     # this the whole k-gram/window pipeline runs twice (same pattern as
     # minhash_lsh_pairs; on a cluster swap localCheckpoint for checkpoint)
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist()
+    fps_cached = winnow_fingerprints(df, text_col, id_col, k, w).persist()
+    fps = fps_cached
     if df_cap is not None:
         # (id, fp) is already distinct per document, so count(*) per fp IS
-        # document frequency; the semi-join keeps fps under the cap
+        # document frequency; the semi-join keeps fps under the cap.
+        # NB: keep unpersisting the ORIGINAL handle — rebinding fps to the
+        # join and unpersisting that leaks the cache entry (storage memory
+        # pinned for the rest of the application).
         rare = (
-            fps.groupBy("fp")
+            fps_cached.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= df_cap)
             .select("fp")
         )
-        fps = fps.join(rare, "fp", "left_semi")
+        fps = fps_cached.join(rare, "fp", "left_semi")
     a = fps.alias("a")
     b = fps.alias("b")
     out = (
@@ -417,7 +421,7 @@ def winnow_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     out = out.localCheckpoint(eager=True)
-    fps.unpersist(blocking=False)
+    fps_cached.unpersist(blocking=True)
     return out
 
 
@@ -567,7 +571,7 @@ def dup_span_stats(
         )
     )
     out = out.localCheckpoint(eager=True)
-    grams.unpersist(blocking=False)
+    grams.unpersist(blocking=True)
     return out
 
 
@@ -729,8 +733,8 @@ def incremental_near_dups(
         F.count("*").cast("long").alias("n_ref_dups")
     )
     out = out.localCheckpoint(eager=True)
-    new_sh.unpersist(blocking=False)
-    ref_sh.unpersist(blocking=False)
+    new_sh.unpersist(blocking=True)
+    ref_sh.unpersist(blocking=True)
     return out
 
 
@@ -850,7 +854,7 @@ def span_scrub(
         F.array_join(kept, " ").alias("scrubbed"),
     )
     out = out.localCheckpoint(eager=True)
-    grams.unpersist(blocking=False)
+    grams.unpersist(blocking=True)
     return out
 
 

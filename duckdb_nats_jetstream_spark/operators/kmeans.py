@@ -139,7 +139,7 @@ def kmeans_assignments(
     # already driver-side literals, so the caller's eventual action just
     # recomputes the scan + two assignment maps (one extra Arrow pass) —
     # measured cheaper than an eager localCheckpoint materialization here.
-    a1.unpersist(blocking=False)
+    a1.unpersist(blocking=True)
     return out
 
 

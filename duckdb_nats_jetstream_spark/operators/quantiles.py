@@ -116,7 +116,7 @@ def exact_group_quantiles(
             pick, f"g {dict(df.dtypes)[group_col]}, p_idx int, side string, v double"
         ).collect()
     finally:
-        s.unpersist(blocking=False)
+        s.unpersist(blocking=True)
 
     vals = {(r.g, r.p_idx, r.side): r.v for r in picked}
     rows = []

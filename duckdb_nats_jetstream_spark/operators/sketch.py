@@ -124,7 +124,7 @@ def countmin_estimates(
         .agg(F.min("n").alias("est_n"))
     )
     out = out.localCheckpoint(eager=True)
-    toks.unpersist(blocking=False)
+    toks.unpersist(blocking=True)
     return out
 
 

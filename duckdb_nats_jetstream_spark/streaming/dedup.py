@@ -130,7 +130,7 @@ def near_dup_flagger(
         # per-batch dirs → a replayed batch overwrites itself (idempotent)
         verdict.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         keys.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
-        keys.unpersist(blocking=False)
+        keys.unpersist(blocking=True)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

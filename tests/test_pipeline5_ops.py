@@ -410,10 +410,22 @@ def test_windowed_hll_ignores_null_values(spark):
     )
 
     t0 = dt.datetime(2024, 1, 1, 0, 30)
-    rows = [(t0, f"u{i}") for i in range(50)] + [(t0, None)]
-    df = spark.createDataFrame(rows, "ts_nats timestamp, subject string")
-    regs = batch_windowed_hll_registers(df, "subject", "ts_nats", "1 hour")
+    clean = [(t0, f"u{i}") for i in range(50)]
+    df_null = spark.createDataFrame(
+        clean + [(t0, None)], "ts_nats timestamp, subject string"
+    )
+    df_clean = spark.createDataFrame(clean, "ts_nats timestamp, subject string")
+
+    regs = batch_windowed_hll_registers(df_null, "subject", "ts_nats", "1 hour")
     assert regs.filter("register IS NULL OR max_rank IS NULL").count() == 0
+    # NULLs don't count toward cardinality: sketch with the NULL row must
+    # be bit-identical to the sketch without it (raw estimate included —
+    # pre-fix, the NULL register row NULLed the harmonic denominator)
+    regs_clean = batch_windowed_hll_registers(
+        df_clean, "subject", "ts_nats", "1 hour"
+    )
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, regs_clean.collect())
+    )
     est = hll_estimate(regs, "window_start").collect()
     assert len(est) == 1 and est[0]["raw_estimate"] is not None
-    assert 30 <= est[0]["raw_estimate"] <= 80

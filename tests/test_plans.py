@@ -62,11 +62,22 @@ def test_registry_wide_no_cartesian_sweep(spark, sf_dir):
     from duckdb_nats_jetstream_spark.queries import full_registry
 
     offenders = []
+    leakers = []
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     for name, (fn, _sql) in full_registry().items():
         plan = physical_plan(fn(spark, sf_dir))
         if "CartesianProduct" in plan:
             offenders.append(name)
+        # operators that persist() intermediates must unpersist the SAME
+        # handle before returning — a leaked cache entry pins executor
+        # storage memory for the rest of the application AND silently
+        # swaps later equivalent plans to InMemoryTableScan (found live:
+        # winnow_pairs df_cap branch rebound fps before unpersist)
+        if not cache_mgr.isEmpty():
+            leakers.append(name)
+            cache_mgr.clearCache()
     assert not offenders, f"cartesian products in: {offenders}"
+    assert not leakers, f"queries leaking cache entries: {leakers}"
 
 
 def test_winnow_and_mixture_are_pure_jvm(spark, sf_dir):

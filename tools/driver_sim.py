@@ -1,0 +1,67 @@
+"""Simulate the round driver's correctness gate as closely as possible:
+a PLAIN default SparkSession (no tuned configs — catches timezone /
+shuffle-partition / memory assumptions that the pytest fixture's tuned
+session would mask), sf0.01 tables, the first ``N`` registry entries in
+insertion order, each compared to its DuckDB oracle with the exact-value
+harness from ``tests/oracle_harness``.
+
+Run before round end: every query shown here is one the driver WILL
+check; a failure here is a red CORRECTNESS row next round.
+
+    python tools/driver_sim.py [N=50]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    from pyspark.sql import SparkSession
+
+    from duckdb_nats_jetstream_spark.queries import full_registry
+    from tests.oracle_harness import compare, duckdb_conn
+
+    spark = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    ).getOrCreate()  # deliberately untuned — driver conditions
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = full_registry()
+    con = duckdb_conn(SF_DIR)
+    names = list(registry)[:n]
+    failures = 0
+    for i, name in enumerate(names):
+        fn, sql = registry[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            if sql is None:
+                cnt = df.count()
+                print(f"{i+1:3d} {name}: rows-only ({cnt} rows) "
+                      f"[{time.perf_counter()-t0:.1f}s]")
+                continue
+            problems = compare(df, con, sql, name)
+        except Exception:
+            print(f"{i+1:3d} {name}: ERROR\n{traceback.format_exc()}")
+            failures += 1
+            continue
+        status = "ok" if not problems else "FAIL " + "; ".join(problems)
+        failures += bool(problems)
+        print(f"{i+1:3d} {name}: {status} [{time.perf_counter()-t0:.1f}s]")
+    print(f"\n{len(names) - failures}/{len(names)} green under driver conditions")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
