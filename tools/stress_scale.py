@@ -67,7 +67,27 @@ def build_scaled_documents() -> None:
         ) TO '{out}' (FORMAT parquet)
         """
     )
-    print(f"built {out}: {REPLICAS}x replicas", file=sys.stderr)
+    # embeddings: replicas get a tiny deterministic per-replica perturbation
+    # on the last component — near-identical vectors (the ANN worst case:
+    # every vector gains 9 near-neighbors) without exact duplicates
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + r.k * 1000000 AS vec_id,
+                 list_transform(
+                   e.embedding,
+                   (x, i) -> CAST(CASE WHEN i = len(e.embedding)
+                                       THEN x + r.k * 1e-3
+                                       ELSE x END AS FLOAT)
+                 ) AS embedding,
+                 e.label
+          FROM '{SRC_DIR}/embeddings.parquet' e,
+               (SELECT unnest(range({REPLICAS})) AS k) r
+          ORDER BY vec_id
+        ) TO '{STRESS_DIR}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+    print(f"built {STRESS_DIR}: {REPLICAS}x replicas", file=sys.stderr)
 
 
 def _ui(path: str):
