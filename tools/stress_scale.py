@@ -87,6 +87,31 @@ def build_scaled_documents() -> None:
         ) TO '{STRESS_DIR}/embeddings.parquet' (FORMAT parquet)
         """
     )
+    # events: 10× the user population over the SAME month — the natural
+    # 100 TB axis for funnels/sketches (per-day volume and distinct-user
+    # cardinality grow; the time range doesn't)
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + r.k * 10000000 AS event_id,
+                 e.ts,
+                 e.user_id + r.k * 10000000 AS user_id,
+                 e.event_type, e.value, e.props
+          FROM '{SRC_DIR}/events.parquet' e,
+               (SELECT unnest(range({REPLICAS})) AS k) r
+          ORDER BY event_id
+        ) TO '{STRESS_DIR}/events.parquet' (FORMAT parquet)
+        """
+    )
+    # remaining tables (dims etc.) stay at 1× — symlink so any query that
+    # joins them still resolves
+    for fname in os.listdir(SRC_DIR):
+        if fname.endswith(".parquet") and not os.path.exists(
+            os.path.join(STRESS_DIR, fname)
+        ):
+            os.symlink(
+                os.path.join(SRC_DIR, fname), os.path.join(STRESS_DIR, fname)
+            )
     print(f"built {STRESS_DIR}: {REPLICAS}x replicas", file=sys.stderr)
 
 
