@@ -366,7 +366,14 @@ def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations; the unigram relation joins the bigram relation twice (left
     word, right word) by hash join — vocabulary-sized, never collected. A
     min-count floor keeps one-off pairs from dominating the ranking (the
-    standard PMI sparsity fix)."""
+    standard PMI sparsity fix).
+
+    The VOCAB-SIZED count relations (uni, bi) are persisted for the
+    query's duration: each is consumed 2-3× (self-as-join-side plus its
+    own total), and without the cache every consumer re-tokenizes the
+    corpus — 5 full scans at 100 TB instead of 2 (one per n-gram order).
+    Same persist → localCheckpoint(eager) → unpersist lifecycle as
+    ``winnow_pairs`` (cache-hygiene pinned by the registry sweep test)."""
     docs = read_table(spark, sf_dir, "documents")
     toked = docs.select(TX.tokens(F.col("text")).alias("toks"))
     bigrams = F.when(
@@ -381,11 +388,13 @@ def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cxy"))
+        .persist()
     )
     uni = (
         toked.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     n_uni = uni.agg(F.sum("c").alias("nu"))
     n_bi = bi.agg(F.sum("cxy").alias("nb"))
@@ -393,7 +402,7 @@ def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cx").cast("double") / F.col("nu").cast("double"))
         * (F.col("cy").cast("double") / F.col("nu").cast("double"))
     )
-    return (
+    out = (
         bi.filter(F.col("cxy") >= 5)
         .join(uni.select(F.col("t").alias("x"), F.col("c").alias("cx")), "x")
         .join(uni.select(F.col("t").alias("y"), F.col("c").alias("cy")), "y")
@@ -403,6 +412,10 @@ def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "x", "y")
         .limit(20)
     )
+    out = out.localCheckpoint(eager=True)
+    bi.unpersist(blocking=True)
+    uni.unpersist(blocking=True)
+    return out
 
 
 PMI_TOPK_SQL = f"""
