@@ -691,14 +691,27 @@ def rel_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     two ≤ k-row KMV sketches — union sketch, Jaccard from sketch
     membership, intersection = J × |A∪B| — with the exact counts as audit
     columns. This is the question HLL cannot answer (register maxima
-    destroy membership) and the reason theta sketches exist."""
+    destroy membership) and the reason theta sketches exist.
+
+    Scan shape: ONE pass over orders builds a per-custkey membership-flag
+    relation (cached — it is |customers|-sized, not |orders|-sized); both
+    sketches AND the exact-intersection audit derive from it, so the fact
+    table is never rescanned (was 8 scans when every sketch/audit consumer
+    re-read parquet). ``kmv_sketch`` dedups internally, so feeding it the
+    pre-distinct key relation is value-identical to feeding raw orders."""
     from duckdb_nats_jetstream_spark.operators import kmv as KMV
 
     orders = read_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "F")
-    b = orders.filter(F.col("o_orderstatus") == "O")
-    ka = KMV.kmv_sketch(a, "o_custkey")
-    kb = KMV.kmv_sketch(b, "o_custkey")
+    ck = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderstatus") == "F").alias("in_a"),
+            F.max(F.col("o_orderstatus") == "O").alias("in_b"),
+        )
+        .persist()
+    )
+    ka = KMV.kmv_sketch(ck.filter("in_a"), "o_custkey").persist()
+    kb = KMV.kmv_sketch(ck.filter("in_b"), "o_custkey").persist()
     ku = KMV.kmv_union(ka, kb)
     est_u = KMV.kmv_estimate(ku).select(
         F.col("n_sketch").alias("n_union"), F.col("estimate").alias("est_union")
@@ -708,14 +721,11 @@ def rel_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kb, "h", "left_semi")
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
-    exact = (
-        a.select(F.col("o_custkey").alias("ck"))
-        .distinct()
-        .join(b.select(F.col("o_custkey").alias("ck")).distinct(), "ck", "inner")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    exact = ck.filter("in_a AND in_b").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_inter")
     )
     jac = F.col("n_match").cast("double") / F.col("n_union").cast("double")
-    return (
+    out = (
         est_u.crossJoin(F.broadcast(matches))
         .crossJoin(F.broadcast(exact))
         .select(
@@ -727,6 +737,10 @@ def rel_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+    out = out.localCheckpoint(eager=True)
+    for cached in (ka, kb, ck):
+        cached.unpersist(blocking=True)
+    return out
 
 
 def _kmv_intersection_sql() -> str:
@@ -830,12 +844,15 @@ def scan_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     reg, rank = HLL.register_rank_cols("user_id")
+    # cached: ≤ m×days rows, consumed three times (grid days, grid
+    # registers, the fill join) — uncached each consumer re-scans events
     daily = (
         ev.select(
             F.to_date("ts").alias("day"), reg.alias("register"), rank.alias("rank")
         )
         .groupBy("day", "register")
         .agg(F.max("rank").alias("max_rank"))
+        .persist()
     )
     # dense (day × observed-register) grid so a register seen on day 1 but
     # silent on day 3 still carries into day 3's cumulative sketch
@@ -863,7 +880,10 @@ def scan_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("exact_cum"),
     )
-    return est.join(exact, "day").orderBy("day")
+    out = est.join(exact, "day").orderBy("day")
+    out = out.localCheckpoint(eager=True)
+    daily.unpersist(blocking=True)
+    return out
 
 
 def _cumulative_uniques_sql() -> str:
