@@ -147,7 +147,10 @@ def stratified_hash_topn(
     if margin is None:
         return ranked(hashed).drop("__h")
 
-    counts = hashed.groupBy(group_col).agg(F.count("*").alias("__gcnt"))
+    # cached: group-sized (one row per stratum), consumed by the survivor
+    # join, the shortfall check, and the threshold projection — uncached,
+    # each consumer re-scans the corpus to re-count
+    counts = hashed.groupBy(group_col).agg(F.count("*").alias("__gcnt")).persist()
     # per-group prefix threshold: ceil(space * margin * n / count), capped
     # cap at space-1 ("ffffffff", keeps everything): the cap must stay
     # _PFX hex chars wide or the lpad would truncate it into a SMALLER bound
@@ -161,7 +164,9 @@ def stratified_hash_topn(
     survivors = hashed.join(F.broadcast(counts), group_col).filter(
         F.substring("__h", 1, _PFX) <= F.col("__thr")
     )
-    kept = ranked(survivors)
+    # cached: ≈ margin·n rows per group, consumed by the shortfall check
+    # and the final anti-join — uncached, the prefilter+window reruns twice
+    kept = ranked(survivors).persist()
 
     # groups where the prefilter starved the quota (kept < min(n, count));
     # anchored on `counts`, not `kept` — a fully-starved group has NO kept
@@ -181,4 +186,8 @@ def stratified_hash_topn(
     ok = kept.join(F.broadcast(shortfall), group_col, "left_anti")
     redo = ranked(hashed.join(F.broadcast(shortfall), group_col, "left_semi"))
     out_cols = df.columns + [rank_col]
-    return ok.select(out_cols).unionByName(redo.select(out_cols))
+    out = ok.select(out_cols).unionByName(redo.select(out_cols))
+    out = out.localCheckpoint(eager=True)
+    kept.unpersist(blocking=True)
+    counts.unpersist(blocking=True)
+    return out
