@@ -147,10 +147,7 @@ def stratified_hash_topn(
     if margin is None:
         return ranked(hashed).drop("__h")
 
-    # cached: group-sized (one row per stratum), consumed by the survivor
-    # join, the shortfall check, and the threshold projection — uncached,
-    # each consumer re-scans the corpus to re-count
-    counts = hashed.groupBy(group_col).agg(F.count("*").alias("__gcnt")).persist()
+    counts = hashed.groupBy(group_col).agg(F.count("*").alias("__gcnt"))
     # per-group prefix threshold: ceil(space * margin * n / count), capped
     # cap at space-1 ("ffffffff", keeps everything): the cap must stay
     # _PFX hex chars wide or the lpad would truncate it into a SMALLER bound
@@ -159,7 +156,13 @@ def stratified_hash_topn(
         F.ceil(F.lit(float(_PFX_SPACE) * margin * n) / F.col("__gcnt")).cast("long"),
     )
     thr_hex = F.lpad(F.lower(F.conv(thr.cast("string"), 10, 16)), _PFX, "0")
-    counts = counts.withColumn("__thr", thr_hex)
+    # cached: group-sized (one row per stratum), consumed by the survivor
+    # join, the shortfall check, and the threshold projection — uncached,
+    # each consumer re-scans the corpus to re-count. Persist AFTER the
+    # __thr projection: persisting the pre-withColumn relation and then
+    # rebinding the name makes the final unpersist target the derived DF
+    # and leaks the original cache entry (the sweep test catches this).
+    counts = counts.withColumn("__thr", thr_hex).persist()
 
     survivors = hashed.join(F.broadcast(counts), group_col).filter(
         F.substring("__h", 1, _PFX) <= F.col("__thr")
