@@ -102,9 +102,11 @@ def merge_registers(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     keys = [c for c in out.columns if c != "max_rank"]
     for s in sketches[1:]:
-        assert set(s.columns) == set(out.columns), (
-            f"sketch schema mismatch: {s.columns} vs {out.columns}"
-        )
+        if set(s.columns) != set(out.columns):
+            # not assert: library validation must survive ``python -O``
+            raise ValueError(
+                f"sketch schema mismatch: {s.columns} vs {out.columns}"
+            )
         out = out.unionByName(s)
     return out.groupBy(*keys).agg(F.max("max_rank").alias("max_rank"))
 

@@ -847,7 +847,8 @@ def scan_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: ≤ m×days rows, consumed three times (grid days, grid
     # registers, the fill join) — uncached each consumer re-scans events
     daily = (
-        ev.select(
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
             F.to_date("ts").alias("day"), reg.alias("register"), rank.alias("rank")
         )
         .groupBy("day", "register")

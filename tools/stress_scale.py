@@ -46,11 +46,24 @@ HEAVY = os.environ.get(
 
 def build_scaled_documents() -> None:
     import duckdb
+    import shutil
 
-    os.makedirs(STRESS_DIR, exist_ok=True)
-    out = os.path.join(STRESS_DIR, "documents.parquet")
-    if os.path.exists(out):
+    # Skip only when the FULL build exists: every 1× table must be present
+    # (scaled or symlinked). An interrupted prior run must not leave a
+    # half-populated dir that later stress runs silently read — so we build
+    # into a temp dir and rename atomically at the end.
+    expected = [f for f in os.listdir(SRC_DIR) if f.endswith(".parquet")]
+    if os.path.isdir(STRESS_DIR) and all(
+        os.path.lexists(os.path.join(STRESS_DIR, f)) for f in expected
+    ):
         return
+    if os.path.isdir(STRESS_DIR):
+        shutil.rmtree(STRESS_DIR)
+    tmp_dir = STRESS_DIR + ".tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+    out = os.path.join(tmp_dir, "documents.parquet")
     con = duckdb.connect()
     # distinct id ranges per replica; a per-replica suffix token keeps the
     # docs NEAR-duplicates (all long shared substrings survive) rather than
@@ -84,7 +97,7 @@ def build_scaled_documents() -> None:
           FROM '{SRC_DIR}/embeddings.parquet' e,
                (SELECT unnest(range({REPLICAS})) AS k) r
           ORDER BY vec_id
-        ) TO '{STRESS_DIR}/embeddings.parquet' (FORMAT parquet)
+        ) TO '{tmp_dir}/embeddings.parquet' (FORMAT parquet)
         """
     )
     # events: 10× the user population over the SAME month — the natural
@@ -100,18 +113,17 @@ def build_scaled_documents() -> None:
           FROM '{SRC_DIR}/events.parquet' e,
                (SELECT unnest(range({REPLICAS})) AS k) r
           ORDER BY event_id
-        ) TO '{STRESS_DIR}/events.parquet' (FORMAT parquet)
+        ) TO '{tmp_dir}/events.parquet' (FORMAT parquet)
         """
     )
     # remaining tables (dims etc.) stay at 1× — symlink so any query that
     # joins them still resolves
-    for fname in os.listdir(SRC_DIR):
-        if fname.endswith(".parquet") and not os.path.exists(
-            os.path.join(STRESS_DIR, fname)
-        ):
+    for fname in expected:
+        if not os.path.lexists(os.path.join(tmp_dir, fname)):
             os.symlink(
-                os.path.join(SRC_DIR, fname), os.path.join(STRESS_DIR, fname)
+                os.path.join(SRC_DIR, fname), os.path.join(tmp_dir, fname)
             )
+    os.rename(tmp_dir, STRESS_DIR)
     print(f"built {STRESS_DIR}: {REPLICAS}x replicas", file=sys.stderr)
 
 
