@@ -50,84 +50,27 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: cut get no row at all, and rows-only queries inside the prefix burn a slot
 #: on a "no_oracle" non-verdict).
 #:
-#: Round-4 allocation — REGISTRATION FREEZE (r03 verdict ask #1): zero new
-#: queries this round; the entire ~50-row prefix is spent on verification
-#: debt, in order:
-#:   1. _NEVER_CHECKED_R03 — the 14 oracle-backed queries that have NEVER
-#:      had a driver row (registered late in r03, landed past the cut).
-#:      All 14 hold bit-exact local parity at sf0.001/0.01/0.1
-#:      (tests/test_oracle_parity.py); this converts that local claim into
-#:      driver fact.
-#:   2. _ROTATE_SCAN — the scan surface whose last driver rows are r01,
-#:      pre-dating r02's timestamp canonicalization of the very path they
-#:      scan (ordered per the verdict: scan_base/time_range/seq_range/
-#:      json_extract/asof_join/windowed_rollup/session_window/gapfill
-#:      first).
-#:   3. _ROTATE_RELATIONAL — relational queries whose only rows are r01;
-#:      the first ~21 make the ~50 budget, the rest head the r05 rotation.
+#: Round-5 allocation — REGISTRATION FREEZE continues (r04 verdict ask #5):
+#: zero new queries; the prefix finishes the rotation program so every
+#: oracle query ends the round with a ≤2-round-old green row, in order:
+#:   1. _EDITED_SINCE_GREEN_R05 — scan_cumulative_uniques was green r04 but
+#:      its source changed this round (r04 ADVICE NULL-filter fix), which
+#:      re-queues it for driver verification per the freshness contract.
+#:   2. _ROTATE_R01_ONLY — the 10 relational queries whose ONLY driver rows
+#:      are r01 (r04 verdict ask #1's mandated head of the prefix).
+#:   3. _ROTATE_R02 — 39 of the 48 queries whose last green row is r02,
+#:      scan family first (nats_source_scan / scan_time_range_compat /
+#:      scan_typed_extract — the verdict's named examples), then position
+#:      order. The 9 that miss the cut (scan_sessionization + the r02
+#:      relational tail) head the r06 rotation.
 #: Rows-only (no-oracle) queries sit at the VERY END of the registry
-#: (_ROWS_ONLY_LAST — now including multimodal_resize, whose one-time
-#: execution proof was banked in r03): a "no_oracle" row is a wasted slot.
-#: Prefix arithmetic: 14 + 15 + 21 = 50.
-_NEVER_CHECKED_R03 = [
-    "text_pmi_topk",
-    "sim_pq_topk",
-    "scan_path_mining",
-    "scan_hopping_rollup",
-    "rel_kmv_intersection",
-    "rel_hll_counts",
-    "rel_mad_outliers",
-    "rel_hist_quantiles",
-    "scan_funnel_windowed",
-    "scan_daily_dashboard",
-    "docs_span_scrub",
-    "docs_curation_v3",
+#: (_ROWS_ONLY_LAST): a "no_oracle" row is a wasted slot.
+#: Prefix arithmetic: 1 + 10 + 39 = 50.
+_EDITED_SINCE_GREEN_R05 = [
     "scan_cumulative_uniques",
-    "dedup_graph_triangles",
 ]
-#: scan surface whose last rows predate the r02 ts canonicalization —
-#: verdict-mandated order (the 8 queries the canonicalization touched
-#: most directly first)
-_ROTATE_SCAN = [
-    "scan_base",
-    "scan_time_range",
-    "scan_seq_range",
-    "scan_json_extract",
-    "scan_asof_join",
-    "scan_windowed_rollup",
-    "scan_session_window",
-    "scan_gapfill",
-    "scan_subject_filter",
-    "scan_json_cast_agg",
-    "scan_gap_detection",
-    "scan_salted_agg",
-    "scan_payload_sizes",
-    "scan_proto_roundtrip",
-    "scan_proto_repeated",
-]
-#: relational queries whose only rows are from r01
-_ROTATE_RELATIONAL = [
-    "rel_filter_matrix",
-    "rel_pricing_summary",
-    "rel_rank_functions",
-    "rel_market_share",
-    "rel_nation_revenue",
-    "rel_cast_projection",
-    "rel_top_revenue_orders",
-    "rel_cte_sql_api",
-    "rel_rollup",
-    "rel_intersect_except",
-    "rel_disjunctive_join",
-    "rel_waiting_suppliers",
-    "rel_array_hof",
-    "rel_array_agg",
-    "rel_customer_order_histogram",
-    "rel_small_qty_revenue",
-    "rel_large_orders",
-    "rel_top_supplier",
-    "rel_dormant_rich_customers",
-    "rel_unpivot",
-    "rel_approx_aggs",
+#: relational queries whose only driver rows are r01 (oldest debt first)
+_ROTATE_R01_ONLY = [
     "rel_price_histogram",
     "rel_string_functions",
     "rel_pivot_status",
@@ -138,6 +81,48 @@ _ROTATE_RELATIONAL = [
     "rel_conditional_agg",
     "rel_first_order_per_customer",
     "rel_order_date_gaps",
+]
+#: r02-green rotation: scan family first, then registry position order
+_ROTATE_R02 = [
+    "nats_source_scan",
+    "scan_time_range_compat",
+    "scan_typed_extract",
+    "corpus_clean",
+    "text_stats",
+    "text_token_frequency",
+    "text_tfidf_topk",
+    "docs_hash_sample",
+    "decon_ngram_overlap",
+    "docs_stratified_sample",
+    "docs_winsorize",
+    "docs_pack_sequences",
+    "text_udtf_tokens",
+    "text_lang_confusion",
+    "text_quality",
+    "text_repetition",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_srp_bucket_stats",
+    "sim_srp_topk",
+    "profile_events",
+    "scan_latest_per_key",
+    "text_bigram_topk",
+    "rel_cube_segment_nation",
+    "rel_promo_revenue",
+    "rel_volume_shipping",
+    "rel_profit_by_nation_year",
+    "rel_returned_items",
+    "rel_priority_shipping",
+    "rel_order_priority_exists",
+    "rel_supplier_diversity",
+    "rel_nation_balance_share",
+    "rel_excess_volume_suppliers",
+    "scan_interval_join",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.
@@ -173,7 +158,7 @@ def full_registry() -> Registry:
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = (fn, _resolve_oracle(sql))
 
-    prefix = _NEVER_CHECKED_R03 + _ROTATE_SCAN + _ROTATE_RELATIONAL
+    prefix = _EDITED_SINCE_GREEN_R05 + _ROTATE_R01_ONLY + _ROTATE_R02
     out: Registry = {}
     for name in prefix:
         out[name] = merged[name]

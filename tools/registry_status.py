@@ -46,6 +46,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     1: "54117e5^",
     2: "03338e3^",
     3: "8dde30a^",
+    4: "b02af6b^",
 }
 
 
