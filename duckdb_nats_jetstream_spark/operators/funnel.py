@@ -1,18 +1,26 @@
-"""Ordered multi-stage funnel over an event log — single-pass, one shuffle.
+"""Ordered multi-stage funnel over an event log — two physical strategies
+with identical semantics (stage k's timestamp = min event time of type k
+strictly after stage k-1, optionally within ``max_gap`` of it):
 
-The textbook funnel (stage k's timestamp = min event time of type k strictly
-after stage k-1) is usually written as a cascade of k aggregations, each
-rescanning the log. Here the log is scanned ONCE: one user-keyed aggregation
-collects each user's time-sorted event array, and every stage timestamp is
-an ordered array lookup (first matching element of a sorted array == min
-matching timestamp — identical semantics to the cascade, which is what the
-DuckDB oracle runs).
+- ``algorithm="cascade"`` (default, the 100 TB deployment path): k
+  algebraic min-aggregations chained by per-user joins. Every operator is
+  skew-safe — partial min combines MAP-SIDE before the shuffle (a hot key
+  reduces to one row per map partition), and the event⋈stage joins are
+  sort-merge joins AQE's skew splitting can break up. Costs k pushdown
+  scans of the (user, ts, type) projection and 2(k-1)+1 shuffles, all
+  linear.
+- ``algorithm="fold"``: the log is scanned ONCE — one user-keyed
+  ``collect_list`` gathers each user's time-sorted event array and every
+  stage timestamp is an ordered array lookup. Fewer shuffles, but
+  collect_list has NO map-side partial: a hot user's entire event set lands
+  in one reducer task. Measured at 100× events with a 90%-one-user skew
+  (tools/stress_skew.py, SCALING.md batch 4): a 34× straggler task (8.5 s
+  vs 0.25 s median) that AQE cannot split — which is why it is not the
+  default. Right when the per-user event count is known-bounded (sessions,
+  devices) where it's the faster plan.
 
-Scale shape: one shuffle on ``user_col``; per-user state is that user's
-event structs — the same state bound a session window holds, skew-safe for
-human-scale activity (a pathological hot user caps via the same salting
-dial as ``scan_salted_agg``). k stages cost k array scans over the in-memory
-array, not k corpus scans.
+Both produce bit-identical results (pinned by a pytest parity check); the
+DuckDB oracle runs the cascade formulation.
 """
 
 from __future__ import annotations
@@ -22,29 +30,69 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
-def funnel_user_stages(
-    df: DataFrame,
+def _stage_predicate(
+    ts_col: str, prev_col: str, max_gap: str | None
+):
+    cond = F.col(ts_col) > F.col(prev_col)
+    if max_gap is not None:
+        cond = cond & (
+            F.col(ts_col) <= F.col(prev_col) + F.expr(f"INTERVAL {max_gap}")
+        )
+    return cond
+
+
+def _funnel_cascade(
+    ev: DataFrame,
     stages: Sequence[str],
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    max_gap: str | None = None,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_gap: str | None,
 ) -> DataFrame:
-    """Per-user stage timestamps ``(user, t1..tk)``; ``t_k`` is NULL once
-    the chain breaks (strict ``>`` between consecutive stages). With
-    ``max_gap`` (an INTERVAL string like ``"2 hours"``), each stage must
-    also land within that gap of the previous one — the conversion-window
-    variant every funnel product exposes. Same plan either way: the bound
-    is one more predicate inside the array filter, not a new join or
-    shuffle. NOTE: a too-late event does not fail the funnel outright — a
-    later in-window event of the same stage can still convert (min matching
-    ts within the window, the standard semantics)."""
-    ev = df.filter(F.col(type_col).isin(*stages)).select(
-        user_col, ts_col, type_col
-    )
+    """Skew-safe cascade: t1 = min ts of stage 1 per user (algebraic);
+    t_k = min ts of stage k qualifying against t_{k-1} (join + algebraic
+    min). Joins are null-safe on the user key so a NULL-user group behaves
+    exactly like the fold's NULL groupBy key."""
+    out = ev.select(user_col).distinct()
+    prev = None
+    for i, stage in enumerate(stages, start=1):
+        name = f"t{i}"
+        stage_ev = ev.filter(F.col(type_col) == stage).select(user_col, ts_col)
+        if prev is None:
+            s = stage_ev.groupBy(user_col).agg(F.min(ts_col).alias(name))
+        else:
+            prev_rel = out.filter(F.col(prev).isNotNull()).select(
+                F.col(user_col).alias("__u"), prev
+            )
+            s = (
+                stage_ev.join(
+                    prev_rel, F.col(user_col).eqNullSafe(F.col("__u")), "inner"
+                )
+                .filter(_stage_predicate(ts_col, prev, max_gap))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(name))
+            )
+        out = out.join(
+            s.select(F.col(user_col).alias("__u"), name),
+            F.col(user_col).eqNullSafe(F.col("__u")),
+            "left",
+        ).drop("__u")
+        prev = name
+    return out
+
+
+def _funnel_fold(
+    ev: DataFrame,
+    stages: Sequence[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_gap: str | None,
+) -> DataFrame:
     out = ev.groupBy(user_col).agg(
         F.array_sort(F.collect_list(F.struct(ts_col, type_col))).alias("__a")
     )
+
     def _first(stage: str):
         # exactly-one-arg lambda (PySpark HOFs infer arity from the signature)
         return lambda x: x[type_col] == stage
@@ -71,6 +119,36 @@ def funnel_user_stages(
         )
         prev = name
     return out.drop("__a")
+
+
+def funnel_user_stages(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap: str | None = None,
+    algorithm: str = "cascade",
+) -> DataFrame:
+    """Per-user stage timestamps ``(user, t1..tk)``; ``t_k`` is NULL once
+    the chain breaks (strict ``>`` between consecutive stages). With
+    ``max_gap`` (an INTERVAL string like ``"2 hours"``), each stage must
+    also land within that gap of the previous one — the conversion-window
+    variant every funnel product exposes. NOTE: a too-late event does not
+    fail the funnel outright — a later in-window event of the same stage
+    can still convert (min matching ts within the window, the standard
+    semantics).
+
+    ``algorithm``: ``"cascade"`` (default — skew-safe, see module
+    docstring) or ``"fold"`` (single-shuffle array fold; hot-key fragile).
+    """
+    if algorithm not in ("cascade", "fold"):
+        raise ValueError(f"unknown funnel algorithm: {algorithm!r}")
+    ev = df.filter(F.col(type_col).isin(*stages)).select(
+        user_col, ts_col, type_col
+    )
+    impl = _funnel_cascade if algorithm == "cascade" else _funnel_fold
+    return impl(ev, stages, user_col, ts_col, type_col, max_gap)
 
 
 def funnel_summary(per_user: DataFrame, n_stages: int) -> DataFrame:

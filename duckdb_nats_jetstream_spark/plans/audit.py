@@ -19,8 +19,55 @@ scale-invariant (AQE may re-plan exchanges at runtime, always downward).
 
 from __future__ import annotations
 
+import contextlib
 import re
 import sys
+
+
+@contextlib.contextmanager
+def capture_checkpoint_plans():
+    """Intercept ``DataFrame.localCheckpoint`` for the duration of one query
+    build, recording each PRE-checkpoint physical plan (r04 verdict ask #4).
+
+    Eager-checkpoint queries (persist → localCheckpoint(eager) → unpersist)
+    return a DataFrame whose plan is a bare ``Scan ExistingRDD`` — the one
+    place a shuffle/cartesian/row-Python stage could hide from a plan audit
+    that only explains the *returned* DataFrame. Hooking the checkpoint call
+    itself captures every build plan per query with zero query-code changes;
+    iterative checkpointers (connected components) contribute one plan per
+    round, which is exactly the work they do. ``collect`` is hooked for the
+    same reason: queries whose bounded driver-side materialization feeds a
+    ``createDataFrame`` result (quantile selection, BPE merge table) also
+    return a ``Scan ExistingRDD``, with the real work inside the collects."""
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+
+    # Spark 4: pyspark.sql.DataFrame is an ABC; queries execute on the
+    # classic concrete class, whose own methods OVERRIDE any patch on the
+    # parent — hook the concrete class.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older layout
+        from pyspark.sql import DataFrame
+
+    captured: list[str] = []
+    origs = {
+        m: getattr(DataFrame, m) for m in ("localCheckpoint", "collect")
+    }
+
+    def _wrap(method):
+        def wrapper(self, *args, **kwargs):
+            captured.append(physical_plan(self))
+            return origs[method](self, *args, **kwargs)
+
+        return wrapper
+
+    for m in origs:
+        setattr(DataFrame, m, _wrap(m))
+    try:
+        yield captured
+    finally:
+        for m, fn in origs.items():
+            setattr(DataFrame, m, fn)
 
 
 def audit_row(plan: str) -> dict[str, int | bool]:
@@ -61,7 +108,26 @@ def build_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[tuple[str, dict]
     rows = []
     for name, (fn, _sql) in full_registry().items():
         try:
-            rows.append((name, audit_row(physical_plan(fn(spark, sf_dir)))))
+            with capture_checkpoint_plans() as builds:
+                row = audit_row(physical_plan(fn(spark, sf_dir)))
+            if builds:
+                # fold every pre-checkpoint build plan into the row: the
+                # returned DF of an eager query is a bare ExistingRDD scan,
+                # so the build plans carry ALL the real operators. Counts
+                # can over-state shared work (a persisted relation's child
+                # plan prints under each consumer's InMemoryRelation) —
+                # acceptable: the audit hunts hidden cartesians/row-Python,
+                # where any non-zero is an offender regardless of multiplicity.
+                for bp in builds:
+                    b = audit_row(bp)
+                    for k in (
+                        "exch", "bcast", "sorts", "py",
+                        "row_py", "cart", "scans", "pushed",
+                    ):
+                        row[k] += b[k]
+                    row["topk"] = row["topk"] or b["topk"]
+                row["builds"] = len(builds)
+            rows.append((name, row))
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
             rows.append((name, {"error": str(exc).splitlines()[0][:120]}))
     return rows
@@ -83,14 +149,17 @@ def render_md(rows: list[tuple[str, dict]]) -> str:
         "surface (no Arrow path for UDTFs in Spark 4); its hot-path twin is",
         "`text_token_frequency` (pure column ops).",
         "",
-        "Rows marked `†` materialize eagerly inside the query fn",
+        "Rows marked `†(n)` materialize eagerly inside the query fn",
         "(persist → localCheckpoint(eager) → unpersist — the cache-hygiene",
-        "lifecycle); the returned DataFrame scans the checkpointed result, so",
-        "this audit sees a bare `Scan ExistingRDD` and near-zero counts.",
-        "Representative build plans for the family are pinned in",
-        "`tests/test_plans.py` (winnow pure-JVM, mixture no-shuffle, HLL",
-        "single partial agg) and the registry-wide sweep there asserts zero",
-        "cache-entry leakage after each query runs.",
+        "lifecycle). Their counts now INCLUDE every pre-checkpoint build",
+        "plan, captured per-query by hooking `localCheckpoint` during the",
+        "audit (n = captured build plans; iterative checkpointers contribute",
+        "one per round). Build counts can over-state shared work — a",
+        "persisted relation's child plan prints under each consumer's",
+        "InMemoryRelation — which is the conservative direction for an audit",
+        "hunting hidden cartesians / row-Python stages (family build plans",
+        "remain pinned in `tests/test_plans.py`, and the registry-wide sweep",
+        "there asserts zero cache-entry leakage after each query runs).",
         "",
         "| query | exch | bcast | sorts | topk | py | row-py | cart | scans | pushed |",
         "|---|---|---|---|---|---|---|---|---|---|",
@@ -100,7 +169,7 @@ def render_md(rows: list[tuple[str, dict]]) -> str:
             out.append(f"| {name} | ERROR: {r['error']} | | | | | | | | |")
             continue
         if r.get("eager"):
-            name = f"{name} †"
+            name = f"{name} †({r.get('builds', 0)})"
         out.append(
             f"| {name} | {r['exch']} | {r['bcast']} | {r['sorts']} | "
             f"{'✓' if r['topk'] else ''} | {r['py']} | {r['row_py']} | "
@@ -115,7 +184,10 @@ def render_md(rows: list[tuple[str, dict]]) -> str:
         f"{sum(r['row_py'] for r in ok)} row-at-a-time Python stages; "
         f"{sum(1 for r in ok if r['py'])} queries with Arrow stages; "
         f"median shuffles/query = "
-        f"{sorted(r['exch'] for r in ok)[len(ok) // 2] if ok else 'n/a'}.",
+        f"{sorted(r['exch'] for r in ok)[len(ok) // 2] if ok else 'n/a'}; "
+        f"{sum(r.get('builds', 0) for r in ok)} pre-checkpoint build plans "
+        f"captured across {sum(1 for r in ok if r.get('builds'))} eager "
+        f"queries (audited inline, not representative-family).",
         "",
     ]
     return "\n".join(out)

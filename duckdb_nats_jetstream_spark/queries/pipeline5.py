@@ -132,12 +132,13 @@ def scan_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel: users entering each stage in strict
     timestamp order, with stage-to-stage conversion rates.
 
-    Spark-first: ONE user-keyed aggregation collects each user's sorted
-    event array, and the stage timestamps fall out of ordered array filters
-    (first view; first click after it; first purchase after that). The
-    oracle runs the equivalent 3-aggregation cascade — identical semantics
-    (first matching event == min timestamp), one corpus scan instead of
-    three.
+    Runs the skew-safe cascade (default of
+    :func:`operators.funnel.funnel_user_stages`): k algebraic min-aggs
+    chained by per-user joins — every shuffle map-side-combinable, so a
+    hot user (90% of a 100×-events log, SCALING.md batch 4) cannot create
+    the 34× straggler task the single-shuffle collect_list fold showed.
+    The oracle runs the same 3-aggregation cascade; the fold stays
+    available as ``algorithm="fold"`` with a pinned bit-equality test.
     """
     per_user = FN.funnel_user_stages(
         read_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
@@ -179,9 +180,10 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS u_view,
 
 def scan_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The conversion-window funnel variant: each stage must land within
-    2 hours of the previous one (``max_gap`` — one more predicate in the
-    same single-shuffle fold; see ``operators/funnel.funnel_user_stages``).
-    The oracle adds the identical deadline to its cascade."""
+    2 hours of the previous one (``max_gap`` — one more predicate inside
+    each cascade stage's qualifying filter; see
+    ``operators/funnel.funnel_user_stages``). The oracle adds the identical
+    deadline to its cascade."""
     per_user = FN.funnel_user_stages(
         read_table(spark, sf_dir, "events"),
         ["view", "click", "purchase"],

@@ -363,10 +363,32 @@ def test_hll_build_is_one_partial_agg(spark, sf_dir):
     assert "HashAggregate" in plan and "partial_max" in plan, plan
 
 
-def test_funnel_is_single_user_shuffle(spark, sf_dir):
-    """The funnel fold must scan events ONCE: exactly one shuffle exchange
+def test_funnel_fold_is_single_user_shuffle(spark, sf_dir):
+    """The fold variant must scan events ONCE: exactly one shuffle exchange
     below the final single-row aggregation, no joins (the oracle's 3-CTE
     cascade would show three)."""
+    from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
+    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    plan = physical_plan(
+        funnel_user_stages(
+            read_table(spark, sf_dir, "events"),
+            ["view", "click", "purchase"],
+            algorithm="fold",
+        )
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_cascade_is_skew_safe(spark, sf_dir):
+    """The default (cascade) funnel must be built ENTIRELY from skew-safe
+    operators: every aggregation a partial min/first (map-side combine — a
+    hot user reduces to one row per map partition before the shuffle), no
+    collect_list anywhere, no cartesian, and the event⋈stage joins
+    shuffle-based (AQE skew splitting applies) — the plan shape that
+    flattened the measured 34× straggler (SCALING.md batch 4)."""
     from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
     from duckdb_nats_jetstream_spark.plans.explain import physical_plan
     from duckdb_nats_jetstream_spark.session import read_table
@@ -376,8 +398,28 @@ def test_funnel_is_single_user_shuffle(spark, sf_dir):
             read_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
         )
     )
-    assert "Join" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "collect_list" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_funnel_cascade_matches_fold(spark, sf_dir):
+    """Both funnel algorithms are bit-identical on the same log — with and
+    without the conversion window."""
+    from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    for gap in (None, "2 hours"):
+        a = funnel_user_stages(
+            ev, ["view", "click", "purchase"], max_gap=gap, algorithm="cascade"
+        )
+        b = funnel_user_stages(
+            ev, ["view", "click", "purchase"], max_gap=gap, algorithm="fold"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), f"cascade != fold (max_gap={gap})"
 
 
 def test_unigram_bits_scalar_total_is_broadcast(spark, sf_dir):
