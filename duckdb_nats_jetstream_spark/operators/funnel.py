@@ -53,17 +53,19 @@ def _funnel_cascade(
     t_k = min ts of stage k qualifying against t_{k-1} (join + algebraic
     min). Joins are null-safe on the user key so a NULL-user group behaves
     exactly like the fold's NULL groupBy key."""
-    out = ev.select(user_col).distinct()
-    prev = None
+    stage_rels: list[tuple[str, DataFrame]] = []
+    prev, prev_s = None, None
     for i, stage in enumerate(stages, start=1):
         name = f"t{i}"
         stage_ev = ev.filter(F.col(type_col) == stage).select(user_col, ts_col)
-        if prev is None:
+        if prev_s is None:
             s = stage_ev.groupBy(user_col).agg(F.min(ts_col).alias(name))
         else:
-            prev_rel = out.filter(F.col(prev).isNotNull()).select(
-                F.col(user_col).alias("__u"), prev
-            )
+            # chain from the PREVIOUS stage relation (one row per converted
+            # user — exactly the non-null set), not the accumulating output:
+            # keeps each stage's lineage one join deep instead of re-deriving
+            # the whole prior cascade per stage
+            prev_rel = prev_s.select(F.col(user_col).alias("__u"), prev)
             s = (
                 stage_ev.join(
                     prev_rel, F.col(user_col).eqNullSafe(F.col("__u")), "inner"
@@ -72,12 +74,15 @@ def _funnel_cascade(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias(name))
             )
+        stage_rels.append((name, s))
+        prev, prev_s = name, s
+    out = ev.select(user_col).distinct()
+    for name, s in stage_rels:
         out = out.join(
             s.select(F.col(user_col).alias("__u"), name),
             F.col(user_col).eqNullSafe(F.col("__u")),
             "left",
         ).drop("__u")
-        prev = name
     return out
 
 

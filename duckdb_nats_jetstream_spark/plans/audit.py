@@ -152,9 +152,11 @@ def render_md(rows: list[tuple[str, dict]]) -> str:
         "Rows marked `†(n)` materialize eagerly inside the query fn",
         "(persist → localCheckpoint(eager) → unpersist — the cache-hygiene",
         "lifecycle). Their counts now INCLUDE every pre-checkpoint build",
-        "plan, captured per-query by hooking `localCheckpoint` during the",
-        "audit (n = captured build plans; iterative checkpointers contribute",
-        "one per round). Build counts can over-state shared work — a",
+        "plan, captured per-query by hooking `localCheckpoint` AND `collect`",
+        "during the audit (n = captured build plans; iterative checkpointers",
+        "contribute one per round; bounded driver-side materializations —",
+        "quantile selection, BPE merges — surface via the collect hook).",
+        "Build counts can over-state shared work — a",
         "persisted relation's child plan prints under each consumer's",
         "InMemoryRelation — which is the conservative direction for an audit",
         "hunting hidden cartesians / row-Python stages (family build plans",

@@ -1,5 +1,5 @@
 """Skewed-key stress batch (r04 verdict ask #6): measure what a hot key
-does to the user-keyed shuffle family at 10× data.
+does to the user-keyed shuffle family at scale.
 
 Skew, not volume, is what kills user-keyed shuffles at 100 TB: AQE's skew
 splitting only rescues sort-merge JOINS — a skewed GROUP BY whose aggregate
