@@ -47,6 +47,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     2: "03338e3^",
     3: "8dde30a^",
     4: "b02af6b^",
+    5: "64d3d88^",
 }
 
 
@@ -144,6 +145,50 @@ def build_status() -> dict:
     return status
 
 
+def recommend_prefix(
+    status: dict,
+    budget: int = 50,
+    ack_deferred: frozenset[str] | set[str] = frozenset(),
+) -> list[str]:
+    """Derive the driver-prefix ORDER from the ledger (r05 verdict ask #3).
+
+    Policy (the rotation discipline the prefixes were hand-curated to,
+    now mechanical so a transcription slip can't burn driver slots):
+
+    1. **Re-queue first**: oracle-backed queries that were never green, or
+       whose working-tree fingerprint differs from the one at their last
+       green row (their code changed → the old green no longer vouches for
+       them). Ordered by ledger position. Names in ``ack_deferred`` are
+       demoted to bucket 2 (an explicit, cited deferral).
+    2. **Oldest-green-first rotation**: remaining oracle-backed queries by
+       (last_green_round, ledger position).
+
+    Rows-only queries never appear (a "no_oracle" row wastes the slot).
+    Uses WORKING-TREE fingerprints, so the recommendation — and the
+    freshness test comparing the registry against it — shifts the moment a
+    verified query's source is edited.
+    """
+    stale, rotate = [], []
+    for name, s in status.items():
+        if not s["oracle"]:
+            continue
+        never_green = s["last_green_round"] is None
+        edited = (
+            not never_green
+            and s["fingerprint_at_last_green"]
+            != _fn_fingerprint(
+                _source_at(None, s["module"]), s["function"]
+            )
+        )
+        if (never_green or edited) and name not in ack_deferred:
+            stale.append((s["position"], name))
+        else:
+            rotate.append((s["last_green_round"] or 0, s["position"], name))
+    ordered = [n for _, n in sorted(stale)]
+    ordered += [n for _, _, n in sorted(rotate)]
+    return ordered[:budget]
+
+
 def main() -> None:
     status = build_status()
     out = os.path.join(REPO, "REGISTRY_STATUS.json")
@@ -154,6 +199,9 @@ def main() -> None:
     print(f"{len(status)} queries; never-green: {len(never)}")
     for n in never:
         print("  never-green:", n, "(rows-only)" if not status[n]["oracle"] else "")
+    print("\nrecommended driver prefix (paste into queries/__init__.py):")
+    for n in recommend_prefix(status):
+        print(f'    "{n}",')
 
 
 if __name__ == "__main__":
