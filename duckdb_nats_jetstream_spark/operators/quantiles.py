@@ -40,10 +40,21 @@ def exact_group_quantiles(
     value_col: str,
     ps: list[float],
     n_partitions: int | None = None,
+    max_coordination_rows: int = 100_000,
 ) -> DataFrame:
     """One row per group: ``q_<i>`` = the ``ps[i]`` quantile of
     ``value_col`` (continuous/interpolated, NULLs excluded), plus ``n``.
-    Returns a small driver-built DataFrame (G × len(ps) values)."""
+    Returns a small driver-built DataFrame (G × len(ps) values).
+
+    The pass-1 rank coordination collects O(partitions × groups) count
+    rows to the driver — by design bounded for the documented per-source /
+    per-segment use (tens of groups). ``max_coordination_rows`` guards the
+    failure mode where a million-group key silently turns that into a
+    driver-memory bottleneck (r05 verdict ask #5): the guard is enforced
+    INSIDE the job via ``limit(max+1)`` (the driver never receives the
+    oversized set), and the error names the scalable alternative —
+    ``operators.histsketch.hist_quantiles``, whose state is O(groups ×
+    bins) and never driver-materialized."""
     spark = df.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
     s = (
@@ -55,12 +66,24 @@ def exact_group_quantiles(
     )
     try:
         # pass 1: slice sizes. spark_partition_id is stable here because the
-        # persisted partitioning is what both passes read.
+        # persisted partitioning is what both passes read. The limit bounds
+        # what reaches the driver: with > max rows we see exactly max+1 and
+        # raise, having shipped max+1 rows instead of the full set.
         sizes = (
             s.groupBy(F.spark_partition_id().alias("pid"), "g")
             .count()
+            .limit(max_coordination_rows + 1)
             .collect()
         )
+        if len(sizes) > max_coordination_rows:
+            raise ValueError(
+                f"exact_group_quantiles: pass-1 coordination exceeds "
+                f"{max_coordination_rows} (partition, group) rows — the "
+                f"group cardinality of {group_col!r} is too high for exact "
+                f"driver-side rank selection. Use operators.histsketch."
+                f"hist_quantiles (O(groups × bins) distributed state) or "
+                f"raise max_coordination_rows deliberately."
+            )
         per_group: dict = defaultdict(list)  # g -> [(pid, cnt)]
         for r in sizes:
             per_group[r.g].append((r.pid, r["count"]))

@@ -41,3 +41,25 @@ def salted_agg(
         .agg(*partial_aggs)
     )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def skew_join_ready(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize an aggregate-topped relation so a downstream skewed
+    sort-merge join stays rescuable by AQE.
+
+    ``OptimizeSkewedJoin`` pattern-matches ONLY
+    ``SMJ(Sort(ShuffleRead), Sort(ShuffleRead))``. If a join child still
+    carries its aggregate (``distinct()``, a groupBy result, a window)
+    above the shuffle, the rule silently no-ops — measured at 100× data
+    with a 90% hot key (SCALING.md Round-6, batch 5): the straggler
+    survives ``skewJoin=on`` at 11.3×, while the same join over a
+    materialized side flattens to 1.1× and runs 3× faster end-to-end.
+
+    Call this on the aggregate side BEFORE joining it against a
+    potentially skewed fact. Locally this is an eager ``localCheckpoint``;
+    on a cluster swap for ``checkpoint`` or a staging write (same
+    guidance as every other lineage-truncation site in the package).
+    Only needed when the other side is a skew-prone FACT — aggregate ⋈
+    aggregate joins have one row per key per side and cannot skew.
+    """
+    return df.localCheckpoint(eager=eager)

@@ -23,6 +23,8 @@ import contextlib
 import re
 import sys
 
+_CAPTURE_ACTIVE = False
+
 
 @contextlib.contextmanager
 def capture_checkpoint_plans():
@@ -35,11 +37,24 @@ def capture_checkpoint_plans():
     that only explains the *returned* DataFrame. Hooking the checkpoint call
     itself captures every build plan per query with zero query-code changes;
     iterative checkpointers (connected components) contribute one plan per
-    round, which is exactly the work they do. ``collect`` is hooked for the
-    same reason: queries whose bounded driver-side materialization feeds a
-    ``createDataFrame`` result (quantile selection, BPE merge table) also
-    return a ``Scan ExistingRDD``, with the real work inside the collects."""
+    round, which is exactly the work they do. Every other driver-side
+    materialization entry point (``collect``/``toPandas``/``take``/``head``/
+    ``tail``/``toLocalIterator``/``checkpoint``) is hooked for the same
+    reason (r05 ADVICE — previously only collect, so a future query
+    materializing via toPandas would silently escape the audit). Only the
+    OUTERMOST wrapped call per chain captures (``head`` → ``take`` →
+    ``collect`` internally): one plan per materialization, not three.
+    The class-level patch is process-global, so nesting the context
+    manager is refused rather than silently double-wrapped."""
     from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+
+    global _CAPTURE_ACTIVE
+    if _CAPTURE_ACTIVE:
+        raise RuntimeError(
+            "capture_checkpoint_plans is not re-entrant (class-level "
+            "monkeypatch); finish the active capture first"
+        )
+    _CAPTURE_ACTIVE = True
 
     # Spark 4: pyspark.sql.DataFrame is an ABC; queries execute on the
     # classic concrete class, whose own methods OVERRIDE any patch on the
@@ -50,14 +65,29 @@ def capture_checkpoint_plans():
         from pyspark.sql import DataFrame
 
     captured: list[str] = []
-    origs = {
-        m: getattr(DataFrame, m) for m in ("localCheckpoint", "collect")
-    }
+    methods = (
+        "localCheckpoint",
+        "collect",
+        "toPandas",
+        "take",
+        "head",
+        "tail",
+        "toLocalIterator",
+        "checkpoint",
+    )
+    origs = {m: getattr(DataFrame, m) for m in methods}
+    depth = 0
 
     def _wrap(method):
         def wrapper(self, *args, **kwargs):
-            captured.append(physical_plan(self))
-            return origs[method](self, *args, **kwargs)
+            nonlocal depth
+            if depth == 0:
+                captured.append(physical_plan(self))
+            depth += 1
+            try:
+                return origs[method](self, *args, **kwargs)
+            finally:
+                depth -= 1
 
         return wrapper
 
@@ -68,6 +98,7 @@ def capture_checkpoint_plans():
     finally:
         for m, fn in origs.items():
             setattr(DataFrame, m, fn)
+        _CAPTURE_ACTIVE = False
 
 
 def audit_row(plan: str) -> dict[str, int | bool]:

@@ -417,9 +417,58 @@ def test_funnel_cascade_matches_fold(spark, sf_dir):
         b = funnel_user_stages(
             ev, ["view", "click", "purchase"], max_gap=gap, algorithm="fold"
         )
-        assert sorted(map(tuple, a.collect())) == sorted(
-            map(tuple, b.collect())
+        # None-safe sort key (r05 ADVICE): if events ever gains NULL
+        # user_id rows, mixing None with ints in a plain sort raises
+        # TypeError instead of reporting a parity diff.
+        none_safe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        assert sorted(map(tuple, a.collect()), key=none_safe) == sorted(
+            map(tuple, b.collect()), key=none_safe
         ), f"cascade != fold (max_gap={gap})"
+
+
+def test_skew_join_ready_presents_bare_shuffle(spark, sf_dir):
+    """`skew_join_ready` must remove every aggregate from the join child's
+    plan (the structural precondition for AQE's OptimizeSkewedJoin —
+    measured in SCALING.md Round-6 batch 5: an aggregate left under the
+    child keeps a 90%-hot-key straggler at 11.3× despite skewJoin=on)."""
+    from duckdb_nats_jetstream_spark.operators.skew import skew_join_ready
+    from duckdb_nats_jetstream_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    users = ev.select("user_id").distinct()
+
+    raw = physical_plan(ev.join(users, "user_id"))
+    assert "HashAggregate" in raw  # the defeating shape, for contrast
+
+    ready = physical_plan(ev.join(skew_join_ready(users), "user_id"))
+    assert "SortMergeJoin" in ready or "BroadcastHashJoin" in ready
+    assert "HashAggregate" not in ready  # bare shuffle child: rule can match
+    assert "Scan ExistingRDD" in ready  # the materialization boundary
+
+
+def test_audit_capture_hooks_all_materializations(spark):
+    """The build-plan audit hook must see EVERY driver-side
+    materialization path (r05 ADVICE — previously only
+    localCheckpoint/collect), capture once per chain (``take`` calls
+    ``collect`` internally), and refuse nested use of the process-global
+    monkeypatch."""
+    import pytest as _pytest
+
+    from duckdb_nats_jetstream_spark.plans.audit import (
+        capture_checkpoint_plans,
+    )
+
+    df = spark.range(3)
+    with capture_checkpoint_plans() as plans:
+        df.toPandas()
+        df.take(2)
+        with _pytest.raises(RuntimeError, match="re-entrant"):
+            with capture_checkpoint_plans():
+                pass
+    assert len(plans) == 2, plans
+    # patch removed cleanly: a post-context materialization captures nothing
+    df.collect()
+    assert len(plans) == 2
 
 
 def test_unigram_bits_scalar_total_is_broadcast(spark, sf_dir):

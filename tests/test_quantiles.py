@@ -48,3 +48,22 @@ def test_nulls_excluded(spark):
     )
     got = exact_group_quantiles(df, "g", "v", [0.5]).collect()[0]
     assert (got.q_0, got.n) == (2.0, 2)
+
+
+def test_group_cardinality_guard(spark):
+    """r05 verdict ask #5: an unbounded group key must raise (naming the
+    histsketch alternative) instead of silently collecting O(partitions ×
+    groups) coordination rows to the driver — and a deliberate raise of
+    the threshold must still work."""
+    import pytest
+
+    df = spark.range(200).select(
+        F.col("id").cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(ValueError, match="hist_quantiles"):
+        exact_group_quantiles(df, "g", "v", [0.5], max_coordination_rows=50)
+    got = exact_group_quantiles(
+        df, "g", "v", [0.5], max_coordination_rows=10_000
+    )
+    assert got.count() == 200

@@ -54,7 +54,9 @@ def build_scaled_documents() -> None:
     # into a temp dir and rename atomically at the end.
     expected = [f for f in os.listdir(SRC_DIR) if f.endswith(".parquet")]
     if os.path.isdir(STRESS_DIR) and all(
-        os.path.lexists(os.path.join(STRESS_DIR, f)) for f in expected
+        # exists (not lexists): a symlink whose target moved must fail
+        # the completeness check and trigger a rebuild (r05 ADVICE).
+        os.path.exists(os.path.join(STRESS_DIR, f)) for f in expected
     ):
         return
     if os.path.isdir(STRESS_DIR):
