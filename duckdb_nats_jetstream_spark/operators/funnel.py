@@ -3,12 +3,16 @@ with identical semantics (stage k's timestamp = min event time of type k
 strictly after stage k-1, optionally within ``max_gap`` of it):
 
 - ``algorithm="cascade"`` (default, the 100 TB deployment path): k
-  algebraic min-aggregations chained by per-user joins. Every operator is
-  skew-safe — partial min combines MAP-SIDE before the shuffle (a hot key
-  reduces to one row per map partition), and the event⋈stage joins are
-  sort-merge joins AQE's skew splitting can break up. Costs k pushdown
-  scans of the (user, ts, type) projection and 2(k-1)+1 shuffles, all
-  linear.
+  algebraic min-aggregations chained by per-user joins, assembled by one
+  tagged-union pivot aggregation. Every operator is skew-safe — partial
+  min/max combines MAP-SIDE before each shuffle (a hot key reduces to one
+  row per map partition), and the chain joins either broadcast their
+  one-row-per-user side or, past broadcast scale, salt it explicitly via
+  ``n_salts`` (AQE's skew splitting can NOT rescue these joins — the
+  aggregate under the join child defeats ``OptimizeSkewedJoin``'s
+  pattern, measured in SCALING.md Round-6 batch 5). Costs k pushdown
+  scans of the (user, ts, type) projection; every shuffle is linear and
+  map-side-combinable.
 - ``algorithm="fold"``: the log is scanned ONCE — one user-keyed
   ``collect_list`` gathers each user's time-sorted event array and every
   stage timestamp is an ordered array lookup. Fewer shuffles, but
@@ -48,19 +52,48 @@ def _funnel_cascade(
     ts_col: str,
     type_col: str,
     max_gap: str | None,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Skew-safe cascade: t1 = min ts of stage 1 per user (algebraic);
     t_k = min ts of stage k qualifying against t_{k-1} (join + algebraic
     min). Joins are null-safe on the user key so a NULL-user group behaves
-    exactly like the fold's NULL groupBy key."""
-    stage_rels: list[tuple[str, DataFrame]] = []
+    exactly like the fold's NULL groupBy key.
+
+    Two scale decisions beyond the r05 cascade (both A/B-measured at
+    100× data, uniform and 90%-hot-key — SCALING.md Round-6):
+
+    - **Union + pivot assembly** (default). The final (user, t1..tk)
+      table is one tagged union of the k one-row-per-user stage
+      relations plus the raw user column (no ``distinct`` — the same
+      groupBy that pivots also dedups, saving a corpus shuffle), then a
+      single ``max(when)`` aggregation — one exchange instead of the
+      k+1 joins (and their exchanges) the r05 cascade paid. Measured
+      ~15% faster on uniform 100× with identical results.
+    - **Salted chain joins** (``n_salts``, opt-in). Each chained stage
+      joins stage-k events (a skew-prone fact) against the previous
+      stage's per-user aggregate. That aggregate sits directly under
+      the join child, so if that side is ever too large to broadcast,
+      AQE's ``OptimizeSkewedJoin`` pattern cannot match and will NOT
+      split a hot user's partition (measured, SCALING.md Round-6 batch
+      5: the straggler survives skewJoin=on at 11.3×). While the
+      per-user relation broadcasts — every measured scale here — the
+      trap is latent and salting is pure overhead (measured 2× on
+      uniform 100×), so the default is unsalted. Set ``n_salts`` (e.g.
+      8-32) when user cardinality × 16 bytes exceeds the broadcast
+      threshold AND keys are skewed: the fact side salts by
+      ``hash(ts) % n_salts``, the one-row-per-user side explodes
+      ×n_salts, splitting the hot key deterministically — no AQE
+      dependency, no checkpoint. The follow-up ``groupBy(user)`` min
+      stays algebraic (map-side partial)."""
+    ts_type = dict(ev.dtypes)[ts_col]
+    stage_rels: list[DataFrame] = []
     prev, prev_s = None, None
     for i, stage in enumerate(stages, start=1):
         name = f"t{i}"
         stage_ev = ev.filter(F.col(type_col) == stage).select(user_col, ts_col)
         if prev_s is None:
             s = stage_ev.groupBy(user_col).agg(F.min(ts_col).alias(name))
-        else:
+        elif n_salts is None:
             # chain from the PREVIOUS stage relation (one row per converted
             # user — exactly the non-null set), not the accumulating output:
             # keeps each stage's lineage one join deep instead of re-deriving
@@ -74,16 +107,61 @@ def _funnel_cascade(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias(name))
             )
-        stage_rels.append((name, s))
+        else:
+            salted = stage_ev.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(ts_col), F.lit(n_salts)).cast("int"),
+            )
+            prev_rel = prev_s.select(
+                F.col(user_col).alias("__u"), prev
+            ).withColumn(
+                "__s2",
+                F.explode(F.array(*[F.lit(j) for j in range(n_salts)])),
+            )
+            s = (
+                salted.join(
+                    prev_rel,
+                    F.col(user_col).eqNullSafe(F.col("__u"))
+                    & (F.col("__salt") == F.col("__s2")),
+                    "inner",
+                )
+                .filter(_stage_predicate(ts_col, prev, max_gap))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(name))
+            )
+        stage_rels.append(s)
         prev, prev_s = name, s
-    out = ev.select(user_col).distinct()
-    for name, s in stage_rels:
-        out = out.join(
-            s.select(F.col(user_col).alias("__u"), name),
-            F.col(user_col).eqNullSafe(F.col("__u")),
-            "left",
-        ).drop("__u")
-    return out
+
+    # tagged union: slot 0 carries every event's user (the groupBy dedups),
+    # slot i carries stage i's per-user timestamp
+    parts = [
+        ev.select(
+            F.col(user_col).alias("__fu"),
+            F.lit(None).cast(ts_type).alias("__fts"),
+            F.lit(0).alias("__fi"),
+        )
+    ]
+    for i, s in enumerate(stage_rels, start=1):
+        parts.append(
+            s.select(
+                F.col(user_col).alias("__fu"),
+                F.col(f"t{i}").alias("__fts"),
+                F.lit(i).alias("__fi"),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return (
+        un.groupBy("__fu")
+        .agg(
+            *[
+                F.max(F.when(F.col("__fi") == i, F.col("__fts"))).alias(f"t{i}")
+                for i in range(1, len(stages) + 1)
+            ]
+        )
+        .withColumnRenamed("__fu", user_col)
+    )
 
 
 def _funnel_fold(
@@ -134,6 +212,7 @@ def funnel_user_stages(
     type_col: str = "event_type",
     max_gap: str | None = None,
     algorithm: str = "cascade",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Per-user stage timestamps ``(user, t1..tk)``; ``t_k`` is NULL once
     the chain breaks (strict ``>`` between consecutive stages). With
@@ -146,14 +225,20 @@ def funnel_user_stages(
 
     ``algorithm``: ``"cascade"`` (default — skew-safe, see module
     docstring) or ``"fold"`` (single-shuffle array fold; hot-key fragile).
+    ``n_salts`` (cascade only): salt the chain joins for deployments
+    where the per-user relation exceeds the broadcast threshold AND user
+    keys are skewed — see ``_funnel_cascade`` for the measured rationale.
     """
     if algorithm not in ("cascade", "fold"):
         raise ValueError(f"unknown funnel algorithm: {algorithm!r}")
     ev = df.filter(F.col(type_col).isin(*stages)).select(
         user_col, ts_col, type_col
     )
-    impl = _funnel_cascade if algorithm == "cascade" else _funnel_fold
-    return impl(ev, stages, user_col, ts_col, type_col, max_gap)
+    if algorithm == "cascade":
+        return _funnel_cascade(
+            ev, stages, user_col, ts_col, type_col, max_gap, n_salts
+        )
+    return _funnel_fold(ev, stages, user_col, ts_col, type_col, max_gap)
 
 
 def funnel_summary(per_user: DataFrame, n_stages: int) -> DataFrame:

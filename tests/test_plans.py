@@ -410,9 +410,13 @@ def test_funnel_cascade_matches_fold(spark, sf_dir):
     from duckdb_nats_jetstream_spark.session import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    for gap in (None, "2 hours"):
+    for gap, salts in ((None, None), ("2 hours", None), (None, 4)):
         a = funnel_user_stages(
-            ev, ["view", "click", "purchase"], max_gap=gap, algorithm="cascade"
+            ev,
+            ["view", "click", "purchase"],
+            max_gap=gap,
+            algorithm="cascade",
+            n_salts=salts,
         )
         b = funnel_user_stages(
             ev, ["view", "click", "purchase"], max_gap=gap, algorithm="fold"
