@@ -93,6 +93,84 @@ def test_funnel_strict_order_semantics(spark):
     assert (out.n_stage1, out.n_stage2, out.n_stage3) == (3, 2, 1)
 
 
+def test_funnel_adversarial_log_all_algorithms_match_reference(spark):
+    """Adversarial log — NULL user, timestamp ties at a stage boundary
+    (strict ``>``), an exact max_gap-boundary hit (``<=``), a user whose
+    only events are late stages, duplicate events — checked against an
+    independent pure-Python reference, for cascade (unsalted AND salted)
+    and fold, with and without the conversion window."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: click ties the view timestamp — strict > must reject it,
+        # but a second, later click continues the chain
+        (1, t(1), "view"), (1, t(1), "click"), (1, t(2), "click"),
+        (1, t(3), "purchase"),
+        # NULL user: full funnel (groups like any other key)
+        (None, t(1), "view"), (None, t(2), "click"), (None, t(3), "purchase"),
+        # user 2: purchase lands EXACTLY max_gap after the click (<= passes)
+        (2, t(1), "view"), (2, t(2), "click"), (2, t(12), "purchase"),
+        # user 3: only late stages — never converts stage 1
+        (3, t(1), "click"), (3, t(2), "purchase"),
+        # user 4: duplicates of every event
+        (4, t(1), "view"), (4, t(1), "view"), (4, t(2), "click"),
+        (4, t(2), "click"),
+    ]
+    stages = ["view", "click", "purchase"]
+
+    def reference(max_gap_s):
+        out = {}
+        users = {u for u, _, _ in rows}
+        for u in users:
+            ev = sorted(
+                ((ts, e) for uu, ts, e in rows if uu == u),
+                key=lambda p: p[0],
+            )
+            prev = None
+            res = []
+            for k, stage in enumerate(stages):
+                hit = None
+                if k == 0 or prev is not None:  # chain unbroken so far
+                    for ts, e in ev:
+                        if e != stage:
+                            continue
+                        if k > 0 and not (
+                            ts > prev
+                            and (
+                                max_gap_s is None
+                                or ts <= prev + dt.timedelta(seconds=max_gap_s)
+                            )
+                        ):
+                            continue
+                        hit = ts
+                        break
+                res.append(hit)
+                prev = hit
+            out[u] = tuple(res)
+        return out
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
+
+    for gap_str, gap_s in ((None, None), ("10 seconds", 10)):
+        ref = reference(gap_s)
+        for algo, salts in (
+            ("cascade", None),
+            ("cascade", 3),
+            ("fold", None),
+        ):
+            got = {
+                r.user_id: (r.t1, r.t2, r.t3)
+                for r in funnel_user_stages(
+                    df, stages, max_gap=gap_str, algorithm=algo, n_salts=salts
+                ).collect()
+            }
+            assert got == ref, (algo, salts, gap_str)
+
+
 # --- unigram bits ------------------------------------------------------------
 
 
