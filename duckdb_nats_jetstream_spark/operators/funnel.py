@@ -231,6 +231,10 @@ def funnel_user_stages(
     """
     if algorithm not in ("cascade", "fold"):
         raise ValueError(f"unknown funnel algorithm: {algorithm!r}")
+    if n_salts is not None and n_salts < 1:
+        # a zero/negative salt count would explode an EMPTY salt array —
+        # every chained join silently empties and t2..tk come back NULL
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     ev = df.filter(F.col(type_col).isin(*stages)).select(
         user_col, ts_col, type_col
     )

@@ -39,9 +39,11 @@ def capture_checkpoint_plans():
     iterative checkpointers (connected components) contribute one plan per
     round, which is exactly the work they do. Every other driver-side
     materialization entry point (``collect``/``toPandas``/``take``/``head``/
-    ``tail``/``toLocalIterator``/``checkpoint``) is hooked for the same
+    ``tail``/``toLocalIterator``/``checkpoint``/``count``/``isEmpty``/
+    ``show``) is hooked for the same
     reason (r05 ADVICE — previously only collect, so a future query
-    materializing via toPandas would silently escape the audit). Only the
+    materializing via toPandas, or steering an iterative loop via
+    count/isEmpty as bpe/components do, would silently escape). Only the
     OUTERMOST wrapped call per chain captures (``head`` → ``take`` →
     ``collect`` internally): one plan per materialization, not three.
     The class-level patch is process-global, so nesting the context
@@ -54,7 +56,6 @@ def capture_checkpoint_plans():
             "capture_checkpoint_plans is not re-entrant (class-level "
             "monkeypatch); finish the active capture first"
         )
-    _CAPTURE_ACTIVE = True
 
     # Spark 4: pyspark.sql.DataFrame is an ABC; queries execute on the
     # classic concrete class, whose own methods OVERRIDE any patch on the
@@ -74,6 +75,12 @@ def capture_checkpoint_plans():
         "tail",
         "toLocalIterator",
         "checkpoint",
+        # loop-driving materializations used by the package's iterative
+        # operators (bpe round counts, components convergence) and the
+        # display path — a query steering on these must not escape audit
+        "count",
+        "isEmpty",
+        "show",
     )
     origs = {m: getattr(DataFrame, m) for m in methods}
     depth = 0
@@ -93,6 +100,9 @@ def capture_checkpoint_plans():
 
     for m in origs:
         setattr(DataFrame, m, _wrap(m))
+    # flag set only after ALL fallible setup succeeded — an exception
+    # above must not wedge the process-global guard permanently
+    _CAPTURE_ACTIVE = True
     try:
         yield captured
     finally:

@@ -1,0 +1,64 @@
+"""Shared Spark REST-API + session helpers for the stress harnesses.
+
+One copy of the UI polling and the local[N] session builder so a fix
+(e.g. selecting the right application if the UI port auto-increments on
+conflict) lands in every harness at once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+
+def ui(port: int, path: str):
+    with urllib.request.urlopen(f"http://localhost:{port}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def app_id(port: int) -> str:
+    return ui(port, "applications")[0]["id"]
+
+
+def completed_stages(port: int) -> list[dict]:
+    return ui(port, f"applications/{app_id(port)}/stages?status=complete")
+
+
+def stage_ids(port: int) -> set[tuple[int, int]]:
+    return {(s["stageId"], s["attemptId"]) for s in completed_stages(port)}
+
+
+def task_skew(port: int, stage_id: int, attempt: int) -> tuple[float, float]:
+    """(median_s, max_s) executor run time across the stage's tasks."""
+    s = ui(
+        port,
+        f"applications/{app_id(port)}/stages/{stage_id}/{attempt}/taskSummary"
+        "?quantiles=0.5,1.0",
+    )
+    med, mx = s["executorRunTime"]
+    return med / 1000.0, mx / 1000.0
+
+
+def spill_totals(port: int) -> tuple[int, int]:
+    mem = disk = 0
+    for st in completed_stages(port):
+        mem += st.get("memoryBytesSpilled", 0)
+        disk += st.get("diskBytesSpilled", 0)
+    return mem, disk
+
+
+def build_session(app_name: str, port: int, driver_memory: str = "24g"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName(app_name)
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(port))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", driver_memory)
+        .getOrCreate()
+    )

@@ -168,18 +168,38 @@ def recommend_prefix(
     freshness test comparing the registry against it — shifts the moment a
     verified query's source is edited.
     """
+    # one read + one ast.parse per MODULE (not per query): ~10 modules
+    # carry ~180 query functions, and this also runs on every pytest
+    # invocation via test_prefix_matches_recommendation
+    fp_cache: dict[str, dict[str, str]] = {}
+
+    def current_fp(module: str, fn: str) -> str | None:
+        if module not in fp_cache:
+            src = _source_at(None, module)
+            fps: dict[str, str] = {}
+            if src is not None:
+                try:
+                    tree = ast.parse(src)
+                except SyntaxError:
+                    tree = None
+                for node in tree.body if tree else ():
+                    if isinstance(node, ast.FunctionDef):
+                        seg = ast.get_source_segment(src, node)
+                        if seg is not None:
+                            fps[node.name] = hashlib.sha256(
+                                seg.encode()
+                            ).hexdigest()
+            fp_cache[module] = fps
+        return fp_cache[module].get(fn)
+
     stale, rotate = [], []
     for name, s in status.items():
         if not s["oracle"]:
             continue
         never_green = s["last_green_round"] is None
-        edited = (
-            not never_green
-            and s["fingerprint_at_last_green"]
-            != _fn_fingerprint(
-                _source_at(None, s["module"]), s["function"]
-            )
-        )
+        edited = not never_green and s[
+            "fingerprint_at_last_green"
+        ] != current_fp(s["module"], s["function"])
         if (never_green or edited) and name not in ack_deferred:
             stale.append((s["position"], name))
         else:

@@ -29,15 +29,15 @@ Data lives under ``.stress/files/`` (gitignored, atomic build). Run:
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+from tools import _sparkui  # noqa: E402 — needs REPO on sys.path
 
 SRC = "/root/testdata/sf0.1/events.parquet"
 BASE = os.path.join(REPO, ".stress", "files")
@@ -82,17 +82,19 @@ def _fragment(spark) -> None:
     open(os.path.join(BASE, "_SUCCESS_BUILD"), "w").close()
 
 
-def _ui(path: str):
-    with urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1/{path}") as r:
-        return json.load(r)
-
-
-def _stages():
-    app = _ui("applications")[0]["id"]
-    return app, {
-        (s["stageId"], s["attemptId"], s["numCompleteTasks"])
-        for s in _ui(f"applications/{app}/stages?status=complete")
-    }
+def _scan_stage_tasks(before_ids: set) -> int:
+    """Task count of the SCAN stage among the job's new stages — tagged by
+    max inputBytes (the reduce stage reads shuffle, not input), so the
+    figure can't silently pick up the shuffle stage's partition count."""
+    new = [
+        st
+        for st in _sparkui.completed_stages(UI_PORT)
+        if (st["stageId"], st["attemptId"]) not in before_ids
+    ]
+    if not new:
+        return 0
+    scan = max(new, key=lambda st: st.get("inputBytes", 0))
+    return scan["numCompleteTasks"] if scan.get("inputBytes", 0) > 0 else 0
 
 
 def measure(spark, path: str, label: str) -> dict:
@@ -108,12 +110,11 @@ def measure(spark, path: str, label: str) -> dict:
             .save()
         )
 
-    _, before = _stages()
+    before = _sparkui.stage_ids(UI_PORT)
     t0 = time.perf_counter()
     job()
     cold = time.perf_counter() - t0
-    _, after = _stages()
-    scan_tasks = max((t for _, _, t in after - before), default=0)
+    scan_tasks = _scan_stage_tasks(before)
     warm = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -134,19 +135,7 @@ def measure(spark, path: str, label: str) -> dict:
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .appName("stress-files")
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "24g")
-        .getOrCreate()
-    )
+    spark = _sparkui.build_session("stress-files", UI_PORT)
     spark.sparkContext.setLogLevel("ERROR")
 
     _build()

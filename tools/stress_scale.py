@@ -23,15 +23,15 @@ SCALING.md.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+from tools import _sparkui  # noqa: E402 — needs REPO on sys.path
 
 SRC_DIR = "/root/testdata/sf0.1"
 STRESS_DIR = os.path.join(REPO, ".stress", "sf1.0")
@@ -129,17 +129,11 @@ def build_scaled_documents() -> None:
     print(f"built {STRESS_DIR}: {REPLICAS}x replicas", file=sys.stderr)
 
 
-def _ui(path: str):
-    with urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1/{path}") as r:
-        return json.load(r)
-
-
-def _stages() -> dict[int, dict]:
-    app_id = _ui("applications")[0]["id"]
-    out = {}
-    for st in _ui(f"applications/{app_id}/stages?status=complete"):
-        out[(st["stageId"], st["attemptId"])] = st
-    return out
+def _stages() -> dict[tuple[int, int], dict]:
+    return {
+        (st["stageId"], st["attemptId"]): st
+        for st in _sparkui.completed_stages(UI_PORT)
+    }
 
 
 def run_one(spark, name: str, sf_dir: str) -> dict:
@@ -168,19 +162,7 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
 def main() -> None:
     build_scaled_documents()
 
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .appName("stress-scale")
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "24g")
-        .getOrCreate()
-    )
+    spark = _sparkui.build_session("stress-scale", UI_PORT)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm codegen/python workers so the 1x runs aren't charged for startup

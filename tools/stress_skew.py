@@ -28,15 +28,15 @@ SCALING.md.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+from tools import _sparkui  # noqa: E402 — needs REPO on sys.path
 
 SRC_DIR = "/root/testdata/sf0.1"
 UNIFORM_DIR = os.path.join(REPO, ".stress", "uniform100")
@@ -113,30 +113,12 @@ def _build_events(out_dir: str, skewed: bool) -> None:
           file=sys.stderr)
 
 
-def _ui(path: str):
-    with urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1/{path}") as r:
-        return json.load(r)
-
-
-def _app_id() -> str:
-    return _ui("applications")[0]["id"]
-
-
 def _stage_ids() -> set[tuple[int, int]]:
-    return {
-        (st["stageId"], st["attemptId"])
-        for st in _ui(f"applications/{_app_id()}/stages?status=complete")
-    }
+    return _sparkui.stage_ids(UI_PORT)
 
 
 def _task_skew(stage_id: int, attempt: int) -> tuple[float, float]:
-    """(median_s, max_s) executor run time across the stage's tasks."""
-    s = _ui(
-        f"applications/{_app_id()}/stages/{stage_id}/{attempt}/taskSummary"
-        "?quantiles=0.5,1.0"
-    )
-    med, mx = s["executorRunTime"]
-    return med / 1000.0, mx / 1000.0
+    return _sparkui.task_skew(UI_PORT, stage_id, attempt)
 
 
 def run_one(spark, name: str, sf_dir: str) -> dict:
@@ -253,19 +235,7 @@ def main() -> None:
     _build_events(UNIFORM_DIR, skewed=False)
     _build_events(SKEW_DIR, skewed=True)
 
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .appName("stress-skew")
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "24g")
-        .getOrCreate()
-    )
+    spark = _sparkui.build_session("stress-skew", UI_PORT)
     spark.sparkContext.setLogLevel("ERROR")
 
     from duckdb_nats_jetstream_spark.session import read_table

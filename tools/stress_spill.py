@@ -30,42 +30,25 @@ import os
 import subprocess
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+from tools import _sparkui  # noqa: E402 — needs REPO on sys.path
 
 DATA = os.path.join(REPO, ".stress", "uniform100", "events.parquet")
 UI_PORT = 4082
 
 
-def _ui(path: str):
-    with urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1/{path}") as r:
-        return json.load(r)
-
-
 def _spill_totals() -> tuple[int, int]:
-    app = _ui("applications")[0]["id"]
-    mem = disk = 0
-    for st in _ui(f"applications/{app}/stages?status=complete"):
-        mem += st.get("memoryBytesSpilled", 0)
-        disk += st.get("diskBytesSpilled", 0)
-    return mem, disk
+    return _sparkui.spill_totals(UI_PORT)
 
 
 def worker(mem: str) -> None:
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .appName(f"stress-spill-{mem}")
-        .config("spark.driver.memory", mem)
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
+    spark = _sparkui.build_session(
+        f"stress-spill-{mem}", UI_PORT, driver_memory=mem
     )
     spark.sparkContext.setLogLevel("ERROR")
     ev = spark.read.parquet(DATA)
