@@ -52,6 +52,11 @@ def ngram_contamination(
 
     gram = lambda c: F.array_distinct(shingles(tokens(c), n))  # noqa: E731
 
+    # bench_grams is broadcast unconditionally: it scales with the
+    # BENCHMARK corpus (eval suites, ~10^6 grams), not the training
+    # corpus being scanned — the structurally-bounded side of the
+    # hint-vs-cardinality rule (SCALING.md batch 8). A benchmark too big
+    # to broadcast should use bloom_decontaminate instead.
     bench_grams = (
         benchmark.select(F.explode(gram(F.col(text_col))).alias("gram"))
         .distinct()

@@ -128,12 +128,19 @@ def stratified_hash_topn(
     salt: str = "strat",
     margin: float = 4.0,
     rank_col: str = "smp_rank",
+    max_broadcast_groups: int = 5_000_000,
 ) -> DataFrame:
     """Exact deterministic n-per-group sample; see module docstring.
 
     ``margin`` sizes the coarse prefilter (expected survivors per group =
     ``margin × n``); ``margin=None`` disables it (plain window — fine when
-    every group is small)."""
+    every group is small). ``max_broadcast_groups`` guards the three
+    broadcast hints on the group-sized relations (``counts`` and its
+    ``shortfall`` subset): their row count IS the stratum cardinality,
+    which scales with the data — past the cap the hints are dropped and
+    the joins fall back to the planner's shuffle strategy instead of
+    OOMing the driver (SCALING.md batch 8). The sizing probe is free
+    here: ``counts`` is persisted and consumed eagerly anyway."""
     h = sample_hash(F.col(id_col), salt)
     w = W.partitionBy(group_col).orderBy("__h", id_col)
     hashed = df.withColumn("__h", h)
@@ -163,8 +170,19 @@ def stratified_hash_topn(
     # rebinding the name makes the final unpersist target the derived DF
     # and leaks the original cache entry (the sweep test catches this).
     counts = counts.withColumn("__thr", thr_hex).persist()
+    # realized stratum cardinality — the persist is materialized by the
+    # first consumer regardless, so counting it here only moves that job
+    # earlier; the count decides whether the group-sized sides stay
+    # broadcast-hinted (see max_broadcast_groups in the docstring)
+    hint = counts.count() <= max_broadcast_groups
 
-    survivors = hashed.join(F.broadcast(counts), group_col).filter(
+    def maybe_b(d: DataFrame) -> DataFrame:
+        # over the cap: pin merge — merely dropping the hint lets the
+        # static size estimate re-broadcast the side the count just
+        # proved huge (see operators/broadcast_guard docstring)
+        return F.broadcast(d) if hint else d.hint("merge")
+
+    survivors = hashed.join(maybe_b(counts), group_col).filter(
         F.substring("__h", 1, _PFX) <= F.col("__thr")
     )
     # cached: ≈ margin·n rows per group, consumed by the shortfall check
@@ -186,8 +204,8 @@ def stratified_hash_topn(
         )
         .select(group_col)
     )
-    ok = kept.join(F.broadcast(shortfall), group_col, "left_anti")
-    redo = ranked(hashed.join(F.broadcast(shortfall), group_col, "left_semi"))
+    ok = kept.join(maybe_b(shortfall), group_col, "left_anti")
+    redo = ranked(hashed.join(maybe_b(shortfall), group_col, "left_semi"))
     out_cols = df.columns + [rank_col]
     out = ok.select(out_cols).unionByName(redo.select(out_cols))
     out = out.localCheckpoint(eager=True)

@@ -108,6 +108,12 @@ def sql_srp_bucket(vec: str, n_bits: int = 8, dim: int = 64) -> str:
 
 
 def _scored_pairs(queries: DataFrame, corpus: DataFrame, id_col: str, extra_cond=None, dim: int = 64):
+    # `queries` is broadcast UNCONDITIONALLY: the search contract is
+    # "few queries against a large corpus" — the caller bounds the query
+    # set (a filter / explicit probe list), it does not scale with corpus
+    # size. A corpus-scaled probe set should go through the bucketed
+    # paths (srp_topk / ivf_topk), not a broadcast of every probe
+    # (hint-vs-cardinality rule measured in SCALING.md batch 8).
     cond = F.col(f"q.{id_col}") != F.col(f"c.{id_col}")
     if extra_cond is not None:
         cond = cond & extra_cond
