@@ -10,19 +10,36 @@ archaeology (r03 verdict ask #3):
   query has a fully green row (rows/schema/hash all True).
 - ``checked_rounds``: every round that produced any row (green, red, err,
   or no_oracle) for the query.
-- ``fingerprint_at_last_green``: sha256 of the query function's source
-  segment **at that round's code commit** (the parent of the driver's
+- ``fingerprint_at_last_green``: sha256 over the query function's source
+  segment **plus the sources of the package modules it depends on**, all
+  **at that round's code commit** (the parent of the driver's
   ``round N: verdict/...`` commit), extracted by AST so the hash is
   byte-stable regardless of import machinery. ``None`` when the function
   didn't exist at that ref under its current module/name.
 
 ``tests/test_registry_freshness.py`` compares these fingerprints against
-the working tree: a query that was never green, or whose source changed
-since its last green row, must sit inside the driver prefix (or carry an
-explicit acknowledged-deferral reason). Heuristic scope: the fingerprint
-covers the query function's own source, not helpers it calls nor its
-oracle SQL literal — coarse enough to be stable, fine enough that editing
-a query re-queues it for verification.
+the working tree: a query that was never green, or whose fingerprint
+changed since its last green row, must sit inside the driver prefix (or
+carry an explicit acknowledged-deferral reason).
+
+Dependency scope (round 6 — closing the gap the r05 funnel episode
+exposed, where ``operators/funnel.py`` changed under two driver-green
+queries without tripping the fn-source-only fingerprint): the
+fingerprint covers (a) the query function's own source segment, and
+(b) a SEMANTIC hash (docstring-stripped AST dump) of every
+``duckdb_nats_jetstream_spark.*`` module reachable from the names the
+function actually uses — resolved per-FUNCTION (not per-module, which
+would re-queue all ~40 queries of a pipeline module on any operator
+edit), then closed transitively over those modules' package imports.
+Dependencies hash semantically so a comment/docstring edit to a
+widely-imported module doesn't re-queue half the registry; the query
+fn's own segment stays raw-source-hashed (editing the query re-queues
+it, as before). Same-module helper functions the query calls contribute
+their DEPENDENCIES but not their own source (helpers live in query
+modules and churn with registration housekeeping; the operators they
+route to are the behavior surface worth re-verifying).
+Oracle SQL literals remain out of scope — an oracle edit shows up as a
+driver hash mismatch directly.
 
 Run at round start, right after the driver lands ``CORRECTNESS_r{N}.json``
 and before making code changes:  ``python tools/registry_status.py``.
@@ -89,6 +106,185 @@ def _fn_fingerprint(module_src: str | None, fn_name: str) -> str | None:
     return None
 
 
+_PKG = "duckdb_nats_jetstream_spark"
+
+
+def _semantic_hash(src: str | None) -> bytes:
+    """sha256 of the module's docstring-stripped AST dump — used for
+    DEPENDENCY modules so comment/docstring-only edits (which can touch a
+    widely-imported module and would otherwise re-queue half the registry)
+    don't count as behavior changes. Falls back to the raw source hash when
+    the snapshot doesn't parse."""
+    if src is None:
+        return hashlib.sha256(b"").digest()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return hashlib.sha256(src.encode()).digest()
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                del body[0]
+    return hashlib.sha256(
+        ast.dump(tree, include_attributes=False).encode()
+    ).digest()
+
+
+class _SourceTree:
+    """AST/dependency resolution over one source snapshot (a git ref or the
+    working tree), with per-snapshot caches — fingerprinting runs for every
+    query on every pytest invocation, so each module is read and parsed at
+    most once per snapshot."""
+
+    def __init__(self, ref: str | None):
+        self.ref = ref
+        self._src: dict[str, str | None] = {}
+        self._tree: dict[str, ast.AST | None] = {}
+        self._mod_imports: dict[str, frozenset[str]] = {}
+        self._sem_cache: dict[str, bytes] = {}
+
+    def src(self, relpath: str) -> str | None:
+        if relpath not in self._src:
+            self._src[relpath] = _source_at(self.ref, relpath)
+        return self._src[relpath]
+
+    def tree(self, relpath: str):
+        if relpath not in self._tree:
+            s = self.src(relpath)
+            try:
+                self._tree[relpath] = ast.parse(s) if s is not None else None
+            except SyntaxError:
+                self._tree[relpath] = None
+        return self._tree[relpath]
+
+    def _exists(self, relpath: str) -> bool:
+        return self.src(relpath) is not None
+
+    def _resolve(self, dotted: str) -> str | None:
+        """Dotted module name → existing relpath (leaf .py or package
+        __init__), or None."""
+        base = dotted.replace(".", "/")
+        if self._exists(base + ".py"):
+            return base + ".py"
+        if self._exists(base + "/__init__.py"):
+            return base + "/__init__.py"
+        return None
+
+    def _import_targets(self, relpath: str, node) -> dict[str, str]:
+        """alias/name bound by an import statement → package module relpath."""
+        out: dict[str, str] = {}
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if not a.name.startswith(_PKG):
+                    continue
+                p = self._resolve(a.name)
+                if p:
+                    # `import pkg.a.b` binds `pkg` (attribute access routes
+                    # through it); `import pkg.a.b as x` binds x to the leaf
+                    out[a.asname or a.name.split(".")[0]] = p
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                parts = os.path.dirname(relpath).split("/")
+                parts = parts[: len(parts) - (node.level - 1)]
+                base = "/".join(parts).replace("/", ".")
+                dotted = f"{base}.{node.module}" if node.module else base
+            else:
+                dotted = node.module or ""
+            if not dotted.startswith(_PKG):
+                return out
+            for a in node.names:
+                sub = self._resolve(f"{dotted}.{a.name}")
+                p = sub or self._resolve(dotted)
+                if p:
+                    out[a.asname or a.name] = p
+        return out
+
+    def module_imports(self, relpath: str) -> frozenset[str]:
+        """ALL package modules imported anywhere in the module (for the
+        transitive closure step)."""
+        if relpath not in self._mod_imports:
+            tree = self.tree(relpath)
+            found: set[str] = set()
+            for node in ast.walk(tree) if tree is not None else ():
+                if isinstance(node, (ast.Import, ast.ImportFrom)):
+                    found.update(
+                        self._import_targets(relpath, node).values()
+                    )
+            self._mod_imports[relpath] = frozenset(found - {relpath})
+        return self._mod_imports[relpath]
+
+    def fn_fingerprint(self, relpath: str, fn_name: str) -> str | None:
+        """Dependency-aware fingerprint: fn source segment + full sources of
+        every package module reachable from the names the function (or the
+        same-module top-level helpers it calls) uses."""
+        src = self.src(relpath)
+        tree = self.tree(relpath)
+        if src is None or tree is None:
+            return None
+        fns = {
+            n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
+        }
+        if fn_name not in fns:
+            return None
+        seg = ast.get_source_segment(src, fns[fn_name])
+        if seg is None:
+            return None
+
+        # name → module relpath for every import binding in the module body
+        # (top-level AND inside defs — several queries import locally)
+        alias: dict[str, str] = {}
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                alias.update(self._import_targets(relpath, node))
+
+        # names used by the fn, chasing same-module helpers' deps (not
+        # their source — see module docstring), cycle-safe
+        roots: set[str] = set()
+        seen_helpers: set[str] = set()
+        stack = [fn_name]
+        while stack:
+            current = stack.pop()
+            if current in seen_helpers:
+                continue
+            seen_helpers.add(current)
+            for node in ast.walk(fns[current]):
+                if isinstance(node, ast.Name):
+                    if node.id in alias:
+                        roots.add(alias[node.id])
+                    elif node.id in fns and node.id not in seen_helpers:
+                        stack.append(node.id)
+
+        # transitive closure over package imports of the used modules
+        closure: set[str] = set()
+        mods = list(roots)
+        while mods:
+            m = mods.pop()
+            if m in closure:
+                continue
+            closure.add(m)
+            mods.extend(self.module_imports(m) - closure)
+        closure.discard(relpath)
+
+        h = hashlib.sha256(seg.encode())
+        for dep in sorted(closure):
+            h.update(b"\0" + dep.encode() + b"\0")
+            h.update(self._sem(dep))
+        return h.hexdigest()
+
+    def _sem(self, relpath: str) -> bytes:
+        if relpath not in self._sem_cache:
+            self._sem_cache[relpath] = _semantic_hash(self.src(relpath))
+        return self._sem_cache[relpath]
+
+
 def _green(row: dict) -> bool:
     return bool(
         row.get("rows_match")
@@ -111,13 +307,9 @@ def build_status() -> dict:
             with open(path, encoding="utf-8") as fh:
                 rounds[n] = json.load(fh)
 
-    module_src_cache: dict[tuple[str | None, str], str | None] = {}
-
-    def src(ref: str | None, relpath: str) -> str | None:
-        key = (ref, relpath)
-        if key not in module_src_cache:
-            module_src_cache[key] = _source_at(ref, relpath)
-        return module_src_cache[key]
+    ref_trees = {
+        n: _SourceTree(ref) for n, ref in ROUND_CODE_REFS.items()
+    }
 
     status: dict[str, dict] = {}
     for pos, name in enumerate(names):
@@ -127,9 +319,7 @@ def build_status() -> dict:
         green = [n for n in checked if _green(rounds[n][name])]
         last_green = max(green) if green else None
         fp_then = (
-            _fn_fingerprint(
-                src(ROUND_CODE_REFS[last_green], relpath), fn.__qualname__
-            )
+            ref_trees[last_green].fn_fingerprint(relpath, fn.__qualname__)
             if last_green is not None
             else None
         )
@@ -168,29 +358,10 @@ def recommend_prefix(
     freshness test comparing the registry against it — shifts the moment a
     verified query's source is edited.
     """
-    # one read + one ast.parse per MODULE (not per query): ~10 modules
-    # carry ~180 query functions, and this also runs on every pytest
-    # invocation via test_prefix_matches_recommendation
-    fp_cache: dict[str, dict[str, str]] = {}
-
-    def current_fp(module: str, fn: str) -> str | None:
-        if module not in fp_cache:
-            src = _source_at(None, module)
-            fps: dict[str, str] = {}
-            if src is not None:
-                try:
-                    tree = ast.parse(src)
-                except SyntaxError:
-                    tree = None
-                for node in tree.body if tree else ():
-                    if isinstance(node, ast.FunctionDef):
-                        seg = ast.get_source_segment(src, node)
-                        if seg is not None:
-                            fps[node.name] = hashlib.sha256(
-                                seg.encode()
-                            ).hexdigest()
-            fp_cache[module] = fps
-        return fp_cache[module].get(fn)
+    # one _SourceTree for the working tree: module reads/parses and import
+    # closures are cached across the ~180 query functions (this also runs
+    # on every pytest invocation via test_prefix_matches_recommendation)
+    wt = _SourceTree(None)
 
     stale, rotate = [], []
     for name, s in status.items():
@@ -199,7 +370,7 @@ def recommend_prefix(
         never_green = s["last_green_round"] is None
         edited = not never_green and s[
             "fingerprint_at_last_green"
-        ] != current_fp(s["module"], s["function"])
+        ] != wt.fn_fingerprint(s["module"], s["function"])
         if (never_green or edited) and name not in ack_deferred:
             stale.append((s["position"], name))
         else:
