@@ -50,8 +50,16 @@ from pyspark.sql import DataFrame
 DEFAULT_MAX_BROADCAST_ROWS = 5_000_000
 
 
+def _local_checkpoint(df: DataFrame) -> DataFrame:
+    """Default materializer: ``localCheckpoint(eager=False)`` — the
+    caller's first action computes+stores+counts in ONE job."""
+    return df.localCheckpoint(eager=False)
+
+
 def sized_broadcast(
-    df: DataFrame, max_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS
+    df: DataFrame,
+    max_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
+    materializer=None,
 ) -> DataFrame:
     """Materialize ``df`` and return it wrapped in ``F.broadcast`` iff its
     realized row count is ``<= max_rows``; otherwise return the
@@ -63,6 +71,19 @@ def sized_broadcast(
     materialization, no count job, unconditional hint (identical to a bare
     ``F.broadcast``). Note the guarded path is EAGER — it runs the
     relation's plan once at call time.
+
+    **Cluster caveat (same as ``skew_join_ready``):** the default
+    materializer is ``localCheckpoint``, which stores blocks in EXECUTOR
+    storage, not reliable storage, and truncates lineage — if an executor
+    is lost (preemption, dynamic allocation down-scale) the blocks cannot
+    be recomputed and downstream jobs fail; blocks also persist until the
+    DataFrame is garbage-collected, with no explicit release API. On a
+    long-lived cluster deployment pass ``materializer=`` a reliable
+    alternative — e.g. ``lambda d: (d.write.parquet(p), spark.read
+    .parquet(p))[1]`` against a checkpoint dir, or ``df.checkpoint()``
+    with ``sparkContext.setCheckpointDir`` on HDFS/object storage. The
+    materializer must return a DataFrame whose ``count()`` realizes the
+    data exactly once.
     """
     from pyspark.sql import functions as F
 
@@ -70,9 +91,7 @@ def sized_broadcast(
         return F.broadcast(df)
     if max_rows < 0:
         raise ValueError(f"max_rows must be >= 0 or None, got {max_rows}")
-    # eager=False: the count() below is the materializing action, so the
-    # probe costs ONE job (compute + store + count fused), not two
-    small = df.localCheckpoint(eager=False)
+    small = (materializer or _local_checkpoint)(df)
     if small.count() <= max_rows:
         return F.broadcast(small)
     return small.hint("merge")

@@ -108,9 +108,17 @@ def _funnel_cascade(
                 .agg(F.min(ts_col).alias(name))
             )
         else:
+            # salt by ts XOR a row-local id, not ts alone: a hot user whose
+            # events share one timestamp (second-granularity logs, duplicate
+            # events) would otherwise land in a single salt bucket and the
+            # skew survives. Any salt value joins exactly one exploded copy,
+            # so the (partition-layout-dependent) id is correctness-neutral.
             salted = stage_ev.withColumn(
                 "__salt",
-                F.pmod(F.xxhash64(ts_col), F.lit(n_salts)).cast("int"),
+                F.pmod(
+                    F.xxhash64(ts_col, F.monotonically_increasing_id()),
+                    F.lit(n_salts),
+                ).cast("int"),
             )
             prev_rel = prev_s.select(
                 F.col(user_col).alias("__u"), prev

@@ -22,6 +22,7 @@ from __future__ import annotations
 import contextlib
 import re
 import sys
+import threading
 
 _CAPTURE_ACTIVE = False
 
@@ -83,23 +84,34 @@ def capture_checkpoint_plans():
         "show",
     )
     origs = {m: getattr(DataFrame, m) for m in methods}
-    depth = 0
+    # per-thread depth: a materialization on one thread must not suppress
+    # capture of a concurrent materialization on another as "nested"
+    # (r06 ADVICE) — only same-thread nesting (head → take → collect) is
+    local = threading.local()
 
     def _wrap(method):
         def wrapper(self, *args, **kwargs):
-            nonlocal depth
+            depth = getattr(local, "depth", 0)
             if depth == 0:
                 captured.append(physical_plan(self))
-            depth += 1
+            local.depth = depth + 1
             try:
                 return origs[method](self, *args, **kwargs)
             finally:
-                depth -= 1
+                local.depth = depth
 
         return wrapper
 
-    for m in origs:
-        setattr(DataFrame, m, _wrap(m))
+    patched: list[str] = []
+    try:
+        for m in origs:
+            setattr(DataFrame, m, _wrap(m))
+            patched.append(m)
+    except BaseException:
+        # a mid-loop failure must not leave a half-wrapped class behind
+        for m in patched:
+            setattr(DataFrame, m, origs[m])
+        raise
     # flag set only after ALL fallible setup succeeded — an exception
     # above must not wedge the process-global guard permanently
     _CAPTURE_ACTIVE = True

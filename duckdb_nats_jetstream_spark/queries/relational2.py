@@ -33,6 +33,7 @@ from duckdb_nats_jetstream_spark.functions.exact import (
     dsum,
     net_price,
 )
+from duckdb_nats_jetstream_spark.operators.broadcast_guard import sized_broadcast
 from duckdb_nats_jetstream_spark.session import read_table
 
 
@@ -351,7 +352,14 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN (semi join), with the threshold itself a nested scalar aggregate."""
     part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = read_table(spark, sf_dir, "lineitem")
-    per_supp = (
+    # per_supp feeds BOTH the threshold scalar and the qualifying filter.
+    # Left lazy, Catalyst plans the lineitem⋈part aggregate twice (the
+    # threshold branch and the qualifying branch each re-scan lineitem —
+    # a double scan of the largest fact table at 100 TB). Its row count is
+    # supplier cardinality — group-cardinality shaped — so route it
+    # through the runtime-sized guard: one materialization, broadcast
+    # hint iff the realized count is safe, spill-safe merge otherwise.
+    per_supp = sized_broadcast(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity", "qty"))

@@ -65,6 +65,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     3: "8dde30a^",
     4: "b02af6b^",
     5: "64d3d88^",
+    6: "28545f1^",
 }
 
 
@@ -178,18 +179,33 @@ class _SourceTree:
             return base + "/__init__.py"
         return None
 
-    def _import_targets(self, relpath: str, node) -> dict[str, str]:
-        """alias/name bound by an import statement → package module relpath."""
-        out: dict[str, str] = {}
+    def _import_targets(self, relpath: str, node) -> dict[str, set[str]]:
+        """alias/name bound by an import statement → package module
+        relpaths. A binding maps to a SET: plain ``import pkg.a.b`` binds
+        the root name ``pkg``, through which attribute access can reach ANY
+        module imported via that root (``pkg.a.b.fn`` but also ``pkg.c.d``
+        from another import statement), so the root name records every
+        module on the dotted path — callers merge sets across statements."""
+        out: dict[str, set[str]] = {}
         if isinstance(node, ast.Import):
             for a in node.names:
                 if not a.name.startswith(_PKG):
                     continue
-                p = self._resolve(a.name)
-                if p:
-                    # `import pkg.a.b` binds `pkg` (attribute access routes
-                    # through it); `import pkg.a.b as x` binds x to the leaf
-                    out[a.asname or a.name.split(".")[0]] = p
+                if a.asname:
+                    # `import pkg.a.b as x` binds x to the leaf only
+                    p = self._resolve(a.name)
+                    if p:
+                        out.setdefault(a.asname, set()).add(p)
+                    continue
+                # `import pkg.a.b` binds `pkg`; record pkg/__init__,
+                # pkg/a/__init__ AND pkg/a/b so attribute chains through
+                # the root resolve to every module this statement loads
+                parts = a.name.split(".")
+                targets = out.setdefault(parts[0], set())
+                for i in range(1, len(parts) + 1):
+                    p = self._resolve(".".join(parts[:i]))
+                    if p:
+                        targets.add(p)
         elif isinstance(node, ast.ImportFrom):
             if node.level:
                 parts = os.path.dirname(relpath).split("/")
@@ -204,7 +220,7 @@ class _SourceTree:
                 sub = self._resolve(f"{dotted}.{a.name}")
                 p = sub or self._resolve(dotted)
                 if p:
-                    out[a.asname or a.name] = p
+                    out.setdefault(a.asname or a.name, set()).add(p)
         return out
 
     def module_imports(self, relpath: str) -> frozenset[str]:
@@ -215,9 +231,10 @@ class _SourceTree:
             found: set[str] = set()
             for node in ast.walk(tree) if tree is not None else ():
                 if isinstance(node, (ast.Import, ast.ImportFrom)):
-                    found.update(
-                        self._import_targets(relpath, node).values()
-                    )
+                    for targets in self._import_targets(
+                        relpath, node
+                    ).values():
+                        found.update(targets)
             self._mod_imports[relpath] = frozenset(found - {relpath})
         return self._mod_imports[relpath]
 
@@ -238,12 +255,17 @@ class _SourceTree:
         if seg is None:
             return None
 
-        # name → module relpath for every import binding in the module body
-        # (top-level AND inside defs — several queries import locally)
-        alias: dict[str, str] = {}
+        # name → module relpaths for every import binding in the module body
+        # (top-level AND inside defs — several queries import locally);
+        # sets MERGE across statements so two `import pkg.x` / `import
+        # pkg.y` statements both attach to the root binding `pkg`
+        alias: dict[str, set[str]] = {}
         for node in ast.walk(tree):
             if isinstance(node, (ast.Import, ast.ImportFrom)):
-                alias.update(self._import_targets(relpath, node))
+                for name, targets in self._import_targets(
+                    relpath, node
+                ).items():
+                    alias.setdefault(name, set()).update(targets)
 
         # names used by the fn, chasing same-module helpers' deps (not
         # their source — see module docstring), cycle-safe
@@ -258,7 +280,7 @@ class _SourceTree:
             for node in ast.walk(fns[current]):
                 if isinstance(node, ast.Name):
                     if node.id in alias:
-                        roots.add(alias[node.id])
+                        roots.update(alias[node.id])
                     elif node.id in fns and node.id not in seen_helpers:
                         stack.append(node.id)
 
