@@ -19,10 +19,11 @@ Transports:
 
 - ``ParquetReplayTransport`` — replays a parquet message log (the driver's
   ``events`` table) as the stream; offline correctness + tests.
-- ``NatsLiveTransport`` — JetStream Direct Get batching over nats-py; gated
-  behind an import (the client library isn't bundled here), but the fetch
-  loop mirrors the reference's execute loop (ref:src/nats_scan.cpp:598-877)
-  with batched rather than per-message round-trips.
+- ``NatsLiveTransport`` — JetStream Direct Get over nats-py; gated behind
+  an import (the client library isn't bundled here). The fetch loop
+  mirrors the reference's per-message execute loop
+  (ref:src/nats_scan.cpp:598-877) with timeouts applied to every
+  round-trip, not just connect.
 
 Note on the fast path: this source crosses the Python boundary per row, so
 for bulk analytics over an *archived* log, prefer ``message_scan`` (pure JVM
@@ -138,10 +139,57 @@ class ParquetReplayTransport:
             yield (seq, msg[0], msg[1], msg[2])
 
 
+_RFC3339_RE = None
+
+
+def _parse_rfc3339_ns(ts: str) -> int:
+    """RFC3339 timestamp (the JetStream ``Nats-Time-Stamp`` header, e.g.
+    ``2024-01-15T10:30:45.123456789Z``) → epoch nanoseconds, EXACT.
+
+    Two traps a naive ``fromisoformat(...).timestamp() * 1e9`` hits:
+    ``fromisoformat`` rejects the 9-digit fractions NATS emits, and the
+    float multiply loses sub-microsecond precision at current epochs
+    (2^30 s × 1e9 needs 60 bits — float64 has 53). Integer math on the
+    fraction digits keeps ns-parity with the replay transport's stored
+    ``ts_ns`` column. Raises ValueError on malformed input."""
+    global _RFC3339_RE
+    if _RFC3339_RE is None:
+        import re
+
+        _RFC3339_RE = re.compile(
+            r"^(\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2})"
+            r"(?:\.(\d+))?"
+            r"([Zz]|[+-]\d{2}:?\d{2})?$"
+        )
+    m = _RFC3339_RE.match(ts.strip())
+    if m is None:
+        raise ValueError(f"not an RFC3339 timestamp: {ts!r}")
+    base, frac, off = m.groups()
+    if off is None or off in ("Z", "z"):
+        off = "+00:00"
+    elif ":" not in off:
+        off = off[:3] + ":" + off[3:]
+    dt = _dt.datetime.fromisoformat(base + off)
+    # integral epoch seconds are exact in float64 (< 2^53)
+    ns = int(dt.timestamp()) * 1_000_000_000
+    if frac:
+        ns += int((frac + "000000000")[:9])
+    return ns
+
+
 class NatsLiveTransport:
     """JetStream Direct Get over nats-py (not bundled in this environment).
-    Mirrors the reference's connection lifecycle (5s connect timeout,
-    ref:src/nats_scan.cpp:610-659) but fetches in batches."""
+
+    Mirrors the reference's connection lifecycle — lazy connect with a
+    bounded timeout (ref:src/nats_scan.cpp:610-659), per-sequence Direct
+    Get with NOT_FOUND gap-skip (ref:src/nats_scan.cpp:725-729). Fetches
+    are PER-MESSAGE round-trips, same as the reference's execute loop;
+    the JetStream Direct Get batch extension would amortize them but
+    nats-py exposes no batch API, so the loop stays honest. ``timeout``
+    bounds BOTH the connect and each fetch/info round-trip: a broker that
+    accepts the connection then stalls must surface as an error, not hang
+    the Spark task — and a stalled fetch raises rather than being
+    silently mistaken for a sequence gap."""
 
     def __init__(self, url: str, stream: str, timeout: float = 5.0):
         self.url = url
@@ -169,12 +217,20 @@ class NatsLiveTransport:
             nc = await nats.connect(self.url, connect_timeout=self.timeout)
             try:
                 js = nc.jetstream()
-                info = await js.stream_info(self.stream)
+                info = await asyncio.wait_for(
+                    js.stream_info(self.stream), self.timeout
+                )
                 return (info.state.first_seq, info.state.last_seq)
             finally:
                 await nc.close()
 
-        return asyncio.run(_info())
+        try:
+            return asyncio.run(_info())
+        except (asyncio.TimeoutError, TimeoutError) as e:
+            raise BindError(
+                f"stream_info('{self.stream}') timed out after "
+                f"{self.timeout}s against {self.url}"
+            ) from e
 
     def fetch(self, start_seq: int, end_seq: int):
         asyncio = self._client()
@@ -188,15 +244,21 @@ class NatsLiveTransport:
                 js = nc.jetstream()
                 for seq in range(start_seq, end_seq + 1):
                     try:
-                        msg = await js.get_msg(self.stream, seq, direct=True)
+                        msg = await asyncio.wait_for(
+                            js.get_msg(self.stream, seq, direct=True),
+                            self.timeout,
+                        )
+                    except (asyncio.TimeoutError, TimeoutError) as e:
+                        # a stalled broker is an ERROR; only NOT_FOUND
+                        # (the except below) is a gap
+                        raise BindError(
+                            f"get_msg(seq={seq}) timed out after "
+                            f"{self.timeout}s against {self.url}"
+                        ) from e
                     except Exception:
-                        continue  # gap-skip
-                    ts_ns = int(
-                        _dt.datetime.fromisoformat(
-                            msg.headers.get("Nats-Time-Stamp", "")
-                        ).timestamp()
-                        * 1e9
-                    ) if msg.headers and msg.headers.get("Nats-Time-Stamp") else 0
+                        continue  # NOT_FOUND gap-skip
+                    hdr = msg.headers.get("Nats-Time-Stamp") if msg.headers else None
+                    ts_ns = _parse_rfc3339_ns(hdr) if hdr else 0
                     out.append((seq, msg.subject, ts_ns, msg.data))
             finally:
                 await nc.close()
