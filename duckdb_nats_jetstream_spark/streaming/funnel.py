@@ -42,7 +42,7 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _funnel_fn(stages: Sequence[str]):
+def _funnel_fn(stages: Sequence[str], idle_timeout_ms: int | None = None):
     stages = list(stages)
     k = len(stages)
 
@@ -50,7 +50,11 @@ def _funnel_fn(stages: Sequence[str]):
         import pandas as pd
 
         (user_id,) = key
-        if state.hasTimedOut:  # pragma: no cover — NoTimeout configured
+        if state.hasTimedOut:
+            # idle past the event-time TTL: nothing to flush (every stage
+            # advancement was already emitted in its own micro-batch) —
+            # just release the state row. remove() without re-arming, or
+            # availableNow's state-cleanup loop never terminates.
             state.remove()
             return
         stage_reached, t_last = state.get if state.exists else (0, -1)
@@ -70,6 +74,19 @@ def _funnel_fn(stages: Sequence[str]):
                 t_last = t_us
                 rows.append((user_id, stage_reached, want, t_us))
         state.update((stage_reached, t_last))
+        if idle_timeout_ms is not None:
+            # evict when the WATERMARK passes the user's last activity +
+            # TTL. Spark requires the timeout timestamp to sit strictly
+            # past the current watermark, so a user whose deadline already
+            # expired gets the minimum legal value (next batch times out).
+            deadline = (
+                max(t_last, max(t for t, _ in events)) // 1000
+                if events
+                else state.getCurrentWatermarkMs()
+            ) + idle_timeout_ms
+            state.setTimeoutTimestamp(
+                max(deadline, state.getCurrentWatermarkMs() + 1)
+            )
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "stage_no", "stage", "ts"])
 
@@ -82,19 +99,50 @@ def streaming_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    idle_timeout: str | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Stage-advancement events ``(user_id, stage_no, stage, ts_us)`` from a
     streaming event source. Filters to the funnel's event types before the
-    state operator, so state traffic is only funnel-relevant rows."""
-    ev = stream_df.filter(F.col(type_col).isin(*stages)).select(
+    state operator, so state traffic is only funnel-relevant rows.
+
+    State is (two scalars) × (distinct users ever seen) — measured flat at
+    ~320 B/user (SCALING.md batch 9), but with the default
+    ``idle_timeout=None`` it never evicts, which on an open-ended user
+    space (100 TB of web logs keyed by session id) grows without bound.
+    Pass ``idle_timeout`` (e.g. ``"7 days"``) to evict users idle past
+    that EVENT-TIME horizon: an evicted user who reappears restarts from
+    stage 0 — the right trade for monitoring funnels whose conversion
+    window is much shorter than the log. The eviction clock is the
+    stream's watermark, applied HERE on the event-time column (a caller's
+    upstream ``withWatermark`` would not survive this function's
+    projection); ``watermark`` is the lateness tolerance, independent of
+    the TTL."""
+    idle_ms: int | None = None
+    if idle_timeout is not None:
+        import pandas as pd
+
+        idle_ms = int(pd.Timedelta(idle_timeout).total_seconds() * 1000)
+        if idle_ms <= 0:
+            raise ValueError(f"idle_timeout must be positive: {idle_timeout!r}")
+    cols = [
         F.col(user_col).cast("long").alias("user_id"),
         F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("t_us"),
         F.col(type_col).alias("event_type"),
-    )
+    ]
+    if idle_ms is not None:
+        cols.append(F.col(ts_col).cast("timestamp").alias("__event_ts"))
+    ev = stream_df.filter(F.col(type_col).isin(*stages)).select(*cols)
+    if idle_ms is not None:
+        ev = ev.withWatermark("__event_ts", watermark)
     return ev.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn(stages),
+        _funnel_fn(stages, idle_ms),
         outputStructType=FUNNEL_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

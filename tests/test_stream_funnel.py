@@ -106,3 +106,61 @@ def test_streaming_funnel_state_is_two_scalars(spark, tmp_path):
     # the too-early purchase must NOT have advanced stage 3 at t(2)
     t2_us = int(t(2).timestamp() * 1_000_000)
     assert all(not (r.stage_no == 3 and r.ts == t2_us) for r in out_rows)
+
+
+def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
+    """Event-time TTL (SCALING.md batch 9 follow-up): users idle past the
+    horizon drop from the state store, and a returning evicted user
+    restarts from stage 0 — the documented trade. Four hourly chunks:
+    user 1 is active only in hour 0; with a 45-minute TTL the hour-2
+    batch's watermark (= hour-1 max event time) passes user 1's deadline,
+    so they are evicted there (timeouts fire only for keys WITHOUT data
+    in the batch), and their hour-3 'click' finds a fresh stage-0 machine
+    it cannot advance."""
+    import datetime as dt
+
+    d = tmp_path / "log"
+    d.mkdir()
+    schema = "user_id long, ts timestamp, event_type string"
+    t = lambda h, s: dt.datetime(2026, 1, 1, h, 0, s)
+    chunks = [
+        [(1, t(0, 1), "view"), (2, t(0, 2), "view")],
+        [(2, t(1, 1), "click")],
+        [(2, t(2, 2), "purchase")],
+        # hour 3: user 1 returns with the stage-2 event type only
+        [(1, t(3, 1), "click")],
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).write.parquet(str(d / f"c{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(d) + "/*").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/*")
+    )
+    out = streaming_funnel(stream, STAGES, idle_timeout="45 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_ttl").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, set()).add(r.stage_no)
+    # user 2 stayed active: full funnel across batches
+    assert by_user[2] == {1, 2, 3}
+    # user 1 was evicted during the idle hour; the returning 'click' finds
+    # a fresh stage-0 machine and cannot advance it — only stage 1 from h0
+    assert by_user[1] == {1}
+    # eviction actually happened in the state store
+    removed = sum(
+        (p["stateOperators"][0]["numRowsRemoved"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert removed >= 1

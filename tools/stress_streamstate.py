@@ -199,6 +199,30 @@ def main() -> None:
             os.path.join(work, f"ckpt_{label}"),
         )
 
+    # -- 4. funnel + event-time TTL: OPEN-ENDED user space ---------------
+    # every chunk brings 100k NEVER-SEEN users (users = ids); without a
+    # TTL state = cumulative users (the one unbounded state batch 9 v1
+    # found); with idle_timeout=90min the watermark evicts users idle
+    # past 1.5 hours, so state must PLATEAU at ~2 chunks' users
+    log = _write_chunks("funnel_ttl", n_chunks=6, rows_per_chunk=100_000,
+                        n_users=600_000)
+    raw = spark.read.parquet(log)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    results["funnel_ttl_90m"] = _drain_with_progress(
+        streaming_funnel(stream, list(STAGES), idle_timeout="90 minutes"),
+        os.path.join(work, "ckpt_funnel_ttl"),
+    )
+
     print()
     for name, rows in results.items():
         print(f"## {name}")
