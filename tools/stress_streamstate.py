@@ -126,6 +126,7 @@ def _drain_with_progress(stream_df, ckpt: str) -> list[dict]:
                 "rows_updated": o["numRowsUpdated"],
                 "rows_removed": o["numRowsRemoved"],
                 "mem_bytes": o["memoryUsedBytes"],
+                "ms": (p["batchDuration"] if isinstance(p, dict) else p.batchDuration),
             }
         )
     return out
@@ -222,6 +223,48 @@ def main() -> None:
         streaming_funnel(stream, list(STAGES), idle_timeout="90 minutes"),
         os.path.join(work, "ckpt_funnel_ttl"),
     )
+
+    # -- 5. checkpoint RESUME cost: stop after 3 chunks, restart ---------
+    # the restarted query's FIRST batch must reload the full state store
+    # from the checkpoint before processing — its duration vs the same
+    # batch in an uninterrupted drain IS the resume tax. Same dedup
+    # topology/state size as scenario 1.
+    full_log = _write_chunks("dedup", n_chunks=6, rows_per_chunk=100_000,
+                             n_users=10_000, dup_frac=0.5)
+    part_log = os.path.join(BASE_DIR, "dedup_resume_active")
+    shutil.rmtree(part_log, ignore_errors=True)
+    os.makedirs(part_log)
+    chunks = sorted(
+        f for f in os.listdir(full_log) if f.endswith(".parquet")
+    )
+    for c in chunks[:3]:
+        os.symlink(os.path.join(full_log, c), os.path.join(part_log, c))
+    ckpt = os.path.join(work, "ckpt_resume")
+    st = message_stream(spark, part_log, max_files_per_trigger=1)
+    run1 = _drain_with_progress(dedup_messages(st, watermark="1 hour"), ckpt)
+    for c in chunks[3:]:
+        os.symlink(os.path.join(full_log, c), os.path.join(part_log, c))
+    st = message_stream(spark, part_log, max_files_per_trigger=1)
+    run2 = _drain_with_progress(dedup_messages(st, watermark="1 hour"), ckpt)
+    results["dedup_resume"] = run1 + [dict(r, resumed=True) for r in run2]
+
+    # -- 6. RocksDB state store: same dedup topology ---------------------
+    # HDFSBackedStateStoreProvider keeps every state row on the EXECUTOR
+    # HEAP (the 30 MB above scales to executor-OOM when per-partition
+    # state outgrows memory); RocksDB spills to local disk — the
+    # documented provider for 100 TB state. Same data: results must agree.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        st = message_stream(spark, full_log, max_files_per_trigger=1)
+        results["dedup_rocksdb"] = _drain_with_progress(
+            dedup_messages(st, watermark="1 hour"),
+            os.path.join(work, "ckpt_rocksdb"),
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     print()
     for name, rows in results.items():
