@@ -130,8 +130,19 @@ def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
         # hour 3: user 1 returns with the stage-2 event type only
         [(1, t(3, 1), "click")],
     ]
+    import os
+    import time
+
+    base_mt = time.time() - 3600
     for i, rows in enumerate(chunks):
-        spark.createDataFrame(rows, schema).write.parquet(str(d / f"c{i}.parquet"))
+        cdir = d / f"c{i}.parquet"
+        spark.createDataFrame(rows, schema).write.parquet(str(cdir))
+        # the file source processes files in modification-time order;
+        # same-second writes tie and can reorder the chunks (observed
+        # flake) — pin strictly increasing mtimes
+        for root, _dirs, files in os.walk(cdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (base_mt + i * 10,) * 2)
 
     stream = (
         spark.readStream.schema(

@@ -95,6 +95,10 @@ def _write_chunks(
             ),
             os.path.join(tmp, f"chunk_{k:03d}.parquet"),
         )
+        # the file source orders by modification time; same-second writes
+        # tie and can replay hours out of order — pin increasing mtimes
+        mt = 1_700_000_000 + k * 10
+        os.utime(os.path.join(tmp, f"chunk_{k:03d}.parquet"), (mt, mt))
     open(os.path.join(tmp, "_OK"), "w").close()
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
