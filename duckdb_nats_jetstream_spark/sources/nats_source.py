@@ -177,6 +177,21 @@ def _parse_rfc3339_ns(ts: str) -> int:
     return ns
 
 
+def _is_not_found(exc: Exception) -> bool:
+    """True iff ``exc`` is JetStream's message/stream-not-found — the ONLY
+    condition that means "sequence gap". nats-py signals it as
+    ``NotFoundError``/``MsgNotFoundError`` or an APIError with code 404;
+    matched structurally since the library is import-gated here. Anything
+    else (connection drop, auth, protocol) must ERROR, not gap-skip —
+    treating a dead connection as a run of gaps silently truncates the
+    scan."""
+    name = type(exc).__name__
+    if "NotFound" in name:
+        return True
+    code = getattr(exc, "code", None)
+    return code in (404, "404")
+
+
 class NatsLiveTransport:
     """JetStream Direct Get over nats-py (not bundled in this environment).
 
@@ -222,7 +237,13 @@ class NatsLiveTransport:
                 )
                 return (info.state.first_seq, info.state.last_seq)
             finally:
-                await nc.close()
+                # bounded best-effort release: close() flushes pending
+                # writes, and a wedged socket would hang the task right
+                # after the timeout above promised it couldn't
+                try:
+                    await asyncio.wait_for(nc.close(), self.timeout)
+                except Exception:
+                    pass
 
         try:
             return asyncio.run(_info())
@@ -250,18 +271,26 @@ class NatsLiveTransport:
                         )
                     except (asyncio.TimeoutError, TimeoutError) as e:
                         # a stalled broker is an ERROR; only NOT_FOUND
-                        # (the except below) is a gap
+                        # (below) is a gap
                         raise BindError(
                             f"get_msg(seq={seq}) timed out after "
                             f"{self.timeout}s against {self.url}"
                         ) from e
-                    except Exception:
-                        continue  # NOT_FOUND gap-skip
+                    except Exception as e:
+                        if _is_not_found(e):
+                            continue  # NOT_FOUND gap-skip
+                        raise BindError(
+                            f"get_msg(seq={seq}) failed against "
+                            f"{self.url}: {e!r}"
+                        ) from e
                     hdr = msg.headers.get("Nats-Time-Stamp") if msg.headers else None
                     ts_ns = _parse_rfc3339_ns(hdr) if hdr else 0
                     out.append((seq, msg.subject, ts_ns, msg.data))
             finally:
-                await nc.close()
+                try:
+                    await asyncio.wait_for(nc.close(), self.timeout)
+                except Exception:
+                    pass
             return out
 
         return iter(asyncio.run(_fetch()))

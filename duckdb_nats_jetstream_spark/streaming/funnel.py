@@ -100,7 +100,7 @@ def streaming_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     idle_timeout: str | None = None,
-    watermark: str = "0 seconds",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Stage-advancement events ``(user_id, stage_no, stage, ts_us)`` from a
     streaming event source. Filters to the funnel's event types before the
@@ -116,8 +116,13 @@ def streaming_funnel(
     window is much shorter than the log. The eviction clock is the
     stream's watermark, applied HERE on the event-time column (a caller's
     upstream ``withWatermark`` would not survive this function's
-    projection); ``watermark`` is the lateness tolerance, independent of
-    the TTL."""
+    projection), and ``watermark`` must be given EXPLICITLY alongside
+    ``idle_timeout``: it is not just the eviction clock — events behind
+    the global watermark are DROPPED before the state operator, while the
+    default NoTimeout path (no watermark at all) processes any
+    interleaving that is per-user ordered. Size it to the worst
+    cross-user timestamp disorder the source can deliver (globally
+    ordered replay logs can pass ``"0 seconds"``)."""
     idle_ms: int | None = None
     if idle_timeout is not None:
         import pandas as pd
@@ -125,6 +130,16 @@ def streaming_funnel(
         idle_ms = int(pd.Timedelta(idle_timeout).total_seconds() * 1000)
         if idle_ms <= 0:
             raise ValueError(f"idle_timeout must be positive: {idle_timeout!r}")
+        if watermark is None:
+            raise ValueError(
+                "idle_timeout requires an explicit watermark: the global "
+                "watermark both drives eviction AND drops events behind "
+                "it, so its lateness tolerance is a semantic choice the "
+                "caller must make (use '0 seconds' only for globally "
+                "ordered sources)"
+            )
+    elif watermark is not None:
+        raise ValueError("watermark is only meaningful with idle_timeout")
     cols = [
         F.col(user_col).cast("long").alias("user_id"),
         F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("t_us"),

@@ -238,3 +238,50 @@ def test_rfc3339_ns_matrix(ts, ns):
 def test_rfc3339_ns_rejects_malformed(bad):
     with pytest.raises(ValueError):
         _parse_rfc3339_ns(bad)
+
+
+def test_connection_drop_mid_fetch_raises_not_truncates(monkeypatch):
+    """A dead connection must ERROR, never masquerade as a run of gaps —
+    gap-skip is reserved for NOT_FOUND (r07 review finding)."""
+
+    class _ConnClosed(Exception):
+        pass
+
+    broker = _FakeBroker(
+        "events",
+        {1: _msg("events.click.u1", b"x"), 2: _msg("events.view.u2", b"y")},
+    ).install(monkeypatch)
+    orig = _FakeJetStream.get_msg
+
+    async def flaky(self, stream, seq, direct=False):
+        if seq >= 2:
+            raise _ConnClosed("connection closed")
+        return await orig(self, stream, seq, direct)
+
+    monkeypatch.setattr(_FakeJetStream, "get_msg", flaky)
+    t = NatsLiveTransport("nats://fake:4222", "events")
+    with pytest.raises(BindError, match="failed"):
+        list(t.fetch(1, 2))
+    assert broker.closed == 1
+
+
+def test_not_found_detection_structural():
+    from duckdb_nats_jetstream_spark.sources.nats_source import _is_not_found
+
+    class NotFoundError(Exception):
+        pass
+
+    class MsgNotFoundError(Exception):
+        pass
+
+    class APIError(Exception):
+        code = 404
+
+    class OtherError(Exception):
+        code = 500
+
+    assert _is_not_found(NotFoundError())
+    assert _is_not_found(MsgNotFoundError())
+    assert _is_not_found(APIError())
+    assert not _is_not_found(OtherError())
+    assert not _is_not_found(ValueError("boom"))

@@ -151,7 +151,7 @@ def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(str(d) + "/*")
     )
-    out = streaming_funnel(stream, STAGES, idle_timeout="45 minutes")
+    out = streaming_funnel(stream, STAGES, idle_timeout="45 minutes", watermark="0 seconds")
     q = (
         out.writeStream.format("memory")
         .queryName("funnel_ttl")

@@ -266,6 +266,19 @@ class _SourceTree:
                     relpath, node
                 ).items():
                     alias.setdefault(name, set()).update(targets)
+        # a name bound to a PACKAGE (__init__) reaches, via attribute
+        # access, any submodule loaded by any import in this file
+        # (`import pkg.sub.mod` + `import pkg.sub as s` → `s.mod.fn`
+        # works) — widen package bindings with every imported module
+        # under their prefix, or such uses under-requeue
+        all_targets: set[str] = set().union(*alias.values()) if alias else set()
+        for targets in alias.values():
+            for t in list(targets):
+                if t.endswith("/__init__.py"):
+                    prefix = t[: -len("__init__.py")]
+                    targets.update(
+                        x for x in all_targets if x.startswith(prefix)
+                    )
 
         # names used by the fn, chasing same-module helpers' deps (not
         # their source — see module docstring), cycle-safe

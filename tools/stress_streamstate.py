@@ -67,6 +67,12 @@ def _write_chunks(
     redelivery shape dedup must absorb)."""
     out = os.path.join(BASE_DIR, name)
     if os.path.exists(os.path.join(out, "_OK")):
+        # re-pin mtimes on cached dirs too: data built by an older harness
+        # version has same-second mtimes and would still replay hours out
+        # of order (the file source sorts by modification time)
+        for k, f in enumerate(sorted(os.listdir(out))):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(out, f), (1_700_000_000 + k * 10,) * 2)
         return out
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -224,7 +230,7 @@ def main() -> None:
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
     results["funnel_ttl_90m"] = _drain_with_progress(
-        streaming_funnel(stream, list(STAGES), idle_timeout="90 minutes"),
+        streaming_funnel(stream, list(STAGES), idle_timeout="90 minutes", watermark="0 seconds"),
         os.path.join(work, "ckpt_funnel_ttl"),
     )
 
