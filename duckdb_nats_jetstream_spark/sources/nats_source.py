@@ -74,16 +74,27 @@ class ParquetReplayTransport:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        # push the sequence range into the parquet read itself: row-group
+        # statistics prune groups outside [start, end], so a partition's
+        # task reads ~its slice of the FILE, not the whole file filtered
+        # after the fact (measured: the whole-file read per task is what
+        # capped fan-out speedup at 32 partitions, SCALING.md batch 10).
+        # This mirrors the live transport, which fetches only its slice.
+        preds = []
+        if start_seq is not None:
+            preds.append(pc.field("event_id") >= start_seq - 1)
+        if end_seq is not None:
+            preds.append(pc.field("event_id") <= end_seq - 1)
+        flt = None
+        if preds:
+            flt = preds[0]
+            for p in preds[1:]:
+                flt = flt & p
         t = pq.read_table(
             self.path,
             columns=["event_id", "ts", "user_id", "event_type", "props"],
+            filters=flt,
         )
-        # vectorized slice before the per-row python decode — each partition
-        # pays only for its own sequence range
-        if start_seq is not None:
-            t = t.filter(pc.field("event_id") >= start_seq - 1)
-        if end_seq is not None:
-            t = t.filter(pc.field("event_id") <= end_seq - 1)
         # Normalize ts to int64 nanoseconds while still columnar — the parquet
         # flavor varies by writer (timestamp[us], timestamp[ns], raw int64 ns)
         # and to_pydict() would yield datetime.datetime for µs columns, which
