@@ -355,22 +355,30 @@ def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per_supp feeds BOTH the threshold scalar and the qualifying filter.
     # Left lazy, Catalyst plans the lineitem⋈part aggregate twice (the
     # threshold branch and the qualifying branch each re-scan lineitem —
-    # a double scan of the largest fact table at 100 TB). Its row count is
-    # supplier cardinality — group-cardinality shaped — so route it
-    # through the runtime-sized guard: one materialization, broadcast
-    # hint iff the realized count is safe, spill-safe merge otherwise.
-    per_supp = sized_broadcast(
+    # a double scan of the largest fact table at 100 TB). Materialize it
+    # ONCE (localCheckpoint; the guard below is the materializing action),
+    # then route the relation that actually joins supplier — qualifying,
+    # supplier-cardinality = group-cardinality shaped — through the
+    # runtime-sized guard: broadcast hint iff the realized count is safe,
+    # spill-safe merge otherwise. (A hint on per_supp itself would not
+    # propagate through the crossJoin/filter derivation to the semi join.)
+    per_supp = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity", "qty"))
+        .localCheckpoint(eager=False)
     )
     threshold = per_supp.agg(
         (F.lit(1.2).cast("double") * F.avg("qty")).alias("cut")
     )
-    qualifying = (
+    # identity materializer: qualifying is a cheap filter over the
+    # checkpoint, so the guard's count() both realizes per_supp's
+    # checkpoint AND sizes the join side — no second checkpoint job
+    qualifying = sized_broadcast(
         per_supp.crossJoin(F.broadcast(threshold))
         .filter(F.col("qty") > F.col("cut"))
-        .select("l_suppkey")
+        .select("l_suppkey"),
+        materializer=lambda d: d,
     )
     supp = read_table(spark, sf_dir, "supplier")
     return (
