@@ -101,3 +101,26 @@ def test_no_cache_leak(spark, sf_dir):
     docs.join(sized_broadcast(bounds, 1_000), "source").count()
     docs.join(sized_broadcast(bounds, 1), "source").count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_injectable_materializer(spark, sf_dir):
+    """Cluster deployments swap localCheckpoint for reliable storage (r06
+    ADVICE): the guard must route materialization through the injected
+    callable and still hint/pin from its realized count."""
+    docs = _docs(spark, sf_dir)
+    bounds = docs.groupBy("source").count()
+    calls = []
+
+    def tracking(df):
+        calls.append(df)
+        return df.localCheckpoint(eager=False)
+
+    small = sized_broadcast(bounds, 1_000, materializer=tracking)
+    assert len(calls) == 1 and calls[0] is bounds
+    joined = docs.join(small, "source")
+    assert "BroadcastHashJoin" in physical_plan(joined)
+
+    # identity materializer: no checkpoint, count runs the plan directly;
+    # over-cap still pins merge
+    pinned = sized_broadcast(bounds, 0, materializer=lambda d: d)
+    assert "BroadcastHashJoin" not in physical_plan(docs.join(pinned, "source"))
