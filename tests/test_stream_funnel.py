@@ -136,7 +136,13 @@ def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
     base_mt = time.time() - 3600
     for i, rows in enumerate(chunks):
         cdir = d / f"c{i}.parquet"
-        spark.createDataFrame(rows, schema).write.parquet(str(cdir))
+        # coalesce(1): one part file per chunk. Multiple part files share
+        # the chunk's pinned mtime, and a TIE lets the file source batch
+        # the chunk's rows in either order under maxFilesPerTrigger=1 —
+        # with a 0-second watermark the lower-ts row then arrives behind
+        # the watermark and is dropped as late (observed flake: user 1's
+        # h0 view vanished entirely).
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(cdir))
         # the file source processes files in modification-time order;
         # same-second writes tie and can reorder the chunks (observed
         # flake) — pin strictly increasing mtimes
