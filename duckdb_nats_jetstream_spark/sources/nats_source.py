@@ -33,7 +33,10 @@ parquet scan). The DataSource is the *live/connector* path.
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import json
+import operator
+import re
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -85,11 +88,7 @@ class ParquetReplayTransport:
             preds.append(pc.field("event_id") >= start_seq - 1)
         if end_seq is not None:
             preds.append(pc.field("event_id") <= end_seq - 1)
-        flt = None
-        if preds:
-            flt = preds[0]
-            for p in preds[1:]:
-                flt = flt & p
+        flt = functools.reduce(operator.and_, preds) if preds else None
         t = pq.read_table(
             self.path,
             columns=["event_id", "ts", "user_id", "event_type", "props"],
@@ -150,7 +149,11 @@ class ParquetReplayTransport:
             yield (seq, msg[0], msg[1], msg[2])
 
 
-_RFC3339_RE = None
+_RFC3339_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2})"
+    r"(?:\.(\d+))?"
+    r"([Zz]|[+-]\d{2}:?\d{2})?$"
+)
 
 
 def _parse_rfc3339_ns(ts: str) -> int:
@@ -163,15 +166,6 @@ def _parse_rfc3339_ns(ts: str) -> int:
     (2^30 s × 1e9 needs 60 bits — float64 has 53). Integer math on the
     fraction digits keeps ns-parity with the replay transport's stored
     ``ts_ns`` column. Raises ValueError on malformed input."""
-    global _RFC3339_RE
-    if _RFC3339_RE is None:
-        import re
-
-        _RFC3339_RE = re.compile(
-            r"^(\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2})"
-            r"(?:\.(\d+))?"
-            r"([Zz]|[+-]\d{2}:?\d{2})?$"
-        )
     m = _RFC3339_RE.match(ts.strip())
     if m is None:
         raise ValueError(f"not an RFC3339 timestamp: {ts!r}")
@@ -186,6 +180,18 @@ def _parse_rfc3339_ns(ts: str) -> int:
     if frac:
         ns += int((frac + "000000000")[:9])
     return ns
+
+
+async def _close_bounded(nc, timeout: float) -> None:
+    """Best-effort connection release with a deadline: close() flushes
+    pending writes, and a wedged socket would otherwise hang the task
+    right after a fetch/info timeout promised it couldn't."""
+    import asyncio
+
+    try:
+        await asyncio.wait_for(nc.close(), timeout)
+    except Exception:
+        pass
 
 
 def _is_not_found(exc: Exception) -> bool:
@@ -248,13 +254,7 @@ class NatsLiveTransport:
                 )
                 return (info.state.first_seq, info.state.last_seq)
             finally:
-                # bounded best-effort release: close() flushes pending
-                # writes, and a wedged socket would hang the task right
-                # after the timeout above promised it couldn't
-                try:
-                    await asyncio.wait_for(nc.close(), self.timeout)
-                except Exception:
-                    pass
+                await _close_bounded(nc, self.timeout)
 
         try:
             return asyncio.run(_info())
@@ -298,10 +298,7 @@ class NatsLiveTransport:
                     ts_ns = _parse_rfc3339_ns(hdr) if hdr else 0
                     out.append((seq, msg.subject, ts_ns, msg.data))
             finally:
-                try:
-                    await asyncio.wait_for(nc.close(), self.timeout)
-                except Exception:
-                    pass
+                await _close_bounded(nc, self.timeout)
             return out
 
         return iter(asyncio.run(_fetch()))

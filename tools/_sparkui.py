@@ -62,3 +62,15 @@ def build_session(app_name: str, port: int, driver_memory: str = "24g"):
         .config("spark.driver.memory", driver_memory)
         .getOrCreate()
     )
+
+
+def pin_chunk_mtimes(d: str) -> None:
+    """Give each *.parquet chunk in ``d`` a distinct, increasing mtime (in
+    name order). Spark's file stream source orders files by modification
+    time; same-second writes tie and can replay chunks out of order —
+    an observed flake in every replay-log harness."""
+    k = 0
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(d, f), (1_700_000_000 + k * 10,) * 2)
+            k += 1

@@ -51,6 +51,7 @@ def _token_text(rng, n_tokens: int) -> str:
 def _write_chunks() -> str:
     out = os.path.join(BASE, "docs")
     if os.path.exists(os.path.join(out, "_OK")):
+        _sparkui.pin_chunk_mtimes(out)
         return out
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -80,8 +81,7 @@ def _write_chunks() -> str:
                       "text": pa.array(texts, pa.string())}),
             os.path.join(tmp, f"chunk_{k:03d}.parquet"),
         )
-        mt = 1_700_000_000 + k * 10
-        os.utime(os.path.join(tmp, f"chunk_{k:03d}.parquet"), (mt, mt))
+    _sparkui.pin_chunk_mtimes(tmp)
     open(os.path.join(tmp, "_OK"), "w").close()
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)

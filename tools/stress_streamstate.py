@@ -67,12 +67,9 @@ def _write_chunks(
     redelivery shape dedup must absorb)."""
     out = os.path.join(BASE_DIR, name)
     if os.path.exists(os.path.join(out, "_OK")):
-        # re-pin mtimes on cached dirs too: data built by an older harness
-        # version has same-second mtimes and would still replay hours out
-        # of order (the file source sorts by modification time)
-        for k, f in enumerate(sorted(os.listdir(out))):
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(out, f), (1_700_000_000 + k * 10,) * 2)
+        # re-pin on cached dirs too: data built by an older harness
+        # version has same-second mtimes
+        _sparkui.pin_chunk_mtimes(out)
         return out
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -101,10 +98,7 @@ def _write_chunks(
             ),
             os.path.join(tmp, f"chunk_{k:03d}.parquet"),
         )
-        # the file source orders by modification time; same-second writes
-        # tie and can replay hours out of order — pin increasing mtimes
-        mt = 1_700_000_000 + k * 10
-        os.utime(os.path.join(tmp, f"chunk_{k:03d}.parquet"), (mt, mt))
+    _sparkui.pin_chunk_mtimes(tmp)
     open(os.path.join(tmp, "_OK"), "w").close()
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
@@ -147,6 +141,24 @@ def _fmt(rows: list[dict]) -> str:
         f"b{r['batch']}: {r['rows_total']:,}t/{r['rows_removed']:,}rm"
         for r in rows
     )
+
+
+def _raw_stream(spark, log: str):
+    """maxFilesPerTrigger=1 stream over a chunk dir, ts normalized to
+    timestamp (ns-parquet reads back as long under nanosAsLong)."""
+    from pyspark.sql import functions as F, types as T
+
+    raw = spark.read.parquet(log)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log)
+    )
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return stream
 
 
 def main() -> None:
@@ -193,20 +205,8 @@ def main() -> None:
                          ("funnel_100k_users", 100_000)):
         log = _write_chunks(label, n_chunks=6, rows_per_chunk=200_000,
                             n_users=users)
-        raw = spark.read.parquet(log)
-        stream = (
-            spark.readStream.schema(raw.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(log)
-        )
-        from pyspark.sql import types as T
-
-        if isinstance(raw.schema["ts"].dataType, T.LongType):
-            stream = stream.withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
         results[label] = _drain_with_progress(
-            streaming_funnel(stream, list(STAGES)),
+            streaming_funnel(_raw_stream(spark, log), list(STAGES)),
             os.path.join(work, f"ckpt_{label}"),
         )
 
@@ -217,20 +217,9 @@ def main() -> None:
     # past 1.5 hours, so state must PLATEAU at ~2 chunks' users
     log = _write_chunks("funnel_ttl", n_chunks=6, rows_per_chunk=100_000,
                         n_users=600_000)
-    raw = spark.read.parquet(log)
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(log)
-    )
-    from pyspark.sql import types as T
-
-    if isinstance(raw.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
     results["funnel_ttl_90m"] = _drain_with_progress(
-        streaming_funnel(stream, list(STAGES), idle_timeout="90 minutes", watermark="0 seconds"),
+        streaming_funnel(_raw_stream(spark, log), list(STAGES),
+                         idle_timeout="90 minutes", watermark="0 seconds"),
         os.path.join(work, "ckpt_funnel_ttl"),
     )
 
