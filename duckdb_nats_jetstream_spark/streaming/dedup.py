@@ -138,3 +138,36 @@ def near_dup_flagger(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_band_store(
+    spark,
+    store_dir: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Maintenance pass for :func:`near_dup_flagger`'s band-key store.
+
+    Each micro-batch appends its keys as up-to-``shuffle.partitions``
+    small files under ``batch_id=N``; after B batches the probe join pays
+    the many-small-files penalty (measured 3.2× warm, SCALING.md batch 6)
+    on every batch. This rewrites the store size-targeted WHILE KEEPING
+    the ``batch_id`` hive layout — the layout is load-bearing: the
+    flagger's replay-exclusion filter (``batch_id != current``) prunes
+    the replayed batch's own directory, so a compaction that flattened
+    the column away would silently break replay idempotence.
+
+    Run it offline (between drains, or from a maintenance job) and swap
+    the compacted directory in for the store: verdicts are identical
+    before and after (pinned in ``tests/test_stream_dedup.py``). Returns
+    the size-derived file-count target from :func:`sinks.compact_parquet`.
+    """
+    from duckdb_nats_jetstream_spark.sinks import compact_parquet
+
+    return compact_parquet(
+        spark,
+        store_dir,
+        dst_path,
+        target_file_bytes=target_file_bytes,
+        partition_cols=["batch_id"],
+    )

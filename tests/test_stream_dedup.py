@@ -133,3 +133,54 @@ def test_near_dup_flagger_replay_idempotent(spark, tmp_path):
     assert set(v) == {1, 2}
     # clean-run semantics: first batch sees an empty prior store
     assert not v[1].is_near_dup and not v[2].is_near_dup
+
+
+def test_near_dup_flagger_store_compaction_preserves_verdicts(spark, tmp_path):
+    """Ops claim from SCALING.md batch 11: the band-key store can be
+    compacted between drains (small-file maintenance) without changing a
+    single verdict — the batch_id layout survives, so both the probe join
+    and the replay-exclusion filter behave identically."""
+    import shutil
+
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.streaming.dedup import (
+        compact_band_store,
+        near_dup_flagger,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    batches = [
+        [(1, base), (2, "completely different words about spark engines")],
+        [(3, "unrelated second chunk text goes right here ok")],
+        [(4, base + " again"), (5, "nothing like anything before at all")],
+    ]
+    schema = "doc_id long, text string"
+
+    def run(label, compact_after=None):
+        doc_dir = tmp_path / f"in_{label}"
+        doc_dir.mkdir()
+        store = str(tmp_path / f"store_{label}")
+        out = str(tmp_path / f"out_{label}")
+        ckpt = str(tmp_path / f"ckpt_{label}")
+        for i, rows in enumerate(batches):
+            pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+                doc_dir / f"b{i}.parquet"
+            )
+            stream = spark.readStream.schema(schema).parquet(str(doc_dir))
+            near_dup_flagger(stream, store, ckpt, out).awaitTermination()
+            if compact_after == i:
+                compacted = str(tmp_path / f"store_{label}_compacted")
+                compact_band_store(spark, store, compacted)
+                shutil.rmtree(store)
+                shutil.move(compacted, store)
+        return {
+            r.doc_id: (r.is_near_dup, r.n_candidate_bands)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    plain = run("plain")
+    compacted = run("compacted", compact_after=1)
+    assert plain == compacted
+    assert plain[4][0]  # the planted near-dup still flags post-compaction
+    assert not plain[1][0] and not plain[3][0]
