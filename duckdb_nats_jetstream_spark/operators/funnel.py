@@ -53,6 +53,7 @@ def _funnel_cascade(
     type_col: str,
     max_gap: str | None,
     n_salts: int | None = None,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-safe cascade: t1 = min ts of stage 1 per user (algebraic);
     t_k = min ts of stage k qualifying against t_{k-1} (join + algebraic
@@ -81,16 +82,26 @@ def _funnel_cascade(
       uniform 100×), so the default is unsalted. Set ``n_salts`` (e.g.
       8-32) when user cardinality × 16 bytes exceeds the broadcast
       threshold AND keys are skewed: the fact side salts by
-      ``hash(ts) % n_salts``, the one-row-per-user side explodes
-      ×n_salts, splitting the hot key deterministically — no AQE
-      dependency, no checkpoint. The follow-up ``groupBy(user)`` min
-      stays algebraic (map-side partial)."""
+      ``xxhash64(ts[, salt_col]) % n_salts``, the one-row-per-user side
+      explodes ×n_salts, splitting the hot key deterministically — no
+      AQE dependency, no checkpoint. The follow-up ``groupBy(user)``
+      min stays algebraic (map-side partial). Pass ``salt_col`` (any
+      per-event id column, e.g. the log's ``event_id``) when a hot
+      user's events can TIE on timestamp (second-granularity logs,
+      duplicate events): ts alone then maps the ties to one salt bucket
+      and the skew survives. The salt must stay DETERMINISTIC per row
+      — a row-position expression (monotonically_increasing_id, rand)
+      inside a shuffle join key makes the map stage indeterminate, and
+      a partial stage retry can migrate rows between reducers."""
     ts_type = dict(ev.dtypes)[ts_col]
     stage_rels: list[DataFrame] = []
     prev, prev_s = None, None
+    stage_cols = [user_col, ts_col] + (
+        [salt_col] if salt_col is not None and n_salts is not None else []
+    )
     for i, stage in enumerate(stages, start=1):
         name = f"t{i}"
-        stage_ev = ev.filter(F.col(type_col) == stage).select(user_col, ts_col)
+        stage_ev = ev.filter(F.col(type_col) == stage).select(*stage_cols)
         if prev_s is None:
             s = stage_ev.groupBy(user_col).agg(F.min(ts_col).alias(name))
         elif n_salts is None:
@@ -108,17 +119,15 @@ def _funnel_cascade(
                 .agg(F.min(ts_col).alias(name))
             )
         else:
-            # salt by ts XOR a row-local id, not ts alone: a hot user whose
-            # events share one timestamp (second-granularity logs, duplicate
-            # events) would otherwise land in a single salt bucket and the
-            # skew survives. Any salt value joins exactly one exploded copy,
-            # so the (partition-layout-dependent) id is correctness-neutral.
+            # deterministic per-row salt: ts plus (optionally) a per-event
+            # id column so a hot user's TIED timestamps still spread. A
+            # row-position expression here (monotonically_increasing_id,
+            # rand) would make the join's map stage indeterminate — see
+            # the docstring.
+            salt_inputs = [ts_col] + ([salt_col] if salt_col else [])
             salted = stage_ev.withColumn(
                 "__salt",
-                F.pmod(
-                    F.xxhash64(ts_col, F.monotonically_increasing_id()),
-                    F.lit(n_salts),
-                ).cast("int"),
+                F.pmod(F.xxhash64(*salt_inputs), F.lit(n_salts)).cast("int"),
             )
             prev_rel = prev_s.select(
                 F.col(user_col).alias("__u"), prev
@@ -221,6 +230,7 @@ def funnel_user_stages(
     max_gap: str | None = None,
     algorithm: str = "cascade",
     n_salts: int | None = None,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Per-user stage timestamps ``(user, t1..tk)``; ``t_k`` is NULL once
     the chain breaks (strict ``>`` between consecutive stages). With
@@ -243,12 +253,13 @@ def funnel_user_stages(
         # a zero/negative salt count would explode an EMPTY salt array —
         # every chained join silently empties and t2..tk come back NULL
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
-    ev = df.filter(F.col(type_col).isin(*stages)).select(
-        user_col, ts_col, type_col
+    keep = [user_col, ts_col, type_col] + (
+        [salt_col] if salt_col is not None and n_salts is not None else []
     )
+    ev = df.filter(F.col(type_col).isin(*stages)).select(*keep)
     if algorithm == "cascade":
         return _funnel_cascade(
-            ev, stages, user_col, ts_col, type_col, max_gap, n_salts
+            ev, stages, user_col, ts_col, type_col, max_gap, n_salts, salt_col
         )
     return _funnel_fold(ev, stages, user_col, ts_col, type_col, max_gap)
 

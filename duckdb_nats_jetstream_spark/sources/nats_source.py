@@ -240,6 +240,26 @@ class NatsLiveTransport:
 
         return asyncio
 
+    def _run(self, coro, what: str):
+        """Run a transport coroutine with the full error contract: every
+        failure mode — connect refused/auth (nats-py raises its OWN
+        exception types, including a TimeoutError that is NOT the
+        builtin), stalled round-trip, malformed broker data — surfaces
+        as BindError carrying the url context, never a bare third-party
+        exception out of a Spark task."""
+        import asyncio
+
+        try:
+            return asyncio.run(coro)
+        except BindError:
+            raise
+        except (asyncio.TimeoutError, TimeoutError) as e:
+            raise BindError(
+                f"{what} timed out after {self.timeout}s against {self.url}"
+            ) from e
+        except Exception as e:
+            raise BindError(f"{what} failed against {self.url}: {e!r}") from e
+
     def stream_info(self) -> tuple[int, int]:
         asyncio = self._client()
 
@@ -256,13 +276,7 @@ class NatsLiveTransport:
             finally:
                 await _close_bounded(nc, self.timeout)
 
-        try:
-            return asyncio.run(_info())
-        except (asyncio.TimeoutError, TimeoutError) as e:
-            raise BindError(
-                f"stream_info('{self.stream}') timed out after "
-                f"{self.timeout}s against {self.url}"
-            ) from e
+        return self._run(_info(), f"stream_info('{self.stream}')")
 
     def fetch(self, start_seq: int, end_seq: int):
         asyncio = self._client()
@@ -295,13 +309,21 @@ class NatsLiveTransport:
                             f"{self.url}: {e!r}"
                         ) from e
                     hdr = msg.headers.get("Nats-Time-Stamp") if msg.headers else None
-                    ts_ns = _parse_rfc3339_ns(hdr) if hdr else 0
+                    try:
+                        ts_ns = _parse_rfc3339_ns(hdr) if hdr else 0
+                    except ValueError as e:
+                        raise BindError(
+                            f"seq {seq}: malformed Nats-Time-Stamp "
+                            f"header {hdr!r}"
+                        ) from e
                     out.append((seq, msg.subject, ts_ns, msg.data))
             finally:
                 await _close_bounded(nc, self.timeout)
             return out
 
-        return iter(asyncio.run(_fetch()))
+        return iter(
+            self._run(_fetch(), f"fetch({start_seq}-{end_seq}) on '{self.stream}'")
+        )
 
 
 def _make_transport(options: dict):

@@ -311,11 +311,14 @@ def test_rfc3339_ns_property_roundtrip():
     check()
 
 
-def test_empty_stream_yields_zero_rows_not_error(monkeypatch, spark):
+def test_empty_stream_yields_zero_rows_not_error(monkeypatch):
     """Reference connection-suite semantics (test/sql/
     test_connection_errors.sql Test 3): an existing-but-empty stream scans
-    to ZERO rows, not an error — checked end-to-end through the DataSource
-    with the live transport stubbed to an empty broker."""
+    to ZERO rows, not an error — checked at the transport layer (the
+    DataSource's partitions() turns (0, 0) into an empty slice list on
+    the driver; the stubbed module can't reach Spark's worker processes,
+    so the reader-level mapping is pinned separately in
+    tests/test_nats_source.py)."""
     broker = _FakeBroker("events", {}).install(monkeypatch)
 
     async def stream_info(self, stream):
@@ -328,3 +331,34 @@ def test_empty_stream_yields_zero_rows_not_error(monkeypatch, spark):
     assert t.stream_info() == (0, 0)
     assert list(t.fetch(1, 0)) == []
     assert broker.closed >= 1
+
+
+def test_connect_failure_wrapped_in_bind_error(monkeypatch):
+    """Connect-phase failures (broker down, auth) must also surface as
+    BindError with url context — nats-py raises its own exception types,
+    including a TimeoutError that is not the builtin (r07 review)."""
+    mod = types.ModuleType("nats")
+
+    class NoServersError(Exception):
+        pass
+
+    async def connect(url, connect_timeout=None):
+        raise NoServersError("no servers available for connection")
+
+    mod.connect = connect
+    monkeypatch.setitem(sys.modules, "nats", mod)
+    t = NatsLiveTransport("nats://down:4222", "events")
+    with pytest.raises(BindError, match="nats://down:4222"):
+        t.stream_info()
+    with pytest.raises(BindError, match="nats://down:4222"):
+        list(t.fetch(1, 3))
+
+
+def test_malformed_timestamp_header_is_bind_error(monkeypatch):
+    broker = _FakeBroker(
+        "events", {1: _msg("events.click.u1", b"x", ts="not-a-timestamp")}
+    ).install(monkeypatch)
+    t = NatsLiveTransport("nats://fake:4222", "events")
+    with pytest.raises(BindError, match="Nats-Time-Stamp"):
+        list(t.fetch(1, 1))
+    assert broker.closed == 1

@@ -410,13 +410,21 @@ def test_funnel_cascade_matches_fold(spark, sf_dir):
     from duckdb_nats_jetstream_spark.session import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    for gap, salts in ((None, None), ("2 hours", None), (None, 4)):
+    # salt_col="event_id": the deterministic tie-spreader (r07 review —
+    # a row-position salt in a shuffle join key is retry-unsafe)
+    for gap, salts, salt_col in (
+        (None, None, None),
+        ("2 hours", None, None),
+        (None, 4, None),
+        (None, 4, "event_id"),
+    ):
         a = funnel_user_stages(
             ev,
             ["view", "click", "purchase"],
             max_gap=gap,
             algorithm="cascade",
             n_salts=salts,
+            salt_col=salt_col,
         )
         b = funnel_user_stages(
             ev, ["view", "click", "purchase"], max_gap=gap, algorithm="fold"
@@ -427,7 +435,7 @@ def test_funnel_cascade_matches_fold(spark, sf_dir):
         none_safe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
         assert sorted(map(tuple, a.collect()), key=none_safe) == sorted(
             map(tuple, b.collect()), key=none_safe
-        ), f"cascade != fold (max_gap={gap})"
+        ), f"cascade != fold (max_gap={gap}, n_salts={salts}, salt_col={salt_col})"
 
 
 def test_skew_join_ready_presents_bare_shuffle(spark, sf_dir):

@@ -130,10 +130,8 @@ def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
         # hour 3: user 1 returns with the stage-2 event type only
         [(1, t(3, 1), "click")],
     ]
-    import os
-    import time
+    from tools._sparkui import pin_chunk_mtimes
 
-    base_mt = time.time() - 3600
     for i, rows in enumerate(chunks):
         cdir = d / f"c{i}.parquet"
         # coalesce(1): one part file per chunk. Multiple part files share
@@ -143,12 +141,9 @@ def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
         # the watermark and is dropped as late (observed flake: user 1's
         # h0 view vanished entirely).
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(cdir))
-        # the file source processes files in modification-time order;
-        # same-second writes tie and can reorder the chunks (observed
-        # flake) — pin strictly increasing mtimes
-        for root, _dirs, files in os.walk(cdir):
-            for f in files:
-                os.utime(os.path.join(root, f), (base_mt + i * 10,) * 2)
+    # the file source processes files in modification-time order;
+    # same-second writes tie and can reorder the chunks (observed flake)
+    pin_chunk_mtimes(str(d))
 
     stream = (
         spark.readStream.schema(
@@ -165,7 +160,7 @@ def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain did not terminate"
     rows = spark.sql("SELECT * FROM funnel_ttl").collect()
     by_user = {}
     for r in rows:

@@ -68,9 +68,22 @@ def pin_chunk_mtimes(d: str) -> None:
     """Give each *.parquet chunk in ``d`` a distinct, increasing mtime (in
     name order). Spark's file stream source orders files by modification
     time; same-second writes tie and can replay chunks out of order —
-    an observed flake in every replay-log harness."""
+    an observed flake in every replay-log harness. A chunk may be a flat
+    file OR a Spark-written ``*.parquet`` DIRECTORY; for directories the
+    pin must land on the PART FILES inside (the source lists leaves, so
+    utime on the directory itself is a silent no-op — and part files
+    within one chunk share its mtime, which is why chunk writers should
+    also coalesce(1))."""
     k = 0
     for f in sorted(os.listdir(d)):
-        if f.endswith(".parquet"):
-            os.utime(os.path.join(d, f), (1_700_000_000 + k * 10,) * 2)
-            k += 1
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(d, f)
+        mt = (1_700_000_000 + k * 10,) * 2
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for leaf in files:
+                    os.utime(os.path.join(root, leaf), mt)
+        else:
+            os.utime(path, mt)
+        k += 1

@@ -60,6 +60,8 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
+    last = {}
+
     def scan(n_parts: int):
         df = (
             spark.read.format("nats_jetstream")
@@ -72,13 +74,16 @@ def main() -> None:
             F.count("*").alias("n"),
             F.sum(F.length("payload")).alias("bytes"),
         ).collect()[0]
+        # record from inside the timed closure — a separate verification
+        # scan would both waste a full pass and pollute the stage window
+        last["n"], last["bytes"] = row.n, row["bytes"]
         return row.n, row["bytes"]
 
     n_rows = None
     for n_parts in (1, 4, 8, 32):
         before = _sparkui.stage_ids(UI_PORT)
         med, times = _timed(lambda: scan(n_parts))
-        n, nbytes = scan(n_parts)
+        n = last["n"]
         n_rows = n
         # task balance of the scan stage (the new stages since `before`)
         new = sorted(_sparkui.stage_ids(UI_PORT) - before)

@@ -170,6 +170,27 @@ def main() -> None:
                 }
             )
     q.awaitTermination()
+    # backfill batches the 0.5 s poll missed (e.g. the final batch landing
+    # during the last sleep): metrics come from recentProgress; store_mb
+    # can only be the final on-disk size for these (marked backfilled)
+    have = {r["batch"] for r in per_batch}
+    final_store = (
+        round(_dir_bytes(store) / 1e6, 1) if os.path.exists(store) else 0.0
+    )
+    for p_ in q.recentProgress:
+        if p_["batchId"] not in have and p_["numInputRows"]:
+            per_batch.append(
+                {
+                    "batch": p_["batchId"],
+                    "ms": p_["batchDuration"],
+                    "store_mb": final_store,
+                    "ui_mem_mb": round(_peak_jvm_mb(), 1),
+                    "blocks_mb": _actual_mb(spark)[0],
+                    "n_blocks": _actual_mb(spark)[1],
+                    "backfilled": True,
+                }
+            )
+    per_batch.sort(key=lambda r: r["batch"])
 
     flags = spark.read.parquet(out)
     n_flagged = flags.filter("is_near_dup").count()
