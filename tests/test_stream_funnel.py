@@ -176,3 +176,73 @@ def test_streaming_funnel_idle_timeout_evicts_and_restarts(spark, tmp_path):
         for p in q.recentProgress
     )
     assert removed >= 1
+
+
+def test_streaming_funnel_ttl_timers_survive_checkpoint_resume(spark, tmp_path):
+    """The eviction deadline lives in Spark's timer state — it must
+    survive a checkpoint stop/restart: user 1 goes idle before the stop,
+    the RESUMED query's watermark passes their deadline and must still
+    evict, and their later return must still restart at stage 0 (same
+    semantics as the uninterrupted drain in the test above)."""
+    import datetime as dt
+
+    from tools._sparkui import pin_chunk_mtimes
+
+    d = tmp_path / "log"
+    d.mkdir()
+    schema = "user_id long, ts timestamp, event_type string"
+    t = lambda h, s: dt.datetime(2026, 1, 1, h, 0, s)
+    first = [
+        [(1, t(0, 1), "view"), (2, t(0, 2), "view")],
+        [(2, t(1, 1), "click")],
+    ]
+    second = [
+        [(2, t(2, 2), "purchase")],
+        [(1, t(3, 1), "click")],
+    ]
+
+    def write(chunks, start):
+        for i, rows in enumerate(chunks, start=start):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(d / f"c{i}.parquet")
+            )
+        pin_chunk_mtimes(str(d))
+
+    sink = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(d) + "/*").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d) + "/*")
+        )
+        out = streaming_funnel(
+            stream, STAGES, idle_timeout="45 minutes", watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return q
+
+    write(first, 0)
+    drain()
+    write(second, 2)
+    q2 = drain()
+
+    rows = spark.read.parquet(sink).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, set()).add(r.stage_no)
+    assert by_user[2] == {1, 2, 3}  # active across the restart
+    # user 1's deadline was armed BEFORE the stop and fired AFTER it
+    assert by_user[1] == {1}
+    removed = sum(
+        (p["stateOperators"][0]["numRowsRemoved"] if p["stateOperators"] else 0)
+        for p in q2.recentProgress
+    )
+    assert removed >= 1
