@@ -56,6 +56,8 @@ def near_dup_flagger(
     id_col: str = "doc_id",
     k: int = 8,
     band_size: int = 2,
+    store_table: str | None = None,
+    store_buckets: int = 64,
 ):
     """Incremental NEAR-duplicate detection over a document stream — the
     streaming twin of :func:`operators.dedup.minhash_lsh_pairs`' candidate
@@ -80,27 +82,83 @@ def near_dup_flagger(
     State is the parquet store, not executor memory — survives restarts,
     unbounded corpus, no watermark eviction needed (near-dup checks must
     look back forever, unlike redelivery dedup above).
+
+    ``store_table`` switches the store from a parquet directory to a
+    ``band_key``-BUCKETED catalog table (``store_buckets`` buckets,
+    sorted within bucket, still hive-partitioned by ``batch_id`` for the
+    replay-exclusion prune). Why: the dir-backed probe join reshuffles
+    the CORPUS-SIZED store on every micro-batch once it outgrows the
+    broadcast threshold; a bucketed store is pre-hashed on disk — the
+    probe SMJ reads it shuffle-free (``Bucketed: true``, store-side
+    Exchange gone; plan-pinned in tests) and only the batch-sized side
+    shuffles, forever. Replay stays idempotent via dynamic partition
+    overwrite ``insertInto``. Requires a catalog that outlives the job
+    for cross-RESTART durability (Hive metastore / warehouse catalog —
+    the default in-memory catalog forgets table METADATA at session end
+    even though the files remain); within one session (any number of
+    query restarts) it is self-contained.
     """
     from duckdb_nats_jetstream_spark.operators.dedup import _band_keys_df
+
+    def _read_store(spark, batch_id: int):
+        """Prior band keys, excluding THIS batch's partition: after a
+        failed attempt the store may already hold the replayed batch's
+        own band keys, and without the filter documents within the batch
+        would flag each other — verdicts on replay would differ from a
+        clean run (r02 ADVICE). The batch_id partition layout makes the
+        filter a directory/partition prune, not a scan."""
+        if store_table is not None:
+            if not spark.catalog.tableExists(store_table):
+                return None
+            return spark.table(store_table).filter(
+                F.col("batch_id") != F.lit(batch_id)
+            )
+        try:
+            return spark.read.parquet(store_dir).filter(
+                F.col("batch_id") != F.lit(batch_id)
+            )
+        except Exception:  # first batch — empty store
+            return None
+
+    def _write_store(spark, keys: DataFrame, batch_id: int) -> None:
+        if store_table is None:
+            keys.write.mode("overwrite").parquet(
+                f"{store_dir}/batch_id={batch_id}"
+            )
+            return
+        tagged = keys.withColumn("batch_id", F.lit(batch_id))
+        if not spark.catalog.tableExists(store_table):
+            (
+                tagged.write.partitionBy("batch_id")
+                .bucketBy(store_buckets, "band_key")
+                .sortBy("band_key")
+                .format("parquet")
+                .saveAsTable(store_table)
+            )
+            return
+        # replay-idempotent append: dynamic partition overwrite replaces
+        # ONLY this batch's partition (plain append would double-insert a
+        # replayed batch; saveAsTable-overwrite would drop the table)
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf, None)
+        spark.conf.set(conf, "dynamic")
+        try:
+            cols = spark.table(store_table).columns  # positional contract
+            tagged.select(*cols).write.mode("overwrite").insertInto(
+                store_table
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, prev)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return
         keys = _band_keys_df(batch_df, text_col, id_col, k, band_size).persist()
-        try:
-            # Exclude THIS batch's partition from the store read: after a
-            # failed attempt the store may already hold the replayed batch's
-            # own band keys, and without the filter documents within the
-            # batch would flag each other — verdicts on replay would differ
-            # from a clean run (r02 ADVICE). The partition column comes from
-            # the batch_id=N directory layout, so the filter prunes the
-            # directory, it doesn't scan it.
-            store = spark.read.parquet(store_dir).filter(
-                F.col("batch_id") != F.lit(batch_id)
-            )
-        except Exception:  # first batch — empty store
-            store = None
+        store = _read_store(spark, batch_id)
         if store is not None:
             hits = (
                 keys.join(
@@ -129,7 +187,7 @@ def near_dup_flagger(
         )
         # per-batch dirs → a replayed batch overwrites itself (idempotent)
         verdict.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        keys.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        _write_store(spark, keys, batch_id)
         keys.unpersist(blocking=True)
 
     return (

@@ -184,3 +184,106 @@ def test_near_dup_flagger_store_compaction_preserves_verdicts(spark, tmp_path):
     assert plain == compacted
     assert plain[4][0]  # the planted near-dup still flags post-compaction
     assert not plain[1][0] and not plain[3][0]
+
+
+def test_near_dup_flagger_bucketed_store_matches_dir_store(spark, tmp_path):
+    """The bucketed-table store backend (shuffle-free probe at scale) must
+    produce identical verdicts to the directory store on the same stream,
+    including across a replayed batch; and the probe join against the
+    bucketed store must read it WITHOUT a store-side exchange."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from duckdb_nats_jetstream_spark.operators.dedup import _band_keys_df
+    from duckdb_nats_jetstream_spark.streaming.dedup import near_dup_flagger
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    batches = [
+        [(1, base), (2, "completely different words about spark engines")],
+        [(3, base + " again"), (4, "nothing like anything before at all")],
+        [(5, base + " once more"), (6, "unrelated filler text goes here now")],
+    ]
+    schema = "doc_id long, text string"
+    spark.sql("DROP TABLE IF EXISTS flagger_store_test")
+    # also clear a stale managed-table LOCATION from a previous process:
+    # the default in-memory catalog forgets metadata at session end, so
+    # DROP alone can't see (or remove) the leftover warehouse directory
+    import shutil as _sh
+
+    _sh.rmtree(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        + "/flagger_store_test",
+        ignore_errors=True,
+    )
+
+    def run(label, **kwargs):
+        doc_dir = tmp_path / f"in_{label}"
+        doc_dir.mkdir()
+        out = str(tmp_path / f"out_{label}")
+        for i, rows in enumerate(batches):
+            pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+                doc_dir / f"b{i}.parquet"
+            )
+            stream = spark.readStream.schema(schema).parquet(str(doc_dir))
+            near_dup_flagger(
+                stream,
+                str(tmp_path / f"store_{label}"),
+                str(tmp_path / f"ckpt_{label}"),
+                out,
+                **kwargs,
+            ).awaitTermination()
+        return {
+            r.doc_id: (r.is_near_dup, r.n_candidate_bands)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    via_dir = run("dir")
+    via_table = run(
+        "table", store_table="flagger_store_test", store_buckets=8
+    )
+    assert via_dir == via_table
+    assert via_table[3][0] and via_table[5][0]  # planted near-dups flag
+    assert not via_table[2][0]
+
+    # replay idempotence on the TABLE backend: re-inserting a batch's own
+    # keys must not change row counts (dynamic overwrite, not append)
+    n_before = spark.table("flagger_store_test").count()
+    replay_keys = _band_keys_df(
+        spark.createDataFrame(batches[1], schema), "text", "doc_id", 8, 2
+    ).withColumn("batch_id", F.lit(1))
+    cols = spark.table("flagger_store_test").columns
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        replay_keys.select(*cols).write.mode("overwrite").insertInto(
+            "flagger_store_test"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert spark.table("flagger_store_test").count() == n_before
+
+    # plan pin: SMJ against the bucketed store reads it with NO exchange
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch_keys = _band_keys_df(
+            spark.createDataFrame(batches[0], schema), "text", "doc_id", 8, 2
+        )
+        j = batch_keys.join(
+            spark.table("flagger_store_test").withColumnRenamed(
+                "doc_id", "p"
+            ),
+            "band_key",
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        # exactly ONE join-key exchange — the batch side; the bucketed
+        # store reads pre-hashed (its round-robin spread inside
+        # _band_keys_df is not a join shuffle)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    spark.sql("DROP TABLE flagger_store_test")
