@@ -126,7 +126,15 @@ def near_dup_flagger(
                 f"{store_dir}/batch_id={batch_id}"
             )
             return
-        tagged = keys.withColumn("batch_id", F.lit(batch_id))
+        # align writer tasks with the bucket hash BEFORE the bucketed
+        # write: without this every writer task holds rows of every
+        # bucket and fans out (tasks × buckets) small files per batch —
+        # measured 2× wall at toy scale, and a small-file explosion at
+        # any scale (same hash family, so post-repartition each task
+        # carries exactly one bucket's rows → one file per bucket)
+        tagged = keys.withColumn("batch_id", F.lit(batch_id)).repartition(
+            store_buckets, "band_key"
+        )
         if not spark.catalog.tableExists(store_table):
             (
                 tagged.write.partitionBy("batch_id")

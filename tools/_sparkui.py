@@ -87,3 +87,14 @@ def pin_chunk_mtimes(d: str) -> None:
         else:
             os.utime(path, mt)
         k += 1
+
+
+def shuffle_write_bytes(port: int, exclude: set[tuple[int, int]]) -> int:
+    """Total shuffle WRITE bytes across completed stages not in ``exclude``
+    — the cross-stage data-movement bill for everything since a
+    ``stage_ids()`` snapshot."""
+    total = 0
+    for s in completed_stages(port):
+        if (s["stageId"], s["attemptId"]) not in exclude:
+            total += s.get("shuffleWriteBytes", 0)
+    return total

@@ -196,6 +196,56 @@ def main() -> None:
     n_flagged = flags.filter("is_near_dup").count()
     n_docs = flags.count()
     expect = int(ROWS * DUP_FRAC) * (N_CHUNKS - 1)
+
+    # -- dir vs BUCKETED store: the probe join's shuffle bill ------------
+    # broadcast disabled = the past-threshold regime; the dir store
+    # reshuffles the whole accumulated store per batch, the bucketed
+    # store reads pre-hashed (store-side exchange gone, plan-pinned in
+    # tests) so only batch-sized data moves
+    shuffle = {}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS stress_band_store")
+    import shutil as _sh
+
+    _sh.rmtree(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        + "/stress_band_store",
+        ignore_errors=True,
+    )
+    try:
+        for label, kwargs in (
+            ("dir_store", {}),
+            ("bucketed_store", dict(store_table="stress_band_store",
+                                    store_buckets=32)),
+        ):
+            before = _sparkui.stage_ids(UI_PORT)
+            t0 = time.time()
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(docs)
+            )
+            q2 = near_dup_flagger(
+                stream,
+                os.path.join(work, f"store_{label}"),
+                os.path.join(work, f"ckpt_{label}"),
+                os.path.join(work, f"out_{label}"),
+                **kwargs,
+            )
+            q2.awaitTermination()
+            shuffle[label] = {
+                "wall_s": round(time.time() - t0, 1),
+                "shuffle_write_mb": round(
+                    _sparkui.shuffle_write_bytes(UI_PORT, before) / 1e6, 1
+                ),
+            }
+            print(f"{label}: {shuffle[label]}", file=sys.stderr)
+        a = spark.read.parquet(os.path.join(work, "out_dir_store"))
+        b = spark.read.parquet(os.path.join(work, "out_bucketed_store"))
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS stress_band_store")
     for r in per_batch:
         print(f"b{r['batch']}: {r['ms']}ms store={r['store_mb']}MB "
               f"ui_mem={r['ui_mem_mb']}MB blocks={r['blocks_mb']}MB"
@@ -203,7 +253,7 @@ def main() -> None:
     print(f"flagged {n_flagged}/{n_docs} (planted {expect})", file=sys.stderr)
     print("RESULT " + json.dumps(
         {"per_batch": per_batch, "flagged": n_flagged, "docs": n_docs,
-         "planted": expect}
+         "planted": expect, "store_backends": shuffle}
     ))
 
 
