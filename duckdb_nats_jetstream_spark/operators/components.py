@@ -30,6 +30,8 @@ min-reachable-id fixpoint in DuckDB (see pipeline.DEDUP_COMPONENTS_SQL).
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -41,6 +43,8 @@ def connected_components(
     comp_out: str = "component",
     max_iter: int = 50,
     edges_unique: bool = False,
+    on_round: Optional[Callable[[int], None]] = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """(vertex, component-min-id) for every vertex appearing in ``edges``.
 
@@ -51,6 +55,29 @@ def connected_components(
     list is distinct with ``src < dst`` by construction (every pair
     generator in :mod:`operators.dedup` emits exactly that), making the
     two-direction union automatically duplicate-free.
+
+    ``on_round``, if given, is called with the 1-based round number after
+    each propagation round has fully materialized (the eager checkpoint) —
+    convergence progress is otherwise invisible on a long-diameter graph,
+    and the stress harness uses it to measure rounds and per-round wall.
+
+    ``skew_safe=True`` materializes the intermediate label relation before
+    the pointer-doubling self-join. Pointer doubling SELF-INFLICTS a hot
+    key as a giant component converges — every vertex's label becomes the
+    same component-min, so the hop join's key collapses onto one value —
+    and that join's child carries the neighbor-min aggregate, which puts
+    it in the agg-under-join class AQE's ``OptimizeSkewedJoin`` cannot
+    split (SCALING.md batch 5). Measured on a 10M-vertex single-hub graph
+    (batch 13): a 12.6× straggler AQE-off, still 4.2× with a tuned skew
+    threshold, 2.5× and HALF the wall (25.4 → 13.7 s) with
+    ``skew_safe=True``. Default off because near-dup
+    graphs are df-capped upstream into small components (the hot label
+    never forms) and the flag costs one extra vertex-sized checkpoint per
+    round; flip it when feeding arbitrary edge lists that may contain a
+    giant component, together with
+    ``spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`` sized
+    to the vertex relation (the default 256m is above a 10M-vertex hot
+    partition, so the rescue silently no-ops).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected: propagate both ways; distinct so multi-edges cost nothing
@@ -66,7 +93,9 @@ def connected_components(
         .agg(F.least(F.first("a"), F.min("b")).alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter - 1):
+    if on_round is not None:
+        on_round(1)  # the init aggregation IS the first propagation round
+    for _round in range(2, max_iter + 1):
         nbr_min = (
             und.alias("e")
             .join(labels.alias("l"), F.col("e.a") == F.col("l.id"))
@@ -85,6 +114,10 @@ def connected_components(
         # lookup is a vertex-sized self-join; it doubles the distance a
         # minimum travels per round, turning chain graphs from O(diameter)
         # into O(log diameter) rounds.
+        if skew_safe:
+            # cut the nbr_min aggregate out of the hop join's stage so
+            # AQE can split the converged-label hot key (see docstring)
+            stepped = stepped.localCheckpoint(eager=False)
         hop = stepped.select(
             F.col("id").alias("cid"), F.col("comp1").alias("ccomp")
         )
@@ -104,6 +137,8 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        if on_round is not None:
+            on_round(_round)
         # Convergence flag rides the checkpointed frame — detecting the
         # fixpoint costs a take(1) over cached partitions, not an extra
         # old-vs-new shuffle join per round.

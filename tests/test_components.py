@@ -56,3 +56,21 @@ def test_star_and_clique_mixture(spark):
     bridge2 = [(619, 620)]
     got = _cc(spark, star + clique + bridge + chain + bridge2)
     assert set(got.values()) == {1}
+
+
+def test_skew_safe_and_on_round_parity(spark):
+    """`skew_safe=True` must be a pure plan-shape change (bit-identical
+    labels), and `on_round` must report the measured round count: a
+    63-vertex chain needs ~log2(63)+1 doubling rounds, so the callback
+    fires more than twice and at most the 16-round budget."""
+    edges = [(i, i + 1) for i in range(1, 63)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rounds = []
+    plain = connected_components(df, max_iter=16, edges_unique=True)
+    safe = connected_components(
+        df, max_iter=16, edges_unique=True, skew_safe=True,
+        on_round=rounds.append,
+    )
+    assert plain.exceptAll(safe).isEmpty() and safe.exceptAll(plain).isEmpty()
+    assert rounds == list(range(1, len(rounds) + 1))
+    assert 2 < len(rounds) <= 16
