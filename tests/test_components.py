@@ -74,3 +74,42 @@ def test_skew_safe_and_on_round_parity(spark):
     assert plain.exceptAll(safe).isEmpty() and safe.exceptAll(plain).isEmpty()
     assert rounds == list(range(1, len(rounds) + 1))
     assert 2 < len(rounds) <= 16
+
+
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs vs a pure-Python union-find reference: the
+    min-label fixpoint must match exact transitive closure on shapes no
+    hand-written case covers (self-loops, duplicate edges, many mid-size
+    components, a few long tendrils)."""
+    import random
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min id per component
+        comp_min = {}
+        for v in list(parent):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {v: comp_min[find(v)] for v in parent}
+
+    for seed in (7, 23, 1009):
+        rng = random.Random(seed)
+        n = 400
+        edges = [
+            (rng.randrange(n), rng.randrange(n))  # self-loops + dups ok
+            for _ in range(rng.randrange(150, 500))
+        ]
+        got = _cc(spark, edges)
+        assert got == union_find_labels(edges), f"seed {seed}"
