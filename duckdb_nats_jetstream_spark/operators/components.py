@@ -93,8 +93,19 @@ def connected_components(
         .agg(F.least(F.first("a"), F.min("b")).alias("comp"))
         .localCheckpoint(eager=True)
     )
-    if on_round is not None:
-        on_round(1)  # the init aggregation IS the first propagation round
+    try:
+        if on_round is not None:
+            on_round(1)  # the init aggregation IS the first propagation round
+        labels = _propagate(und, labels, max_iter, skew_safe, on_round)
+    finally:
+        # a raising on_round callback (or any mid-loop failure) must not
+        # leak the persisted edge relation into the session cache manager
+        und.unpersist(blocking=True)
+    return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
+
+
+def _propagate(und, labels, max_iter, skew_safe, on_round):
+    """Iterate propagation + pointer-doubling rounds to the fixpoint."""
     for _round in range(2, max_iter + 1):
         nbr_min = (
             und.alias("e")
@@ -144,5 +155,4 @@ def connected_components(
         # old-vs-new shuffle join per round.
         if labels.filter(F.col("upd")).isEmpty():
             break
-    und.unpersist(blocking=True)
-    return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
+    return labels

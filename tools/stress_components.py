@@ -14,7 +14,7 @@ through it. Its scale claims so far were argued + toy-tested:
   that grows with iterations would show super-linear round walls).
 - **Edge-sized shuffle per round** — the propagation join + vertex agg
   move O(E) + O(V) per round, nothing accumulates.
-- **Hub skew** — a power-law hub (one vertex on 90% of edges) makes the
+- **Hub skew** — a power-law hub (one vertex on ~95% of edges) makes the
   propagation join's edge side hot on one key. Batch 5 showed AQE's
   OptimizeSkewedJoin rescues a plain skewed SMJ but is DEFEATED when an
   aggregate sits under the join child; here the agg sits ABOVE the join
@@ -28,7 +28,7 @@ so correctness is asserted exactly, no oracle needed):
   shape; expect 2-3 rounds (init counts as round 1).
 - ``chain``    — 300k-vertex path (diameter 300k): expect ~log2(300k)≈18
   rounds + 1 fixpoint-detection round, NOT 300k.
-- ``hub``      — 1M vertices, vertex 0 adjacent to 900k (90% of edges),
+- ``hub``      — 1M vertices, vertex 0 adjacent to 900k (~95% of edges),
   plus 50k background chains of 2: the skew case.
 
 Run:  python tools/stress_components.py   (~2-4 min) → paste into
@@ -113,7 +113,7 @@ def main() -> None:
         edges = edges.localCheckpoint(eager=True)  # time CC, not the gen
         n_edges = edges.count()
         before = _sparkui.stage_ids(UI_PORT)
-        round_walls, t0 = [], time.time()
+        round_walls = []
 
         def tick(i, _t=[time.time()]):
             now = time.time()

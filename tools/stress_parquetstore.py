@@ -205,9 +205,7 @@ def main() -> None:
     shuffle = {}
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS stress_band_store")
-    import shutil as _sh
-
-    _sh.rmtree(
+    shutil.rmtree(
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         + "/stress_band_store",
         ignore_errors=True,
