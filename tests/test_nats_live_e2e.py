@@ -46,19 +46,32 @@ BASE_EPOCH = int(
 _FAKE_NATS = f'''
 """Deterministic fake of the nats-py client for e2e tests."""
 import json
+import os
 
 
 class NotFoundError(Exception):
     code = 404
 
 
-class _State:
-    first_seq = {FIRST}
-    last_seq = {LAST}
+def _last_seq():
+    """Publishing more messages = writing a higher value into the state
+    file beside this module (read at CALL time, so long-lived worker
+    processes that cached the import still see growth)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "nats_fake_state.json")
+    try:
+        with open(p) as fh:
+            return int(json.load(fh)["last_seq"])
+    except OSError:
+        return {LAST}
 
 
 class _Info:
-    state = _State()
+    def __init__(self):
+        class _State:
+            first_seq = {FIRST}
+            last_seq = _last_seq()
+        self.state = _State()
 
 
 class _Msg:
@@ -80,7 +93,7 @@ class _JetStream:
 
     async def get_msg(self, stream, seq, direct=True):
         if stream != "orders" or seq in {sorted(GAPS)!r} or not (
-            {FIRST} <= seq <= {LAST}
+            {FIRST} <= seq <= _last_seq()
         ):
             raise NotFoundError()
         return _Msg(seq)
@@ -114,6 +127,7 @@ def fake_broker(spark):
         yield
     finally:
         p.unlink(missing_ok=True)
+        (repo / "nats_fake_state.json").unlink(missing_ok=True)
         shutil.rmtree(repo / "__pycache__", ignore_errors=True)
         sys.modules.pop("nats", None)
 
@@ -178,3 +192,46 @@ def test_streaming_tail_over_live_transport(spark, fake_broker, tmp_path):
         "SELECT seq FROM nats_live_tail ORDER BY seq"
     ).collect()
     assert [r.seq for r in got] == EXPECTED_SEQS
+
+
+def test_checkpoint_resume_picks_up_published_messages(
+    spark, fake_broker, tmp_path
+):
+    """Durable-consumer semantics e2e: drain, publish more messages (bump
+    the fake broker's last_seq via its state file), drain again with the
+    SAME checkpoint — the second run must resume at the committed offset
+    and read only the new tail, never re-reading or skipping."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    state = repo / "nats_fake_state.json"
+    ck = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery, and recovery IS what this test exercises
+        q = (
+            spark.readStream.format("nats_jetstream")
+            .option("stream", "orders")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r.seq for r in spark.read.parquet(out).select("seq").collect()
+        )
+
+    try:
+        state.write_text(json.dumps({"last_seq": 6}))
+        assert drain() == [2, 3, 5, 6]
+        state.write_text(json.dumps({"last_seq": LAST}))
+        # cumulative sink contents = old tail + newly published tail,
+        # each sequence exactly once (resumed at the committed offset)
+        assert drain() == EXPECTED_SEQS
+    finally:
+        state.unlink(missing_ok=True)
