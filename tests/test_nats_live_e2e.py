@@ -119,7 +119,13 @@ def fake_broker(spark):
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     p = repo / "nats.py"
-    assert not p.exists(), "stale fake nats.py at repo root — remove it"
+    if p.exists():
+        # a hard-killed earlier run leaves the fake behind (the finalizer
+        # never ran); reclaim OUR file, but refuse to delete anything else
+        assert "Deterministic fake of the nats-py client" in p.read_text(), (
+            f"unexpected non-fixture file at {p} — remove it manually"
+        )
+        p.unlink()
     p.write_text(_FAKE_NATS)
     sys.modules.pop("nats", None)
     register(spark)

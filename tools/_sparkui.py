@@ -98,3 +98,18 @@ def shuffle_write_bytes(port: int, exclude: set[tuple[int, int]]) -> int:
         if (s["stageId"], s["attemptId"]) not in exclude:
             total += s.get("shuffleWriteBytes", 0)
     return total
+
+
+def worst_task(port: int, exclude: set[tuple[int, int]]) -> tuple[float, float]:
+    """(median_s, max_s) of the completed stage with the LARGEST max task
+    time outside ``exclude`` — the straggler signal for everything since
+    a ``stage_ids()`` snapshot."""
+    worst = (0.0, 0.0)
+    for s in completed_stages(port):
+        key = (s["stageId"], s["attemptId"])
+        if key in exclude:
+            continue
+        med, mx = task_skew(port, *key)
+        if mx > worst[1]:
+            worst = (med, mx)
+    return worst

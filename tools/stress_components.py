@@ -127,15 +127,7 @@ def main() -> None:
         rows = labels.collect()
         wall = round(time.time() - t0, 1)
         check(rows)
-        # heaviest completed stage by max task time → skew signal
-        worst = (0.0, 0.0)
-        for s in _sparkui.completed_stages(UI_PORT):
-            key = (s["stageId"], s["attemptId"])
-            if key in before:
-                continue
-            med, mx = _sparkui.task_skew(UI_PORT, *key)
-            if mx > worst[1]:
-                worst = (med, mx)
+        worst = _sparkui.worst_task(UI_PORT, before)
         out[name] = {
             "edges": n_edges,
             "rounds": len(round_walls),

@@ -33,11 +33,16 @@ from tools import _sparkui  # noqa: E402 — needs REPO on sys.path
 UI_PORT = 4096
 
 
-def _measure(spark, rows: int) -> dict:
+def _measure(rows: int) -> dict:
+    """One Spark session per scale — see stress_sampling._measure: a
+    localCheckpointed DataFrame's blocks survive `unpersist()`, so a
+    fresh session is the reliable release."""
     from pyspark.sql import Window as W, functions as F
 
     from duckdb_nats_jetstream_spark.operators.ordered import chunked_lag
 
+    spark = _sparkui.build_session(f"stress-ordered-{rows}", UI_PORT)
+    spark.sparkContext.setLogLevel("ERROR")
     df = (
         spark.range(rows)
         .select(
@@ -70,14 +75,7 @@ def _measure(spark, rows: int) -> dict:
         t0 = time.time()
         got = fn(df).collect()
         wall = round(time.time() - t0, 1)
-        worst = (0.0, 0.0)
-        for s in _sparkui.completed_stages(UI_PORT):
-            k = (s["stageId"], s["attemptId"])
-            if k in before:
-                continue
-            med, mx = _sparkui.task_skew(UI_PORT, *k)
-            if mx > worst[1]:
-                worst = (med, mx)
+        worst = _sparkui.worst_task(UI_PORT, before)
         results[label] = {(r.prev, r.seq) for r in got}
         out[label] = {
             "wall_s": wall,
@@ -88,15 +86,13 @@ def _measure(spark, rows: int) -> dict:
     assert results["global_window"] == results["chunked"]
     assert len(results["chunked"]) == rows // 100  # one gap per removed seq
     out["identical_gaps"] = True
-    df.unpersist(blocking=True)
+    spark.stop()
     return out
 
 
 def main() -> None:
-    spark = _sparkui.build_session("stress-ordered", UI_PORT)
-    spark.sparkContext.setLogLevel("ERROR")
     out = {
-        f"{rows // 1_000_000}M": _measure(spark, rows)
+        f"{rows // 1_000_000}M": _measure(rows)
         for rows in (10_000_000, 40_000_000)
     }
     print("RESULT " + json.dumps(out))

@@ -39,13 +39,19 @@ UI_PORT = 4095
 N_PER_GROUP = 100
 
 
-def _measure(spark, rows: int) -> dict:
+def _measure(rows: int) -> dict:
+    """One Spark session per scale: `unpersist()` on a localCheckpointed
+    DataFrame is a no-op (its RDD persistence is not registered with the
+    CacheManager), so the only way to release the smaller corpus's blocks
+    before the bigger run is to end the session."""
     from pyspark.sql import functions as F
 
     from duckdb_nats_jetstream_spark.operators.sampling import (
         stratified_hash_topn,
     )
 
+    spark = _sparkui.build_session(f"stress-sampling-{rows}", UI_PORT)
+    spark.sparkContext.setLogLevel("ERROR")
     df = (
         spark.range(rows)
         .select(
@@ -71,14 +77,7 @@ def _measure(spark, rows: int) -> dict:
             df, "source", N_PER_GROUP, margin=margin
         ).collect()
         wall = round(time.time() - t0, 1)
-        worst = (0.0, 0.0)
-        for s in _sparkui.completed_stages(UI_PORT):
-            k = (s["stageId"], s["attemptId"])
-            if k in before:
-                continue
-            med, mx = _sparkui.task_skew(UI_PORT, *k)
-            if mx > worst[1]:
-                worst = (med, mx)
+        worst = _sparkui.worst_task(UI_PORT, before)
         results[label] = {(r.source, r.doc_id) for r in got}
         out[label] = {
             "wall_s": wall,
@@ -93,16 +92,13 @@ def _measure(spark, rows: int) -> dict:
         results["prefiltered"]
     )
     out["identical_samples"] = True
-    # release the checkpoint blocks before the next (bigger) dataset
-    df.unpersist(blocking=True)
+    spark.stop()
     return out
 
 
 def main() -> None:
-    spark = _sparkui.build_session("stress-sampling", UI_PORT)
-    spark.sparkContext.setLogLevel("ERROR")
     out = {
-        f"{rows // 1_000_000}M": _measure(spark, rows)
+        f"{rows // 1_000_000}M": _measure(rows)
         for rows in (10_000_000, 40_000_000)
     }
     print("RESULT " + json.dumps(out))
