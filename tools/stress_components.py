@@ -47,7 +47,7 @@ sys.path.insert(0, REPO)
 
 from tools import _sparkui  # noqa: E402 — needs REPO on sys.path
 
-UI_PORT = 4087
+UI_PORT = 4097
 
 
 def _scenarios(spark):
