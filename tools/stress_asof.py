@@ -1,0 +1,158 @@
+"""As-of-join stress batch (19): the union+window shape must scale
+LINEARLY with events, vs the naive range join's output explosion.
+
+`operators/asof.asof_join` claims one hash shuffle + a sorted window
+scan per key — "no range explosion". The naive alternative (join on
+`r.ts <= l.ts`, keep max) materializes one row per (event, EARLIER
+quote) pair: with q quotes per key that is O(events × q/2) join output
+BEFORE the max-aggregation collapses it, so its cost grows with the
+quote history length, not the data. The window shape reads each row
+once.
+
+Experiment, keyed by 200 symbols with 5k quotes each (1M quotes):
+
+- events at 10M / 20M / 40M through `asof_join` — the jitter-free
+  signal is SHUFFLE WRITE BYTES per run, which must track the union's
+  row count (events + quotes): doubling events predicts a ratio of
+  (n + 1M) / (n/2 + 1M) ≈ 1.9, and the harness asserts each measured
+  ratio within [1.6, 2.2]. Walls are reported too (best-of-2) but at
+  single-digit seconds they carry a fixed scheduling floor;
+- the naive range join at events=100k ONLY (its output is already
+  ~185M rows there — 1,850× amplification), the measured reason it
+  cannot scale and is not the implementation;
+- parity: at 100k events, both paths produce identical (event, matched
+  quote ts) assignments (asserted set-equal on a hash sample).
+
+Run:  python tools/stress_asof.py   (~4 min) → paste into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools import _sparkui  # noqa: E402 — needs REPO on sys.path
+
+UI_PORT = 4099
+N_SYMBOLS = 200
+QUOTES_PER_SYMBOL = 5_000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from duckdb_nats_jetstream_spark.operators.asof import asof_join
+
+    spark = _sparkui.build_session("stress-asof", UI_PORT)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    quotes = (
+        spark.range(N_SYMBOLS * QUOTES_PER_SYMBOL)
+        .select(
+            (F.col("id") % N_SYMBOLS).alias("symbol"),
+            # quote times at 1000, 2000, ... per symbol
+            ((F.col("id") / N_SYMBOLS).cast("long") * 1000 + 1000)
+            .alias("q_ts"),
+            (F.col("id") * 7 % 100_000).alias("price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    quotes.count()
+
+    def events(n: int):
+        return (
+            spark.range(n)
+            .select(
+                (F.col("id") % N_SYMBOLS).alias("symbol"),
+                # event times spread across the full quote range, offset
+                # +500 so each event lands mid-interval (deterministic match)
+                (
+                    (F.col("id") * 37 % (QUOTES_PER_SYMBOL * 1000)) + 500
+                ).alias("e_ts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def run_asof(ev, n) -> tuple[float, int]:
+        before = _sparkui.stage_ids(UI_PORT)
+        t0 = time.time()
+        joined = asof_join(
+            ev, quotes, on="symbol", left_ts="e_ts", right_ts="q_ts",
+            right_cols={"q_ts": "m_ts", "price": "m_price"},
+        )
+        # aggregate the MATCHED columns: a bare count() lets Catalyst
+        # prune the window projection and measures nothing
+        row = joined.agg(
+            F.count("*").alias("n"), F.sum("m_price").alias("s")
+        ).collect()[0]
+        assert row.n == n and row.s is not None
+        wall = time.time() - t0
+        return wall, _sparkui.shuffle_write_bytes(UI_PORT, before)
+
+    warm = events(1_000_000)
+    run_asof(warm, 1_000_000)  # warmup, discarded
+    warm.unpersist()
+    out = {"walls": {}, "shuffle_mb": {}}
+    for n in (10_000_000, 20_000_000, 40_000_000):
+        ev = events(n)
+        ev.count()
+        # shuffle bytes are deterministic — take run 1's; wall best-of-2
+        w1, sh = run_asof(ev, n)
+        w2, _ = run_asof(ev, n)
+        key = f"{n // 1_000_000}M"
+        out["walls"][key] = round(min(w1, w2), 1)
+        out["shuffle_mb"][key] = round(sh / 1e6, 1)
+        print(f"asof {key} events: {out['walls'][key]}s "
+              f"shuffle {out['shuffle_mb'][key]}MB", file=sys.stderr)
+        ev.unpersist()
+    sh = out["shuffle_mb"]
+    out["shuffle_doubling_ratios"] = [
+        round(sh["20M"] / sh["10M"], 2),
+        round(sh["40M"] / sh["20M"], 2),
+    ]
+    # union row count = events + 1M quotes → predicted ratios ~1.91/1.95
+    for r in out["shuffle_doubling_ratios"]:
+        assert 1.6 <= r <= 2.2, out["shuffle_doubling_ratios"]
+
+    # the naive range join, small scale only — measure the explosion
+    ev1 = events(100_000)
+    ev1.count()
+    t0 = time.time()
+    exploded = ev1.join(
+        quotes,
+        (ev1.symbol == quotes.symbol) & (quotes.q_ts <= ev1.e_ts),
+    )
+    n_exploded = exploded.count()
+    out["naive_100k"] = {
+        "exploded_rows": n_exploded,
+        "explosion_factor": round(n_exploded / 100_000, 1),
+        "join_wall_s": round(time.time() - t0, 1),
+    }
+    print(f"naive 100k: {out['naive_100k']}", file=sys.stderr)
+
+    # parity vs the naive max-per-event reduction on a sample
+    naive_match = (
+        exploded.groupBy(ev1.symbol, "e_ts")
+        .agg(F.max("q_ts").alias("m_ts"))
+    )
+    fast_match = asof_join(
+        ev1, quotes, on="symbol", left_ts="e_ts", right_ts="q_ts",
+        right_cols={"q_ts": "m_ts"},
+    ).select("symbol", "e_ts", "m_ts").distinct()
+    sample = lambda d: {  # noqa: E731
+        (r.symbol, r.e_ts, r.m_ts)
+        for r in d.filter(F.hash("symbol", "e_ts") % 100 == 0).collect()
+    }
+    a, b = sample(naive_match), sample(fast_match)
+    assert a == b and len(a) > 500, (len(a), len(b))
+    out["parity_sampled"] = len(a)
+    print("RESULT " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
