@@ -4,10 +4,19 @@ A standard training-data normalization step (outlier-robust quality/length
 scores) that the reference's host engine would express as a correlated
 quantile subquery. Spark-first plan:
 
-1. one aggregation computes the (lo, hi) quantile pair per key — output is
+1. one aggregation computes the (lo, hi) quantile pair per key — OUTPUT is
    |keys| rows, tiny regardless of input size (exact interpolated
    ``percentile``: same (n-1)p formula as DuckDB ``quantile_cont``, so the
-   bounds are bit-identical cross-engine);
+   bounds are bit-identical cross-engine). The default ``percentile``
+   aggregate's MERGE STATE is not tiny, though: it is a value map of every
+   distinct value per key, so with few keys over a continuous column the
+   final merge lands on |keys| tasks holding that key's whole distinct set
+   (measured in SCALING.md batch 20: 87.9 s single-task merge = 97% of the
+   wall at 10M near-distinct values, 3 groups). ``bounds_path="rank"``
+   (single key) computes the same bit-identical bounds via
+   ``quantiles.exact_group_quantiles`` — range-partitioned rank selection,
+   19× ahead at the measured point and parallel at any per-key volume; it
+   runs its two passes eagerly at call time;
 2. the bounds broadcast-join back onto the fact rows — no shuffle of the
    input side, which at 100 TB is the difference between a map-side join
    and a full repartition. The hint is RUNTIME-SIZED (``sized_broadcast``):
@@ -27,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from duckdb_nats_jetstream_spark.errors import BindError
+
 from .broadcast_guard import DEFAULT_MAX_BROADCAST_ROWS, sized_broadcast
 
 
@@ -38,6 +49,7 @@ def winsorize(
     upper: float = 0.95,
     out_col: str = "w",
     max_broadcast_keys: int | None = DEFAULT_MAX_BROADCAST_ROWS,
+    bounds_path: str = "agg",
 ) -> DataFrame:
     """Append ``out_col`` = ``value_col`` clipped to the per-key
     [``lower``, ``upper``] quantile range, plus ``_clipped`` (1 if the row
@@ -45,17 +57,48 @@ def winsorize(
 
     ``max_broadcast_keys`` caps the broadcast of the per-key bounds
     relation (default guard runs one eager sizing job; ``None`` asserts
-    key cardinality is structurally bounded and keeps the call lazy)."""
+    key cardinality is structurally bounded and keeps the call lazy).
+
+    ``bounds_path``: ``"agg"`` (default) computes bounds with the built-in
+    ``percentile`` aggregate — right when per-key volume is modest, and the
+    whole call stays lazy. ``"rank"`` (single key only) computes the SAME
+    bit-identical bounds via distributed rank selection
+    (:func:`..quantiles.exact_group_quantiles`) — the scale path when a few
+    keys each hold a large continuous value set, where the percentile value
+    map would merge on |keys| tasks (SCALING.md batch 20). The rank path
+    runs eagerly at call time; all-null keys get NULL bounds on either path
+    (clip of NULL is NULL)."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    if bounds_path not in ("agg", "rank"):
+        raise ValueError(f"bounds_path must be 'agg'|'rank', got {bounds_path!r}")
     v = F.col(value_col).cast("double")
-    bounds = (
-        df.groupBy(*keys)
-        .agg(F.percentile(v, F.array(F.lit(lower), F.lit(upper))).alias("pp"))
-        .select(*keys, F.col("pp")[0].alias("_lo"), F.col("pp")[1].alias("_hi"))
-    )
+    if bounds_path == "rank":
+        if len(keys) != 1:
+            raise BindError(
+                "winsorize: bounds_path='rank' supports a single key column "
+                f"(got {keys!r}); pre-concatenate a composite key or use the "
+                "default 'agg' path"
+            )
+        from .quantiles import exact_group_quantiles
+
+        bounds = exact_group_quantiles(
+            df.select(F.col(keys[0]), v.alias("__wv")), keys[0], "__wv",
+            [lower, upper],
+        ).select(keys[0], F.col("q_0").alias("_lo"), F.col("q_1").alias("_hi"))
+        # left: all-null-value keys are absent from the rank bounds (its
+        # NULL filter drops them) but present with NULL bounds on the agg
+        # path — a left join restores identical row-preserving semantics
+        join_type = "left"
+    else:
+        bounds = (
+            df.groupBy(*keys)
+            .agg(F.percentile(v, F.array(F.lit(lower), F.lit(upper))).alias("pp"))
+            .select(*keys, F.col("pp")[0].alias("_lo"), F.col("pp")[1].alias("_hi"))
+        )
+        join_type = "inner"  # every key is present: inner == left, cheaper
     return (
-        df.join(sized_broadcast(bounds, max_broadcast_keys), keys)
+        df.join(sized_broadcast(bounds, max_broadcast_keys), keys, join_type)
         .withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
         .withColumn(
             "_clipped",

@@ -436,6 +436,48 @@ def test_winsorize_rejects_bad_bounds(spark):
         winsorize(df, "x", ["k"], 0.9, 0.1)
     with _pytest.raises(ValueError):
         winsorize(df, "x", ["k"], -0.1, 0.5)
+    with _pytest.raises(ValueError):
+        winsorize(df, "x", ["k"], 0.1, 0.9, bounds_path="sketch")
+
+
+def test_winsorize_rank_bounds_bit_parity(spark):
+    """bounds_path='rank' (batch-20 scale path) must be bit-identical to the
+    default percentile agg — including ties, NULL values, and an all-NULL
+    key (NULL bounds → NULL clip on both paths)."""
+    from duckdb_nats_jetstream_spark.operators.winsorize import winsorize
+
+    rows = (
+        [("a", v) for v in [1, 2, 3, 4, 100]]
+        + [("b", v) for v in [10, 20, 30]]
+        + [("t", 7), ("t", 7), ("t", 7)]      # ties: lo == hi order stat
+        + [("n", None), ("n", None)]           # all-NULL key
+        + [("m", 5), ("m", None), ("m", 9)]    # mixed NULLs inside a key
+    )
+    df = spark.createDataFrame(rows, "k string, x long")
+
+    def snap(out):
+        def none_safe(t):
+            return tuple((v is None, v if v is not None else 0) for v in t)
+
+        return sorted(
+            ((r.k, r.x, r.w, r._clipped) for r in out.collect()), key=none_safe
+        )
+
+    agg = snap(winsorize(df, "x", ["k"], 0.25, 0.75))
+    rank = snap(winsorize(df, "x", ["k"], 0.25, 0.75, bounds_path="rank"))
+    assert agg == rank
+    assert len(agg) == len(rows)  # row-preserving on both paths
+
+
+def test_winsorize_rank_requires_single_key(spark):
+    import pytest as _pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+    from duckdb_nats_jetstream_spark.operators.winsorize import winsorize
+
+    df = spark.createDataFrame([("a", "x", 1)], "k string, k2 string, x long")
+    with _pytest.raises(BindError, match="single key"):
+        winsorize(df, "x", ["k", "k2"], 0.25, 0.75, bounds_path="rank")
 
 
 # --- round-3 operators: quantization, centroids, gopher rules, df cap ---------
