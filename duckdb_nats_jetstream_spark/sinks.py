@@ -19,15 +19,44 @@ Scale notes baked into each writer:
   batch (failure/restart) rewrites its own directory instead of duplicating
   rows, giving effectively-exactly-once file output on top of Spark's
   at-least-once replay.
+- every writer pins ``TIMESTAMP_MICROS`` (INT64) for the duration of the
+  write: Spark's DEFAULT parquet timestamp encoding is INT96, which carries
+  no usable min/max statistics — a time-range scan over a log written with
+  it decodes every row group no matter how well-sorted the layout is
+  (measured: SCALING.md batch 22, 100% vs 1.6% decoded on the same sorted
+  file). INT64 µs keeps the stats and matches the reference's µs message
+  timestamps.
 """
 
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 from duckdb_nats_jetstream_spark.errors import BindError
+
+_TS_CONF = "spark.sql.parquet.outputTimestampType"
+
+
+@contextmanager
+def _prunable_timestamps(spark):
+    """Pin INT64-µs timestamp encoding around a write, restoring the
+    caller's session conf after — see the module docstring for why INT96
+    (the Spark default) silently disables row-group pruning downstream."""
+    try:
+        prev = spark.conf.get(_TS_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_TS_CONF)
+        else:
+            spark.conf.set(_TS_CONF, prev)
 
 
 def write_partitioned_parquet(
@@ -51,7 +80,8 @@ def write_partitioned_parquet(
         # several tasks/files (skew defense) while keeping values co-located
         salt = (F.rand(seed=0) * files_per_partition).cast("int")
         out = df.repartition(*partition_cols, salt.alias("__salt")).drop("__salt")
-    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    with _prunable_timestamps(df.sparkSession):
+        out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
 def write_bucketed_table(
@@ -70,7 +100,8 @@ def write_bucketed_table(
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
-    w.format("parquet").saveAsTable(table)
+    with _prunable_timestamps(df.sparkSession):
+        w.format("parquet").saveAsTable(table)
 
 
 def idempotent_parquet_sink(
@@ -88,7 +119,8 @@ def idempotent_parquet_sink(
         w = batch_df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(f"{path}/batch={batch_id}")
+        with _prunable_timestamps(batch_df.sparkSession):
+            w.parquet(f"{path}/batch={batch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(_write)
@@ -144,7 +176,8 @@ def compact_parquet(
             df, dst_path, partition_cols, files_per_partition=1
         )
     else:
-        df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+        with _prunable_timestamps(spark):
+            df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
 
 

@@ -149,3 +149,41 @@ def test_ann_index_sink_empty_corpus_raises_cleanly(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(BindError, match="empty corpus"):
         sinks.write_ann_index(empty, str(tmp_path / "idx"), n_clusters=4)
+
+
+def test_writers_pin_prunable_timestamp_encoding(spark, tmp_path):
+    """Sinks must write INT64-µs timestamps, not Spark's INT96 default:
+    INT96 carries no usable min/max stats, so time-range scans over the
+    written log decode every row group (SCALING.md batch 22 — 100% vs
+    1.6% on the same sorted layout). Also: the caller's session conf is
+    restored after the write."""
+    import pyarrow.parquet as pq
+
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key)
+    assert prev == "INT96"  # the Spark default this test exists to dodge
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("part"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    out = str(tmp_path / "tsenc")
+    sinks.write_partitioned_parquet(df, out, ["part"])
+
+    files = [
+        os.path.join(root, leaf)
+        for root, _, leaves in os.walk(out)
+        for leaf in leaves
+        if leaf.endswith(".parquet")
+    ]
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    phys = {
+        md.schema.column(i).name: md.schema.column(i).physical_type
+        for i in range(md.num_columns)
+    }
+    assert phys["ts"] == "INT64", phys  # INT96 would defeat pruning
+    # a written-INT64 ts column must carry row-group statistics
+    ts_idx = list(phys).index("ts")
+    assert md.row_group(0).column(ts_idx).statistics is not None
+    assert spark.conf.get(conf_key) == prev  # restored, not leaked

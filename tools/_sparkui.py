@@ -100,6 +100,21 @@ def shuffle_write_bytes(port: int, exclude: set[tuple[int, int]]) -> int:
     return total
 
 
+def input_records(port: int, exclude: set[tuple[int, int]]) -> int:
+    """Total INPUT records decoded by file scans across completed stages
+    not in ``exclude`` — the instrument for pushdown/pruning claims: a
+    parquet row group skipped by min/max pruning decodes zero records.
+    Records, not bytes, deliberately: the REST ``inputBytes`` counter
+    under-reports on the local filesystem with the vectorized reader
+    (measured 0.39 MB for a full scan of a 180 MB / 10M-row table whose
+    inputRecords correctly read 10M), so byte fractions would be noise."""
+    total = 0
+    for s in completed_stages(port):
+        if (s["stageId"], s["attemptId"]) not in exclude:
+            total += s.get("inputRecords", 0)
+    return total
+
+
 def worst_task(port: int, exclude: set[tuple[int, int]]) -> tuple[float, float]:
     """(median_s, max_s) of the completed stage with the LARGEST max task
     time outside ``exclude`` — the straggler signal for everything since
