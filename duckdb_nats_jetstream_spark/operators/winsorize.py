@@ -11,11 +11,12 @@ quantile subquery. Spark-first plan:
    aggregate's MERGE STATE is not tiny, though: it is a value map of every
    distinct value per key, so with few keys over a continuous column the
    final merge lands on |keys| tasks holding that key's whole distinct set
-   (measured in SCALING.md batch 20: 87.9 s single-task merge = 97% of the
+   (measured in SCALING.md batch 20: 24.6 s single-task merge = 97% of the
    wall at 10M near-distinct values, 3 groups). ``bounds_path="rank"``
    (single key) computes the same bit-identical bounds via
    ``quantiles.exact_group_quantiles`` — range-partitioned rank selection,
-   19× ahead at the measured point and parallel at any per-key volume; it
+   6.8× ahead at the measured point (superlinearly widening with per-key
+   volume) and parallel at any per-key volume; it
    runs its two passes eagerly at call time;
 2. the bounds broadcast-join back onto the fact rows — no shuffle of the
    input side, which at 100 TB is the difference between a map-side join
@@ -66,8 +67,13 @@ def winsorize(
     (:func:`..quantiles.exact_group_quantiles`) — the scale path when a few
     keys each hold a large continuous value set, where the percentile value
     map would merge on |keys| tasks (SCALING.md batch 20). The rank path
-    runs eagerly at call time; all-null keys get NULL bounds on either path
-    (clip of NULL is NULL)."""
+    runs eagerly at call time.
+
+    NULL handling, identical on both paths: rows whose KEY is NULL are
+    dropped (the bounds join is a plain equi-join, matching the SQL
+    mirror's semantics — coalesce keys upstream to keep them); keys whose
+    VALUES are all NULL keep their rows with NULL bounds (clip of NULL is
+    NULL)."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
     if bounds_path not in ("agg", "rank"):
@@ -82,11 +88,16 @@ def winsorize(
             )
         from .quantiles import exact_group_quantiles
 
+        # NULL keys are excluded BEFORE the rank selection (its driver-side
+        # rank coordination sorts group keys, which a None cannot join), and
+        # from the join's left side — reproducing the agg path's equi-join
+        # drop of NULL-key rows exactly
+        joined_left = df.filter(F.col(keys[0]).isNotNull())
         bounds = exact_group_quantiles(
-            df.select(F.col(keys[0]), v.alias("__wv")), keys[0], "__wv",
-            [lower, upper],
+            joined_left.select(F.col(keys[0]), v.alias("__wv")), keys[0],
+            "__wv", [lower, upper],
         ).select(keys[0], F.col("q_0").alias("_lo"), F.col("q_1").alias("_hi"))
-        # left: all-null-value keys are absent from the rank bounds (its
+        # left: all-null-VALUE keys are absent from the rank bounds (its
         # NULL filter drops them) but present with NULL bounds on the agg
         # path — a left join restores identical row-preserving semantics
         join_type = "left"
@@ -96,9 +107,13 @@ def winsorize(
             .agg(F.percentile(v, F.array(F.lit(lower), F.lit(upper))).alias("pp"))
             .select(*keys, F.col("pp")[0].alias("_lo"), F.col("pp")[1].alias("_hi"))
         )
-        join_type = "inner"  # every key is present: inner == left, cheaper
+        # inner: every non-NULL key is present in bounds, and NULL-key rows
+        # are dropped either way because the equi-join never matches NULL —
+        # the documented (SQL-mirror) semantics, NOT an every-row guarantee
+        join_type = "inner"
+        joined_left = df
     return (
-        df.join(sized_broadcast(bounds, max_broadcast_keys), keys, join_type)
+        joined_left.join(sized_broadcast(bounds, max_broadcast_keys), keys, join_type)
         .withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
         .withColumn(
             "_clipped",

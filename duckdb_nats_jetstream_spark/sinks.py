@@ -31,6 +31,7 @@ Scale notes baked into each writer:
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -38,25 +39,44 @@ from pyspark.sql import DataFrame
 from duckdb_nats_jetstream_spark.errors import BindError
 
 _TS_CONF = "spark.sql.parquet.outputTimestampType"
+_TS_LOCK = threading.Lock()
+_TS_DEPTH = 0
+_TS_PREV: str | None = None
 
 
 @contextmanager
 def _prunable_timestamps(spark):
     """Pin INT64-µs timestamp encoding around a write, restoring the
     caller's session conf after — see the module docstring for why INT96
-    (the Spark default) silently disables row-group pruning downstream."""
-    try:
-        prev = spark.conf.get(_TS_CONF)
-    except Exception:
-        prev = None
-    spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+    (the Spark default) silently disables row-group pruning downstream.
+
+    Session conf is process-global per session, so overlapping sink writes
+    (e.g. two streaming ``foreachBatch`` micro-batches) must not each
+    save/restore independently — a naive save would capture the OTHER
+    writer's pinned value as "previous" and leave the session clobbered.
+    A depth counter serializes the bookkeeping: the outermost entry saves
+    the caller's value, the outermost exit restores it; every overlapping
+    writer wants the same pinned value in between. (Assumes one
+    SparkSession per process, as everywhere in this repo.)"""
+    global _TS_DEPTH, _TS_PREV
+    with _TS_LOCK:
+        if _TS_DEPTH == 0:
+            try:
+                _TS_PREV = spark.conf.get(_TS_CONF)
+            except Exception:
+                _TS_PREV = None
+            spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+        _TS_DEPTH += 1
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(_TS_CONF)
-        else:
-            spark.conf.set(_TS_CONF, prev)
+        with _TS_LOCK:
+            _TS_DEPTH -= 1
+            if _TS_DEPTH == 0:
+                if _TS_PREV is None:
+                    spark.conf.unset(_TS_CONF)
+                else:
+                    spark.conf.set(_TS_CONF, _TS_PREV)
 
 
 def write_partitioned_parquet(

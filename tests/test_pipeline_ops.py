@@ -450,8 +450,9 @@ def test_winsorize_rank_bounds_bit_parity(spark):
         [("a", v) for v in [1, 2, 3, 4, 100]]
         + [("b", v) for v in [10, 20, 30]]
         + [("t", 7), ("t", 7), ("t", 7)]      # ties: lo == hi order stat
-        + [("n", None), ("n", None)]           # all-NULL key
+        + [("n", None), ("n", None)]           # all-NULL-value key
         + [("m", 5), ("m", None), ("m", 9)]    # mixed NULLs inside a key
+        + [(None, 42), (None, 43)]             # NULL keys: equi-join drops
     )
     df = spark.createDataFrame(rows, "k string, x long")
 
@@ -466,7 +467,9 @@ def test_winsorize_rank_bounds_bit_parity(spark):
     agg = snap(winsorize(df, "x", ["k"], 0.25, 0.75))
     rank = snap(winsorize(df, "x", ["k"], 0.25, 0.75, bounds_path="rank"))
     assert agg == rank
-    assert len(agg) == len(rows)  # row-preserving on both paths
+    # row-preserving for non-NULL keys; NULL-key rows dropped on BOTH paths
+    # (documented equi-join semantics)
+    assert len(agg) == len(rows) - 2
 
 
 def test_winsorize_rank_requires_single_key(spark):

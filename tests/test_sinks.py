@@ -187,3 +187,18 @@ def test_writers_pin_prunable_timestamp_encoding(spark, tmp_path):
     ts_idx = list(phys).index("ts")
     assert md.row_group(0).column(ts_idx).statistics is not None
     assert spark.conf.get(conf_key) == prev  # restored, not leaked
+
+
+def test_prunable_timestamps_reentrant_restore(spark):
+    """Overlapping sink writes share one session conf: the OUTERMOST exit
+    restores the caller's value — a naive per-entry save/restore would
+    capture the other writer's pinned value and clobber the session."""
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf_key)
+    with sinks._prunable_timestamps(spark):
+        assert spark.conf.get(conf_key) == "TIMESTAMP_MICROS"
+        with sinks._prunable_timestamps(spark):  # overlapping writer
+            assert spark.conf.get(conf_key) == "TIMESTAMP_MICROS"
+        # inner exit must NOT restore yet
+        assert spark.conf.get(conf_key) == "TIMESTAMP_MICROS"
+    assert spark.conf.get(conf_key) == prev

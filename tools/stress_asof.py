@@ -70,7 +70,9 @@ def main() -> None:
             .select(
                 (F.col("id") % N_SYMBOLS).alias("symbol"),
                 # event times spread across the full quote range, offset
-                # +500 so each event lands mid-interval (deterministic match)
+                # +500 to land mid-interval; the handful below the first
+                # quote (e_ts < 1000, ids 0-13 at n=100k) are the asof
+                # LEFT join's unmatched-NULL rows, pinned in the parity
                 (
                     (F.col("id") * 37 % (QUOTES_PER_SYMBOL * 1000)) + 500
                 ).alias("e_ts"),
@@ -135,15 +137,27 @@ def main() -> None:
     }
     print(f"naive 100k: {out['naive_100k']}", file=sys.stderr)
 
-    # parity vs the naive max-per-event reduction on a sample
+    # parity vs the naive max-per-event reduction on a sample. The asof
+    # LEFT join emits events earlier than any quote (e_ts < 1000) with
+    # m_ts NULL; the naive inner range join omits them entirely — compare
+    # the matched triples set-equal and pin the unmatched count to its
+    # closed form so the NULL rows are asserted too, not sampled away.
     naive_match = (
         exploded.groupBy(ev1.symbol, "e_ts")
         .agg(F.max("q_ts").alias("m_ts"))
     )
-    fast_match = asof_join(
+    fast_all = asof_join(
         ev1, quotes, on="symbol", left_ts="e_ts", right_ts="q_ts",
         right_cols={"q_ts": "m_ts"},
-    ).select("symbol", "e_ts", "m_ts").distinct()
+    ).select("symbol", "e_ts", "m_ts")
+    n_unmatched = fast_all.filter(F.col("m_ts").isNull()).count()
+    expected_unmatched = sum(
+        1
+        for i in range(100_000)
+        if (i * 37) % (QUOTES_PER_SYMBOL * 1000) + 500 < 1000
+    )
+    assert n_unmatched == expected_unmatched, (n_unmatched, expected_unmatched)
+    fast_match = fast_all.filter(F.col("m_ts").isNotNull()).distinct()
     sample = lambda d: {  # noqa: E731
         (r.symbol, r.e_ts, r.m_ts)
         for r in d.filter(F.hash("symbol", "e_ts") % 100 == 0).collect()
@@ -151,6 +165,7 @@ def main() -> None:
     a, b = sample(naive_match), sample(fast_match)
     assert a == b and len(a) > 500, (len(a), len(b))
     out["parity_sampled"] = len(a)
+    out["unmatched_left_rows"] = n_unmatched
     print("RESULT " + json.dumps(out))
 
 
