@@ -708,8 +708,38 @@ def incremental_near_dups(
     ref_sh = _with_shingles(ref_df, text_col, id_col, n)
     new_sh.persist()
     ref_sh.persist()
-    nb = _banded_signatures(new_sh, id_col, k, band_size).alias("nb")
-    rb = _banded_signatures(ref_sh, id_col, k, band_size).alias("rb")
+    out = _screen_against_reference(
+        new_sh,
+        _banded_signatures(new_sh, id_col, k, band_size),
+        ref_sh,
+        _banded_signatures(ref_sh, id_col, k, band_size),
+        id_col,
+        threshold,
+    )
+    out = out.localCheckpoint(eager=True)
+    new_sh.unpersist(blocking=True)
+    ref_sh.unpersist(blocking=True)
+    return out
+
+
+def _screen_against_reference(
+    new_sh: DataFrame,
+    new_bands: DataFrame,
+    ref_shingles: DataFrame,
+    ref_bands: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared candidate→verify→aggregate block of the two incremental
+    screens (:func:`incremental_near_dups` recomputes the reference side;
+    :func:`incremental_near_dups_stored` reads it from the signature
+    store): band-key equi-join for candidates, exact shingle Jaccard via
+    join-back for verification, one ``(doc_id, n_ref_dups)`` row per
+    flagged incoming doc. Both the recomputed and stored paths must
+    produce bit-identical results (pinned by ``tests/test_incstore.py``),
+    which is exactly why this block is shared, not duplicated."""
+    nb = new_bands.alias("nb")
+    rb = ref_bands.alias("rb")
     cand = (
         nb.join(rb, F.col("nb.band_key") == F.col("rb.band_key"))
         .select(
@@ -724,18 +754,84 @@ def incremental_near_dups(
             "new_id",
         )
         .join(
-            ref_sh.select(F.col(id_col).alias("ref_id"), F.col("sh").alias("sh_r")),
+            ref_shingles.select(
+                F.col(id_col).alias("ref_id"), F.col("sh").alias("sh_r")
+            ),
             "ref_id",
         )
         .filter(jaccard(F.col("sh_n"), F.col("sh_r")) >= threshold)
     )
-    out = verified.groupBy(F.col("new_id").alias(id_col)).agg(
+    return verified.groupBy(F.col("new_id").alias(id_col)).agg(
         F.count("*").cast("long").alias("n_ref_dups")
     )
-    out = out.localCheckpoint(eager=True)
-    new_sh.unpersist(blocking=True)
-    ref_sh.unpersist(blocking=True)
-    return out
+
+
+def build_signature_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """One-time (or per-admitted-batch, appended) signature-store build:
+    returns ``(shingles, bands)`` — ``(id, sh)`` and ``(id, band_key)``
+    relations using exactly the hash pipeline of
+    :func:`incremental_near_dups`, so stored and recomputed candidates
+    are identical.
+
+    This is the steady-state shape :func:`incremental_near_dups`'s
+    docstring promises ("banded signatures ... precomputed once and
+    stored"): the rescanning API re-shingles the whole reference corpus
+    on every call, and its per-batch wall grows with corpus size even at
+    a fixed batch (measured ×2.25 on a 4× corpus, SCALING.md batch 24,
+    while the stored twin stays flat). The store is TWO narrow relations
+    so the shingle array isn't duplicated per band row; persist both as
+    parquet, and bucket the band relation by ``band_key`` to delete its
+    per-batch reshuffle (same measured win as the streaming flagger's
+    ``store_table`` backend, SCALING.md batch 11). Admission is
+    append-only: accepted docs are shingled exactly once, ever.
+
+    Reference scope: beyond the reference (scan/extract only);
+    north-star curation surface, the batch complement of
+    ``streaming/dedup.near_dup_flagger(store_table=)``.
+    """
+    sh = _with_shingles(df, text_col, id_col, n)
+    return sh, _banded_signatures(sh, id_col, k, band_size)
+
+
+def incremental_near_dups_stored(
+    new_df: DataFrame,
+    ref_shingles: DataFrame,
+    ref_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """Store-backed twin of :func:`incremental_near_dups`: identical
+    output ``(doc_id, n_ref_dups)`` — one row per flagged incoming doc —
+    but the reference side arrives as the prebuilt store relations from
+    :func:`build_signature_store`, so the per-batch bill is
+    O(batch grams) + two store joins; the corpus text is never rescanned.
+    ``k``/``band_size``/``n`` must match the store build (they
+    parameterize only the batch side here)."""
+    new_sh = _with_shingles(new_df, text_col, id_col, n)
+    new_sh.persist()
+    try:
+        out = _screen_against_reference(
+            new_sh,
+            _banded_signatures(new_sh, id_col, k, band_size),
+            ref_shingles,
+            ref_bands,
+            id_col,
+            threshold,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        new_sh.unpersist(blocking=True)
 
 
 def sql_incremental_near_dups(

@@ -253,6 +253,14 @@ def funnel_user_stages(
         # a zero/negative salt count would explode an EMPTY salt array —
         # every chained join silently empties and t2..tk come back NULL
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if salt_col is not None and (n_salts is None or algorithm != "cascade"):
+        # salt_col only has an effect on the salted cascade path; a caller
+        # passing it expecting tie-spreading skew protection must not get
+        # a silent no-op (r07 ADVICE)
+        raise ValueError(
+            "salt_col requires n_salts and algorithm='cascade' "
+            f"(got n_salts={n_salts}, algorithm={algorithm!r})"
+        )
     keep = [user_col, ts_col, type_col] + (
         [salt_col] if salt_col is not None and n_salts is not None else []
     )

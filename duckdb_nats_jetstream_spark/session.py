@@ -57,18 +57,22 @@ def spread(df, partitions: int | None = None):
         n_files = 0
     if n_files >= target:
         return df
-    # KNOWN FALSE POSITIVE (measured, stress batch 15): a NON-FILE
-    # relation (cached / localCheckpoint / RDD-backed) reports zero input
-    # files, so an already-well-partitioned materialized input gets
-    # re-shuffled anyway — ~1× data per codec stage when the column is
-    # binary media (2×460 MB observed). The cheap fix is an
-    # `rdd.getNumPartitions()` check gated to the n_files == 0 branch
-    # (a materialized relation's plan is a leaf, so it avoids the
-    # planning tax that removed the original partition-count probe); it
-    # is DEFERRED to the next rotation window because editing this
-    # module re-queues every registry query (107 > the 50-slot driver
-    # budget). Registry plans are unaffected either way: every registry
-    # call site spreads a just-scanned file relation, which exits above.
+    if n_files == 0:
+        # NON-FILE relation (cached / localCheckpoint / RDD-backed):
+        # zero input files says nothing about its parallelism, and
+        # re-shuffling an already-well-partitioned materialized input
+        # costs ~1× data per codec stage (2×460 MB observed on binary
+        # media, stress batch 15). The partition-count probe is gated to
+        # THIS branch only: a materialized relation's plan is a leaf, so
+        # the probe avoids the per-call planning tax that removed the
+        # original unconditional `df.rdd.getNumPartitions()` check (r02
+        # VERDICT). File relations never reach it and their plans are
+        # byte-identical to before (plan-hash-verified, r08).
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
     return df.repartition(target)
 
 

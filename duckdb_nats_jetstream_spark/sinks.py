@@ -57,7 +57,16 @@ def _prunable_timestamps(spark):
     A depth counter serializes the bookkeeping: the outermost entry saves
     the caller's value, the outermost exit restores it; every overlapping
     writer wants the same pinned value in between. (Assumes one
-    SparkSession per process, as everywhere in this repo.)"""
+    SparkSession per process, as everywhere in this repo.)
+
+    Cross-writer effect (r07 ADVICE, accepted as documented): the conf is
+    session-global, so an unrelated THIRD-PARTY parquet write issued from
+    another thread during the pin window also gets TIMESTAMP_MICROS.
+    That is a benign encoding for any reader (µs is exactly the precision
+    a Spark timestamp carries; INT96 only matters to legacy readers), but
+    it is observable in the written footers. Deployments that need INT96
+    for a legacy reader should serialize such writes around these sinks —
+    or pin the conf at session build, which makes the window moot."""
     global _TS_DEPTH, _TS_PREV
     with _TS_LOCK:
         if _TS_DEPTH == 0:

@@ -288,6 +288,26 @@ class NatsLiveTransport:
             out = []
             try:
                 js = nc.jetstream()
+                # Stream-existence probe, once per fetch: NOT_FOUND from
+                # get_msg is ambiguous between "sequence gap" (skip) and
+                # "stream deleted/mistyped" (error) — without the probe a
+                # missing stream gap-skips EVERY sequence and returns an
+                # empty partition silently (r07 ADVICE). One extra
+                # round-trip per task, amortized over the whole range.
+                try:
+                    await asyncio.wait_for(
+                        js.stream_info(self.stream), self.timeout
+                    )
+                except (asyncio.TimeoutError, TimeoutError) as e:
+                    raise BindError(
+                        f"stream_info('{self.stream}') timed out after "
+                        f"{self.timeout}s against {self.url}"
+                    ) from e
+                except Exception as e:
+                    raise BindError(
+                        f"stream '{self.stream}' not accessible on "
+                        f"{self.url} (deleted or mistyped?): {e!r}"
+                    ) from e
                 for seq in range(start_seq, end_seq + 1):
                     try:
                         msg = await asyncio.wait_for(

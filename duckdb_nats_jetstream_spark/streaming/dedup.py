@@ -113,12 +113,28 @@ def near_dup_flagger(
             return spark.table(store_table).filter(
                 F.col("batch_id") != F.lit(batch_id)
             )
+        # Missing store dir = first batch; everything ELSE (permissions,
+        # transient FS error, corrupt footer) must propagate — swallowing
+        # it would screen the batch against nothing and silently write
+        # wrong verdicts (r07 ADVICE; the store_table branch above gets
+        # this right with its explicit tableExists check). PATH_NOT_FOUND
+        # is matched by error condition, not by exception breadth.
+        from pyspark.errors import AnalysisException
+
         try:
-            return spark.read.parquet(store_dir).filter(
-                F.col("batch_id") != F.lit(batch_id)
-            )
-        except Exception:  # first batch — empty store
-            return None
+            store = spark.read.parquet(store_dir)
+        except AnalysisException as exc:
+            cond = ""
+            for attr in ("getCondition", "getErrorClass"):
+                try:
+                    cond = getattr(exc, attr)() or ""
+                    break
+                except Exception:
+                    continue
+            if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(exc):
+                return None  # first batch — store not created yet
+            raise
+        return store.filter(F.col("batch_id") != F.lit(batch_id))
 
     def _write_store(spark, keys: DataFrame, batch_id: int) -> None:
         if store_table is None:

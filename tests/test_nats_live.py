@@ -161,6 +161,18 @@ def test_fetch_subrange_probes_only_requested_seqs(broker):
     assert broker.get_calls == [2, 3, 4]
 
 
+def test_fetch_missing_stream_errors_not_empty(broker):
+    """A deleted/mistyped stream must BIND-error from fetch, not gap-skip
+    every sequence into a silently empty partition (r07 ADVICE): get_msg's
+    NOT_FOUND is ambiguous, so fetch probes stream existence once before
+    the sequence loop."""
+    t = NatsLiveTransport("nats://fake:4222", "eventz")  # typo'd stream
+    with pytest.raises(BindError, match="eventz.*not accessible"):
+        list(t.fetch(1, 5))
+    assert broker.get_calls == []  # errored before any per-seq probe
+    assert broker.closed == 1  # connection still released
+
+
 def test_fetch_matches_replay_transport_row_shape(broker, sf_dir):
     """Both transports feed the same reader; their row contract must agree."""
     from duckdb_nats_jetstream_spark.sources.nats_source import (

@@ -329,6 +329,25 @@ def test_funnel_conversion_window(spark):
     assert by_user[3].t2 == t(1, 30)
 
 
+def test_funnel_salt_col_without_salting_rejected(spark):
+    """salt_col only acts on the salted cascade path — passing it with
+    n_salts unset or the fold algorithm must raise, not silently skip the
+    tie-spreading skew protection the caller asked for (r07 ADVICE)."""
+    import pytest
+
+    from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
+
+    df = spark.createDataFrame(
+        [(1, None, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError, match="salt_col requires"):
+        funnel_user_stages(df, ["view", "click"], salt_col="event_id")
+    with pytest.raises(ValueError, match="salt_col requires"):
+        funnel_user_stages(
+            df, ["view", "click"], algorithm="fold", n_salts=4, salt_col="event_id"
+        )
+
+
 def test_sketches_ignore_nulls(spark):
     """NULL values must not add a bogus register/bin row (COUNT(DISTINCT)
     and quantile aggregates both ignore NULLs — the sketches must too)."""

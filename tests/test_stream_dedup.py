@@ -135,6 +135,41 @@ def test_near_dup_flagger_replay_idempotent(spark, tmp_path):
     assert not v[1].is_near_dup and not v[2].is_near_dup
 
 
+def test_near_dup_flagger_corrupt_store_errors_not_empty_screen(spark, tmp_path):
+    """A store that EXISTS but can't be read (corrupt footer, permissions,
+    transient FS failure) must fail the micro-batch, not be treated as
+    'first batch — empty store': screening against nothing writes wrong
+    verdicts silently (r07 ADVICE; only PATH_NOT_FOUND means first batch)."""
+    import pandas as pd
+    import pytest
+
+    from duckdb_nats_jetstream_spark.streaming.dedup import near_dup_flagger
+
+    doc_dir = tmp_path / "docs_in"
+    doc_dir.mkdir()
+    store = tmp_path / "store"
+    # an existing store whose only file is NOT parquet
+    (store / "batch_id=0").mkdir(parents=True)
+    (store / "batch_id=0" / "part-corrupt.parquet").write_bytes(b"not parquet")
+
+    pd.DataFrame([(1, "some words here")], columns=["doc_id", "text"]).to_parquet(
+        doc_dir / "b1.parquet"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(doc_dir))
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        q = near_dup_flagger(
+            stream, str(store), str(tmp_path / "ckpt"), str(tmp_path / "verdicts")
+        )
+        q.awaitTermination()
+    # and no verdicts were written for the batch
+    import os
+
+    vdir = tmp_path / "verdicts"
+    assert not vdir.exists() or not [
+        f for f in os.listdir(vdir) if f.endswith(".parquet")
+    ]
+
+
 def test_near_dup_flagger_store_compaction_preserves_verdicts(spark, tmp_path):
     """Ops claim from SCALING.md batch 11: the band-key store can be
     compacted between drains (small-file maintenance) without changing a

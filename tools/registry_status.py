@@ -66,6 +66,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     4: "b02af6b^",
     5: "64d3d88^",
     6: "28545f1^",
+    7: "3351f68^",
 }
 
 
@@ -320,6 +321,57 @@ class _SourceTree:
         return self._sem_cache[relpath]
 
 
+#: lazy per-round _SourceTree cache (git-show + AST parse, no spark) —
+#: shared by the plan-evidence validation below and the freshness test
+_REF_TREE_CACHE: dict[int, "_SourceTree"] = {}
+
+
+def _ref_tree(round_n: int) -> "_SourceTree":
+    if round_n not in _REF_TREE_CACHE:
+        _REF_TREE_CACHE[round_n] = _SourceTree(ROUND_CODE_REFS[round_n])
+    return _REF_TREE_CACHE[round_n]
+
+
+def plan_evidence_valid(entry: dict, wt: "_SourceTree") -> bool:
+    """Is this query's ``plan_neutral_edit`` evidence still good — i.e.
+    may an edited-since-green query keep its green instead of re-queueing?
+
+    All of the following must hold (docs/R08_PLAN.md item 2):
+
+    1. evidence exists and targets the CURRENT last-green round;
+    2. the working-tree dependency-aware fingerprint equals the one the
+       evidence was recorded against (any later edit voids it);
+    3. the stored last-green plan hash is present, ``clearable`` (no
+       Python-eval nodes — the plan names UDFs but not their bodies — and
+       no materialization-truncated ``LogicalRDD`` leaves), and equals
+       the working-tree plan hash recorded in the evidence;
+    4. own-segment guard: the query function's OWN raw source segment is
+       unchanged since the green — plan-hash evidence only ever vouches
+       for DEPENDENCY-module edits, never for edits to the query itself.
+    """
+    pne = entry.get("plan_neutral_edit")
+    base = entry.get("plan_hash_at_last_green")
+    lg = entry.get("last_green_round")
+    if not pne or not base or lg is None or lg not in ROUND_CODE_REFS:
+        return False
+    if pne.get("vs_round") != lg:
+        return False
+    wt_fp = wt.fn_fingerprint(entry["module"], entry["function"])
+    if wt_fp is None or pne.get("fingerprint_at_clear") != wt_fp:
+        return False
+    if not base.get("clearable") or not pne.get("clearable"):
+        return False
+    if pne.get("hash") != base.get("hash") or base.get("sf_dir") != pne.get("sf_dir"):
+        return False
+    if pne.get("scheme") != base.get("scheme"):
+        return False
+    own_then = _fn_fingerprint(
+        _ref_tree(lg).src(entry["module"]), entry["function"]
+    )
+    own_now = _fn_fingerprint(wt.src(entry["module"]), entry["function"])
+    return own_then is not None and own_then == own_now
+
+
 def _green(row: dict) -> bool:
     return bool(
         row.get("rows_match")
@@ -330,10 +382,21 @@ def _green(row: dict) -> bool:
 
 def build_status() -> dict:
     sys.path.insert(0, REPO)
+    from tools.plan_hash import PLAN_HASH_SCHEME
     from duckdb_nats_jetstream_spark.queries import full_registry
 
     registry = full_registry()
     names = list(registry)
+
+    # carry forward plan-hash evidence from the committed ledger: the
+    # stored baseline stays valid exactly while the fingerprint it was
+    # recorded against still IS the last-green fingerprint, and a
+    # plan_neutral_edit is superseded the moment a newer green row lands
+    prev: dict[str, dict] = {}
+    prev_path = os.path.join(REPO, "REGISTRY_STATUS.json")
+    if os.path.exists(prev_path):
+        with open(prev_path, encoding="utf-8") as fh:
+            prev = json.load(fh)
 
     rounds: dict[int, dict] = {}
     for n in sorted(ROUND_CODE_REFS):
@@ -367,6 +430,23 @@ def build_status() -> dict:
             "last_green_round": last_green,
             "fingerprint_at_last_green": fp_then,
         }
+        old = prev.get(name, {})
+        base = old.get("plan_hash_at_last_green")
+        if (
+            base
+            and fp_then is not None
+            and base.get("fingerprint") == fp_then
+            and base.get("scheme") == PLAN_HASH_SCHEME
+        ):
+            status[name]["plan_hash_at_last_green"] = base
+        pne = old.get("plan_neutral_edit")
+        if (
+            pne
+            and last_green is not None
+            and pne.get("vs_round") == last_green
+            and pne.get("scheme") == PLAN_HASH_SCHEME
+        ):
+            status[name]["plan_neutral_edit"] = pne
     return status
 
 
@@ -392,6 +472,15 @@ def recommend_prefix(
     Uses WORKING-TREE fingerprints, so the recommendation — and the
     freshness test comparing the registry against it — shifts the moment a
     verified query's source is edited.
+
+    Plan-hash clearing (docs/R08_PLAN.md item 2): an edited query whose
+    ``plan_neutral_edit`` evidence passes :func:`plan_evidence_valid` —
+    the edit touched only dependency modules AND left the optimized plan
+    byte-identical on a plan with no Python-eval or materialized leaves —
+    keeps its green and rotates normally instead of burning a re-queue
+    slot. Evidence is produced only by ``--plan-check`` (needs a live
+    SparkSession); the default ledger run carries committed evidence
+    forward and re-validates it here without spark.
     """
     # one _SourceTree for the working tree: module reads/parses and import
     # closures are cached across the ~180 query functions (this also runs
@@ -406,6 +495,8 @@ def recommend_prefix(
         edited = not never_green and s[
             "fingerprint_at_last_green"
         ] != wt.fn_fingerprint(s["module"], s["function"])
+        if edited and plan_evidence_valid(s, wt):
+            edited = False
         if (never_green or edited) and name not in ack_deferred:
             stale.append((s["position"], name))
         else:
@@ -415,8 +506,101 @@ def recommend_prefix(
     return ordered[:budget]
 
 
+def _run_plan_check(status: dict) -> None:
+    """Opt-in (``--plan-check``) plan-hash pass — needs a live spark, run
+    as a subprocess (``tools/plan_hash.py``) so the ledger CLI itself
+    stays JVM-free. Two jobs:
+
+    1. record a **baseline** ``plan_hash_at_last_green`` for every green
+       query whose working-tree fingerprint still matches its last green
+       (code identical-by-semantic-hash to the verified code, so a
+       working-tree plan IS the last-green plan);
+    2. for every **edited** green query that already has a baseline,
+       compare the working-tree plan hash against it and record
+       ``plan_neutral_edit`` evidence when equal, clearable, and the
+       query's own source segment is untouched (dependency-only edit).
+
+    An edited query with NO stored baseline stays re-queued — baselines
+    are only ever recorded while the tree matches the verified code, so
+    run ``--plan-check`` at round open BEFORE editing.
+    """
+    import subprocess as sp
+    import tempfile
+
+    wt = _SourceTree(None)
+    baseline_new: list[str] = []
+    edited_cand: list[str] = []
+    wt_fp: dict[str, str | None] = {}
+    for name, s in status.items():
+        if not s["oracle"] or s["last_green_round"] is None:
+            continue
+        wt_fp[name] = wt.fn_fingerprint(s["module"], s["function"])
+        unchanged = wt_fp[name] == s["fingerprint_at_last_green"]
+        if unchanged and "plan_hash_at_last_green" not in s:
+            baseline_new.append(name)
+        elif not unchanged and s.get("plan_hash_at_last_green") and not plan_evidence_valid(s, wt):
+            edited_cand.append(name)
+    todo = baseline_new + edited_cand
+    if not todo:
+        print("plan-check: nothing to hash")
+        return
+    print(
+        f"plan-check: hashing {len(todo)} queries "
+        f"({len(baseline_new)} baselines, {len(edited_cand)} edited candidates)..."
+    )
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        out_path = tf.name
+    sp.run(
+        [sys.executable, os.path.join(REPO, "tools", "plan_hash.py"),
+         "--out", out_path, "--names", ",".join(todo)],
+        cwd=REPO,
+        check=True,
+    )
+    with open(out_path, encoding="utf-8") as fh:
+        payload = json.load(fh)
+    os.unlink(out_path)
+    hashes, sf_dir, scheme = payload["hashes"], payload["sf_dir"], payload["scheme"]
+    for name in baseline_new:
+        h = hashes.get(name, {})
+        if "error" in h:
+            print(f"  baseline FAILED {name}: {h['error']}")
+            continue
+        status[name]["plan_hash_at_last_green"] = {
+            **h, "sf_dir": sf_dir, "scheme": scheme, "fingerprint": wt_fp[name],
+        }
+    cleared = 0
+    for name in edited_cand:
+        h = hashes.get(name, {})
+        s = status[name]
+        base = s["plan_hash_at_last_green"]
+        if "error" in h:
+            print(f"  edited candidate FAILED {name}: {h['error']}")
+            continue
+        if h["hash"] == base["hash"] and h["clearable"] and base["clearable"]:
+            s["plan_neutral_edit"] = {
+                **h,
+                "sf_dir": sf_dir,
+                "scheme": scheme,
+                "vs_round": s["last_green_round"],
+                "fingerprint_at_clear": wt_fp[name],
+            }
+            if plan_evidence_valid(s, wt):
+                cleared += 1
+            else:  # own-segment guard (or another invariant) rejected it
+                del s["plan_neutral_edit"]
+                print(f"  NOT cleared (own source edited): {name}")
+        else:
+            print(
+                f"  NOT cleared {name}: hash {'==' if h['hash'] == base['hash'] else '!='}"
+                f" baseline, clearable now={h['clearable']} then={base['clearable']}"
+            )
+    print(f"plan-check: {cleared}/{len(edited_cand)} edited queries cleared")
+
+
 def main() -> None:
     status = build_status()
+    if "--plan-check" in sys.argv[1:]:
+        _run_plan_check(status)
     out = os.path.join(REPO, "REGISTRY_STATUS.json")
     with open(out, "w", encoding="utf-8") as fh:
         json.dump(status, fh, indent=1, sort_keys=True)
