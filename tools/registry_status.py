@@ -594,6 +594,15 @@ def _run_plan_check(status: dict) -> None:
                 f"  NOT cleared {name}: hash {'==' if h['hash'] == base['hash'] else '!='}"
                 f" baseline, clearable now={h['clearable']} then={base['clearable']}"
             )
+    # prune stale evidence: a query edited again after a clearing (or one
+    # that failed to re-clear above) must not keep an invalid
+    # plan_neutral_edit in the ledger — it would re-queue anyway via
+    # recommend_prefix, but the freshness suite rightly rejects a ledger
+    # carrying evidence that no longer validates
+    for name, s in status.items():
+        if s.get("plan_neutral_edit") and not plan_evidence_valid(s, wt):
+            del s["plan_neutral_edit"]
+            print(f"  pruned stale evidence: {name}")
     print(f"plan-check: {cleared}/{len(edited_cand)} edited queries cleared")
 
 
