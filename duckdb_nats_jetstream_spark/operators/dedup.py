@@ -708,18 +708,23 @@ def incremental_near_dups(
     ref_sh = _with_shingles(ref_df, text_col, id_col, n)
     new_sh.persist()
     ref_sh.persist()
-    out = _screen_against_reference(
-        new_sh,
-        _banded_signatures(new_sh, id_col, k, band_size),
-        ref_sh,
-        _banded_signatures(ref_sh, id_col, k, band_size),
-        id_col,
-        threshold,
-    )
-    out = out.localCheckpoint(eager=True)
-    new_sh.unpersist(blocking=True)
-    ref_sh.unpersist(blocking=True)
-    return out
+    try:
+        out = _screen_against_reference(
+            new_sh,
+            _banded_signatures(new_sh, id_col, k, band_size),
+            ref_sh,
+            _banded_signatures(ref_sh, id_col, k, band_size),
+            id_col,
+            threshold,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        # finally, not straight-line: an executor failure mid-screen must
+        # not leave two corpus-sized shingle relations pinned in executor
+        # storage for the session lifetime (cache-hygiene pattern; the
+        # stored twin below has always done it this way)
+        new_sh.unpersist(blocking=True)
+        ref_sh.unpersist(blocking=True)
 
 
 def _screen_against_reference(

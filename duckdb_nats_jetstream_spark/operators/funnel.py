@@ -261,6 +261,13 @@ def funnel_user_stages(
             "salt_col requires n_salts and algorithm='cascade' "
             f"(got n_salts={n_salts}, algorithm={algorithm!r})"
         )
+    if n_salts is not None and algorithm != "cascade":
+        # same silent-no-op class for n_salts itself: the fold path never
+        # reads it — a caller asking for salted skew protection on fold
+        # would get the unsalted single-shuffle fold (r08 review)
+        raise ValueError(
+            f"n_salts is a cascade-only knob (got algorithm={algorithm!r})"
+        )
     keep = [user_col, ts_col, type_col] + (
         [salt_col] if salt_col is not None and n_salts is not None else []
     )

@@ -113,13 +113,18 @@ def near_dup_flagger(
             return spark.table(store_table).filter(
                 F.col("batch_id") != F.lit(batch_id)
             )
-        # Missing store dir = first batch; everything ELSE (permissions,
+        # Missing store dir OR an existing-but-empty one = first batch
+        # (a failed first _write_store attempt can leave the directory
+        # created with zero data files — treating that as an error would
+        # crash-loop the replay forever); everything ELSE (permissions,
         # transient FS error, corrupt footer) must propagate — swallowing
         # it would screen the batch against nothing and silently write
         # wrong verdicts (r07 ADVICE; the store_table branch above gets
-        # this right with its explicit tableExists check). PATH_NOT_FOUND
-        # is matched by error condition, not by exception breadth.
+        # this right with its explicit tableExists check). Matched by
+        # error condition, not by exception breadth.
         from pyspark.errors import AnalysisException
+
+        _FIRST_BATCH = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
         try:
             store = spark.read.parquet(store_dir)
@@ -131,8 +136,8 @@ def near_dup_flagger(
                     break
                 except Exception:
                     continue
-            if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(exc):
-                return None  # first batch — store not created yet
+            if any(m in cond or m in str(exc) for m in _FIRST_BATCH):
+                return None  # store not created / no data files yet
             raise
         return store.filter(F.col("batch_id") != F.lit(batch_id))
 

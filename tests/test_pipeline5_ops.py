@@ -342,10 +342,13 @@ def test_funnel_salt_col_without_salting_rejected(spark):
     )
     with pytest.raises(ValueError, match="salt_col requires"):
         funnel_user_stages(df, ["view", "click"], salt_col="event_id")
-    with pytest.raises(ValueError, match="salt_col requires"):
+    with pytest.raises(ValueError, match="salt_col requires|cascade-only"):
         funnel_user_stages(
             df, ["view", "click"], algorithm="fold", n_salts=4, salt_col="event_id"
         )
+    # n_salts alone on the fold path is the same silent-no-op class
+    with pytest.raises(ValueError, match="cascade-only"):
+        funnel_user_stages(df, ["view", "click"], algorithm="fold", n_salts=4)
 
 
 def test_sketches_ignore_nulls(spark):

@@ -135,6 +135,42 @@ def test_near_dup_flagger_replay_idempotent(spark, tmp_path):
     assert not v[1].is_near_dup and not v[2].is_near_dup
 
 
+def test_near_dup_flagger_empty_store_dir_recovers_as_first_batch(spark, tmp_path):
+    """An existing store directory with ZERO data files (a failed first
+    _write_store attempt can leave the dir created before any parquet
+    lands) must behave exactly like a missing store — first batch,
+    nothing to screen against. Raising here (UNABLE_TO_INFER_SCHEMA)
+    would crash-loop the replay forever (r08 review)."""
+    import os
+
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.streaming.dedup import near_dup_flagger
+
+    doc_dir = tmp_path / "docs_in"
+    doc_dir.mkdir()
+    store = tmp_path / "store"
+    (store / "batch_id=0").mkdir(parents=True)  # dir exists, no files
+
+    pd.DataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        columns=["doc_id", "text"],
+    ).to_parquet(doc_dir / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(doc_dir))
+    out = str(tmp_path / "verdicts")
+    q = near_dup_flagger(stream, str(store), str(tmp_path / "ckpt"), out)
+    q.awaitTermination()
+
+    v = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(v) == {1} and not v[1].is_near_dup
+    # and the store now holds the batch's keys for the next batch
+    assert any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(store)
+        for f in files
+    )
+
+
 def test_near_dup_flagger_corrupt_store_errors_not_empty_screen(spark, tmp_path):
     """A store that EXISTS but can't be read (corrupt footer, permissions,
     transient FS failure) must fail the micro-batch, not be treated as

@@ -28,6 +28,24 @@ Scheme changes (anything that alters what a hash covers) bump
 ``PLAN_HASH_SCHEME``; the ledger drops stored baselines recorded under
 a different scheme automatically.
 
+Known residual risks (documented, accepted — r08 review):
+
+- the exprId regex ``#(\\d+)`` cannot distinguish an exprId from a
+  string literal that happens to contain ``...#<digits>`` (catalyst
+  renders string literals unquoted), so an edit changing ONLY such a
+  literal in a dependency-module constant could normalize identically.
+  Requires the literal to sit at the same first-appearance position and
+  to be the edit's only effect — and the own-segment guard already
+  limits clearing to dependency-module edits. Narrow enough to accept.
+- identity-checkpointing means the hash covers the LOGICAL plan, not
+  materialization state: an edit whose behavior is gated on real
+  materialization (e.g. code branching on ``inputFiles()`` emptiness,
+  like the r08 ``session.spread`` fix itself) is invisible to the hash.
+  Clearing such plumbing edits needs independent evidence — in r08 the
+  full 160-query DuckDB oracle parity suite was re-run green on the
+  edited tree before the clearings were committed; treat that as the
+  template.
+
 Known instability (safe direction): ``RewriteDistinctAggregates`` orders
 its Expand/gid groups by hash-set iteration, which is NONDETERMINISTIC
 per session for aggregates with ≥2 distinct children (observed on
@@ -66,7 +84,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #:    (defective: patched only the abstract base; classic DataFrame
 #:    overrides both methods, so plans stayed truncated)
 #: 3: the patch covers every concrete DataFrame class
-PLAN_HASH_SCHEME = 3
+#: 4: maxToStringFields raised so wide Project/Aggregate tails are in
+#:    the hash (scheme 3 hashed "... N more fields" elisions)
+#: 5: lambda-variable name suffixes normalized (pyspark's session-global
+#:    fresh-name counter made every higher-order-function plan hash
+#:    session-position-dependent — 40 spurious mismatches in the first
+#:    scheme-4 batch run)
+PLAN_HASH_SCHEME = 5
 
 #: default snapshot data — plan SHAPE only matters, so the smallest SF
 DEFAULT_SF = "/root/testdata/sf0.001"
@@ -76,9 +100,20 @@ _RDD_MARKERS = ("LogicalRDD", "ExistingRDD")
 
 
 def normalized_plan(df) -> str:
-    """Optimized-plan string with exprIds renumbered in first-appearance
-    order — deterministic across sessions for equal plans (verified:
-    identical hash from cold and counter-shifted sessions)."""
+    """Optimized-plan string with session-counter artifacts normalized —
+    deterministic across sessions for equal plans (verified: identical
+    hash from cold and counter-shifted sessions):
+
+    - exprIds (``#123``) renumbered in first-appearance order;
+    - lambda-variable NAME suffixes stripped: pyspark names higher-order
+      -function variables ``<param>_<n>`` with a session-global counter
+      (``lambda x_1#e8`` in a cold session is ``lambda x_32#e8`` after 31
+      other lambdas), and every occurrence renders with the ``lambda ``
+      prefix, so the suffix can be dropped exactly there — the
+      (renumbered) exprId still uniquely identifies the variable, and
+      real columns with numeric suffixes (``sig_0`` …) never carry the
+      prefix and are untouched.
+    """
     s = df._jdf.queryExecution().optimizedPlan().toString()
     ids: dict[str, str] = {}
 
@@ -88,13 +123,20 @@ def normalized_plan(df) -> str:
             ids[k] = f"#e{len(ids)}"
         return ids[k]
 
-    return re.sub(r"#(\d+)", sub, s)
+    s = re.sub(r"#(\d+)", sub, s)
+    return re.sub(r"(?<=lambda )(\w+?)_\d+(?=#)", r"\1_v", s)
 
 
 def plan_hash(df) -> dict:
     """hash + clearability for one built DataFrame (see module doc)."""
     plan = normalized_plan(df)
     rdd_free = not any(m in plan for m in _RDD_MARKERS)
+    if "more fields" in plan:
+        # toString truncates expression lists at
+        # spark.sql.debug.maxToStringFields — a truncated tail is outside
+        # the hash, so equality would be unsound (r08 review). main()
+        # raises the conf; this guard catches any other session.
+        rdd_free = False
     try:
         files = sorted(df.inputFiles())
     except Exception:
@@ -195,6 +237,11 @@ def main() -> None:
     from duckdb_nats_jetstream_spark.session import get_spark
 
     spark = get_spark("plan-hash")
+    # plan strings must be complete: the default maxToStringFields=25
+    # elides wide Project/Aggregate tails as "... N more fields", which
+    # would put real expressions outside the hash (plan_hash() also
+    # refuses to clear any plan that still shows the marker)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000000")
     out: dict[str, dict] = {}
     try:
         for name in names:

@@ -359,6 +359,13 @@ def plan_evidence_valid(entry: dict, wt: "_SourceTree") -> bool:
     wt_fp = wt.fn_fingerprint(entry["module"], entry["function"])
     if wt_fp is None or pne.get("fingerprint_at_clear") != wt_fp:
         return False
+    if base.get("fingerprint") != entry.get("fingerprint_at_last_green"):
+        # the baseline must have been recorded against code identical to
+        # the last-green code, or it vouches for nothing (build_status
+        # enforces this on carry-forward; re-enforced here so a
+        # hand-edited/corrupted ledger can't smuggle a clearing — r08
+        # review)
+        return False
     if not base.get("clearable") or not pne.get("clearable"):
         return False
     if pne.get("hash") != base.get("hash") or base.get("sf_dir") != pne.get("sf_dir"):
@@ -506,61 +513,125 @@ def recommend_prefix(
     return ordered[:budget]
 
 
-def _run_plan_check(status: dict) -> None:
-    """Opt-in (``--plan-check``) plan-hash pass — needs a live spark, run
-    as a subprocess (``tools/plan_hash.py``) so the ledger CLI itself
-    stays JVM-free. Two jobs:
-
-    1. record a **baseline** ``plan_hash_at_last_green`` for every green
-       query whose working-tree fingerprint still matches its last green
-       (code identical-by-semantic-hash to the verified code, so a
-       working-tree plan IS the last-green plan);
-    2. for every **edited** green query that already has a baseline,
-       compare the working-tree plan hash against it and record
-       ``plan_neutral_edit`` evidence when equal, clearable, and the
-       query's own source segment is untouched (dependency-only edit).
-
-    An edited query with NO stored baseline stays re-queued — baselines
-    are only ever recorded while the tree matches the verified code, so
-    run ``--plan-check`` at round open BEFORE editing.
-    """
+def _hash_subprocess(names: list[str], repo: str) -> dict:
+    """Run ``tools/plan_hash.py`` (from THIS tree — the instrument must
+    not vary with the snapshot under test) against ``repo``'s package
+    code; returns the parsed payload."""
     import subprocess as sp
     import tempfile
 
-    wt = _SourceTree(None)
-    baseline_new: list[str] = []
-    edited_cand: list[str] = []
-    wt_fp: dict[str, str | None] = {}
-    for name, s in status.items():
-        if not s["oracle"] or s["last_green_round"] is None:
-            continue
-        wt_fp[name] = wt.fn_fingerprint(s["module"], s["function"])
-        unchanged = wt_fp[name] == s["fingerprint_at_last_green"]
-        if unchanged and "plan_hash_at_last_green" not in s:
-            baseline_new.append(name)
-        elif not unchanged and s.get("plan_hash_at_last_green") and not plan_evidence_valid(s, wt):
-            edited_cand.append(name)
-    todo = baseline_new + edited_cand
-    if not todo:
-        print("plan-check: nothing to hash")
-        return
-    print(
-        f"plan-check: hashing {len(todo)} queries "
-        f"({len(baseline_new)} baselines, {len(edited_cand)} edited candidates)..."
-    )
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         out_path = tf.name
     sp.run(
         [sys.executable, os.path.join(REPO, "tools", "plan_hash.py"),
-         "--out", out_path, "--names", ",".join(todo)],
+         "--out", out_path, "--names", ",".join(names), "--repo", repo],
         cwd=REPO,
         check=True,
     )
     with open(out_path, encoding="utf-8") as fh:
         payload = json.load(fh)
     os.unlink(out_path)
+    return payload
+
+
+def _ref_worktree(round_n: int) -> str:
+    """Detached git worktree of the round's verified code under
+    ``.plan_worktrees/`` (gitignored, reused across runs)."""
+    import subprocess as sp
+
+    path = os.path.join(REPO, ".plan_worktrees", f"r{round_n:02d}")
+    marker = os.path.join(path, "duckdb_nats_jetstream_spark", "__init__.py")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.isdir(path):  # half-built — remove and re-add
+        sp.run(["git", "worktree", "remove", "--force", path], cwd=REPO,
+               capture_output=True)
+    sp.run(
+        ["git", "worktree", "add", "--detach", path,
+         ROUND_CODE_REFS[round_n]],
+        cwd=REPO,
+        check=True,
+        capture_output=True,
+    )
+    return path
+
+
+def _run_plan_check(status: dict) -> None:
+    """Opt-in (``--plan-check``) plan-hash pass — needs a live spark, run
+    as subprocesses (``tools/plan_hash.py``) so the ledger CLI itself
+    stays JVM-free. For every oracle-backed green query:
+
+    1. ensure a **baseline** ``plan_hash_at_last_green`` exists: reuse a
+       stored one (same scheme, fingerprint tied to the last green), or
+       compute it — from the working tree when the query's fingerprint
+       still matches its last green (code identical-by-semantic-hash),
+       otherwise from a git WORKTREE of the last-green round's verified
+       code (so baselines never depend on when the tool was run);
+    2. for every **edited** query, compare the working-tree plan hash
+       against the baseline and record ``plan_neutral_edit`` evidence
+       when equal, clearable, and the query's own source segment is
+       untouched (dependency-only edit);
+    3. prune evidence that no longer validates.
+    """
+    wt = _SourceTree(None)
+    from tools.plan_hash import PLAN_HASH_SCHEME
+
+    wt_fp: dict[str, str | None] = {}
+    baseline_wt: list[str] = []           # unchanged code → wt hash IS baseline
+    baseline_ref: dict[int, list[str]] = {}  # edited → hash at last-green ref
+    edited_cand: list[str] = []
+    for name, s in status.items():
+        if not s["oracle"] or s["last_green_round"] is None:
+            continue
+        wt_fp[name] = wt.fn_fingerprint(s["module"], s["function"])
+        unchanged = wt_fp[name] == s["fingerprint_at_last_green"]
+        base = s.get("plan_hash_at_last_green")
+        has_base = bool(
+            base
+            and base.get("scheme") == PLAN_HASH_SCHEME
+            and base.get("fingerprint") == s["fingerprint_at_last_green"]
+        )
+        if unchanged:
+            if not has_base:
+                baseline_wt.append(name)
+        elif not plan_evidence_valid(s, wt):
+            edited_cand.append(name)
+            if not has_base and s["last_green_round"] in ROUND_CODE_REFS:
+                baseline_ref.setdefault(s["last_green_round"], []).append(name)
+    if not baseline_wt and not edited_cand:
+        print("plan-check: nothing to hash")
+        return
+    print(
+        f"plan-check: {len(baseline_wt)} wt baselines, "
+        f"{sum(map(len, baseline_ref.values()))} ref baselines across "
+        f"{len(baseline_ref)} rounds, {len(edited_cand)} edited candidates"
+    )
+
+    # ref-side baselines: one worktree + subprocess per last-green round
+    used_worktrees: list[str] = []
+    for round_n, names in sorted(baseline_ref.items()):
+        wtree = _ref_worktree(round_n)
+        used_worktrees.append(wtree)
+        payload = _hash_subprocess(names, wtree)
+        for name in names:
+            h = payload["hashes"].get(name, {})
+            if "error" in h:
+                print(f"  ref baseline FAILED {name} (r{round_n}): {h['error']}")
+                continue
+            status[name]["plan_hash_at_last_green"] = {
+                **h,
+                "sf_dir": payload["sf_dir"],
+                "scheme": payload["scheme"],
+                # recorded from the last-green code itself, so the tie to
+                # fingerprint_at_last_green holds by construction
+                "fingerprint": status[name]["fingerprint_at_last_green"],
+            }
+
+    # working-tree hashes: unchanged-code baselines + edited candidates
+    payload = _hash_subprocess(baseline_wt + edited_cand, REPO)
     hashes, sf_dir, scheme = payload["hashes"], payload["sf_dir"], payload["scheme"]
-    for name in baseline_new:
+    for name in baseline_wt:
         h = hashes.get(name, {})
         if "error" in h:
             print(f"  baseline FAILED {name}: {h['error']}")
@@ -572,7 +643,10 @@ def _run_plan_check(status: dict) -> None:
     for name in edited_cand:
         h = hashes.get(name, {})
         s = status[name]
-        base = s["plan_hash_at_last_green"]
+        base = s.get("plan_hash_at_last_green")
+        if base is None or base.get("scheme") != scheme:
+            print(f"  NOT cleared {name}: no usable baseline")
+            continue
         if "error" in h:
             print(f"  edited candidate FAILED {name}: {h['error']}")
             continue
@@ -603,6 +677,14 @@ def _run_plan_check(status: dict) -> None:
         if s.get("plan_neutral_edit") and not plan_evidence_valid(s, wt):
             del s["plan_neutral_edit"]
             print(f"  pruned stale evidence: {name}")
+    # remove the ref worktrees: they hold full engine copies that would
+    # double-count in any whole-repo LoC/copy diagnostic; recreating one
+    # costs ~1 s next run, the subprocess session dominates anyway
+    import subprocess as sp
+
+    for wtree in used_worktrees:
+        sp.run(["git", "worktree", "remove", "--force", wtree], cwd=REPO,
+               capture_output=True)
     print(f"plan-check: {cleared}/{len(edited_cand)} edited queries cleared")
 
 
