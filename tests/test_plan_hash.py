@@ -56,6 +56,26 @@ def test_hash_sensitive_to_scan_location(spark, sf_dir, tmp_path):
     assert plan_hash(a)["hash"] != plan_hash(b)["hash"]
 
 
+def test_hash_insensitive_to_lambda_name_counter(spark, sf_dir):
+    """pyspark names higher-order-function variables with a
+    session-global counter (``x_1`` … ``x_32``) — burning names between
+    two builds of the same HOF plan must not change the hash (r08
+    review: 40 spurious mismatches before the suffix normalization)."""
+    def hof(df):
+        return df.select(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 3).alias("ws")
+        )
+
+    base = read_table(spark, sf_dir, "documents")
+    h1 = plan_hash(hof(base))["hash"]
+    for _ in range(7):  # advance the fresh-name counter
+        spark.range(1).select(
+            F.transform(F.array(F.lit(1)), lambda x: x + 1)
+        ).collect()
+    h2 = plan_hash(hof(base))["hash"]
+    assert h1 == h2
+
+
 def test_python_udf_not_clearable(spark, sf_dir):
     """A Python UDF's plan names the function but not its body — a body
     edit is invisible to the hash, so such plans must refuse clearing."""
