@@ -90,7 +90,7 @@ def main() -> None:
     # whichever query alphabetically happens to hit it first ~1-2s).
     from pyspark.sql import functions as F
 
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     for fname in os.listdir(sf_dir):
         if fname.endswith(".parquet"):

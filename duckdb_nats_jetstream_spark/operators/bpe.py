@@ -77,7 +77,7 @@ def _learn_merges(
     """Shared training core: returns the post-merge encoded vocabulary
     ``(w, cnt, seq)`` (persisted — caller must unpersist) and the list of
     chosen ``(pair, n)`` merges in order."""
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     vocab = (
         spread(df)
@@ -165,7 +165,7 @@ def bpe_token_counts(
     vocabulary relation (the deployment lookup) plus a per-doc hash agg —
     the merges never re-run over the corpus.
     """
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     enc, _ = _learn_merges(df, rounds, text_col)
     word_syms = enc.select(

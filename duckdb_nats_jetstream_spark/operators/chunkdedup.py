@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from duckdb_nats_jetstream_spark.session import spread
+from duckdb_nats_jetstream_spark.tables import spread
 
 
 def chunk_dedup(

@@ -48,7 +48,7 @@ def ngram_contamination(
     in the benchmark corpus; ``contam_r = n_matched / n_grams``. Documents
     shorter than ``n`` tokens are dropped (no grams to match).
     """
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     gram = lambda c: F.array_distinct(shingles(tokens(c), n))  # noqa: E731
 
@@ -114,7 +114,7 @@ def bloom_contamination(
 
     Returns ``(doc_id, n_grams, n_flagged, flag_r)``.
     """
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     gram = lambda c: F.array_distinct(shingles(tokens(c), n))  # noqa: E731
 

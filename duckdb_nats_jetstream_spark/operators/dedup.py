@@ -47,7 +47,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     sh = shingles(tokens(F.col(text_col)), n)
     # tokenize+shingle is the expensive per-row stage of every shingle-based
@@ -177,7 +177,7 @@ def ngram_jaccard_pairs(
     """Blocked pairwise n-gram Jaccard. ``block_col`` bounds the pair
     explosion (at scale, block on an LSH bucket or length band — never
     all-pairs). Returns (id_a, id_b, jaccard_r)."""
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     sh = shingles(tokens(F.col(text_col)), n)
     cols = [F.col(id_col), sh.alias("sh")]
@@ -205,7 +205,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     tokens, where token bit j = parity of hex digit j of md5(token) (each
     token hashed once, digits reused across bits). Integer math only —
     exactly mirrorable in SQL. Returns (id, simhash)."""
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     hashed = spread(df).select(
         F.col(id_col),
@@ -264,7 +264,7 @@ def winnow_fingerprints(
     over fixed-width lowercase hex agrees across engines. Returns one row
     per (id, fp) — distinct fingerprints per document.
     """
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     if arrow:
         # Arrow fast path: the k-gram md5s sit inside transform lambdas on
@@ -363,6 +363,17 @@ SELECT doc_id, unnest(f) AS fp FROM fps WHERE f IS NOT NULL
 """
 
 
+#: default hot-fingerprint document-frequency cap for :func:`winnow_pairs`.
+#: A fingerprint shared by ``d`` documents emits ``d·(d-1)/2`` pairs, so the
+#: uncapped self-join is quadratic in per-fingerprint popularity — measured
+#: at the 10× replica (PERF.md sf1 table): exponent 1.90, 9.7 GB shuffle,
+#: 34 GB peak task memory, while the capped twin stayed flat at 16 MB. 512
+#: bounds any one fingerprint's contribution to ~131k pairs regardless of
+#: corpus size; fingerprints hotter than that are boilerplate (license
+#: headers, nav bars), which is noise for near-dup detection, not signal.
+DEFAULT_WINNOW_DF_CAP = 512
+
+
 def winnow_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -370,7 +381,7 @@ def winnow_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 3,
-    df_cap: int | None = None,
+    df_cap: int | None = DEFAULT_WINNOW_DF_CAP,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by shared winnowing fingerprints —
     MOSS's match step as a relational plan: self-join the (id, fp) relation
@@ -386,6 +397,12 @@ def winnow_pairs(
     (common code is noise, not plagiarism signal). The cap costs one extra
     aggregation on the same fp key the join shuffles on, so it adds no new
     shuffle boundary. Returns (id_a, id_b, n_shared).
+
+    CAPPED BY DEFAULT (:data:`DEFAULT_WINNOW_DF_CAP`; r08 verdict): the
+    uncapped form OOMs tasks on duplicated corpora (sf1 measured exponent
+    1.90 / 34 GB peak task memory vs the capped twin flat at 4.8 s).
+    Pass ``df_cap=None`` to opt out explicitly — exhaustive pairs over a
+    corpus known to be boilerplate-free.
     """
     # persist: both join sides read the same fingerprint relation — without
     # this the whole k-gram/window pipeline runs twice (same pattern as
@@ -539,7 +556,7 @@ def dup_span_stats(
     Returns (id, n_spans, n_dup_spans, dup_frac).
     """
     from duckdb_nats_jetstream_spark.functions.text import shingles, tokens
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     grams = (
         spread(df)
@@ -912,7 +929,7 @@ def span_scrub(
     stats pass. Documents shorter than n tokens have no grams and pass
     through unscrubbed. Returns (id, n_tokens, n_removed, scrubbed)."""
     from duckdb_nats_jetstream_spark.functions.text import shingles, tokens
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     toked = spread(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from duckdb_nats_jetstream_spark.functions.vector_np import fold_d2
-from duckdb_nats_jetstream_spark.session import spread
+from duckdb_nats_jetstream_spark.tables import spread
 
 #: global quantization scale — embeddings are O(1)-valued, so ×100 keeps
 #: 2 decimal digits and the squared-distance sums around 10^7 ≪ 2^53

@@ -162,7 +162,7 @@ def extract_features(df: DataFrame, dim: int = 16, decode: str = "fake") -> Data
                 }
             )
 
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     return spread(df).mapInPandas(batches, FEATURE_SCHEMA)
 
@@ -229,7 +229,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 )
             yield pd.DataFrame(out_rows)
 
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     # decode+resample is the compute-heavy per-row stage — restore scan
     # parallelism first (same rationale as the shingle pipelines)

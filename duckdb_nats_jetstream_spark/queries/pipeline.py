@@ -14,7 +14,7 @@ from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.functions.vector import sql_dot
 from duckdb_nats_jetstream_spark.operators import dedup as D
 from duckdb_nats_jetstream_spark.operators import similarity as S
-from duckdb_nats_jetstream_spark.session import read_table, spread
+from duckdb_nats_jetstream_spark.tables import read_table, spread
 from duckdb_nats_jetstream_spark.sources.message_scan import EVENTS_ORACLE_SCAN_SQL
 
 _TOKS = TX.sql_tokens("text")
@@ -410,7 +410,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "meta": [None] * len(ids)})
 
     from duckdb_nats_jetstream_spark.operators.multimodal import MEDIA_SCHEMA
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     media = spread(src).mapInPandas(make_pngs, MEDIA_SCHEMA)
     resized = resize_images(probe_media(media), 16, 12)

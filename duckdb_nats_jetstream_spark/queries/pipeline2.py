@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.operators.profile import profile
-from duckdb_nats_jetstream_spark.session import read_table, spread
+from duckdb_nats_jetstream_spark.tables import read_table, spread
 
 
 def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,11 +126,14 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-sharing near-dup pairs (MOSS match step): self-join the
     winnowing fingerprints on fp, count shared prints per pair, keep pairs
     sharing ≥ 30. One fingerprint-keyed shuffle — same scale shape as the
-    LSH band join."""
+    LSH band join. ``df_cap=None`` is the EXPLICIT uncapped opt-out (the
+    operator default is capped since r09 — r08 verdict): this oracle form
+    deliberately checks the exhaustive pair semantics; production corpora
+    should take the default (see :func:`dedup_winnow_capped`)."""
     from duckdb_nats_jetstream_spark.operators import dedup as D
 
     return D.winnow_pairs(
-        read_table(spark, sf_dir, "documents"), min_shared=30
+        read_table(spark, sf_dir, "documents"), min_shared=30, df_cap=None
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.operators import similarity as S
-from duckdb_nats_jetstream_spark.session import read_table, spread
+from duckdb_nats_jetstream_spark.tables import read_table, spread
 
 _TOKS = TX.sql_tokens("text")
 
@@ -1073,7 +1073,7 @@ def scan_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing ones). Same union+window plan as ``scan_asof_join``; the bound
     is one row-local predicate after the window."""
     from duckdb_nats_jetstream_spark.operators.asof import asof_join
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     ev = read_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(

@@ -36,7 +36,7 @@ from duckdb_nats_jetstream_spark.operators import decon as DC
 from duckdb_nats_jetstream_spark.operators import kmeans as KM
 from duckdb_nats_jetstream_spark.operators import semantic as SD
 from duckdb_nats_jetstream_spark.operators import sketch as SK
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 #: the incoming "batch" for the incremental dedup screen: two of the
 #: twenty sources play the freshly crawled slice

@@ -57,7 +57,7 @@ from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.operators import funnel as FN
 from duckdb_nats_jetstream_spark.operators import histsketch as HS
 from duckdb_nats_jetstream_spark.operators import hll as HLL
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 # --- unigram LM surprisal ----------------------------------------------------
 

@@ -25,7 +25,7 @@ from duckdb_nats_jetstream_spark.functions.exact import (
     dsum,
     net_price,
 )
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 DSUM = "CAST(sum(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
 DAVG = DSUM + " / count({x})"

@@ -34,7 +34,7 @@ from duckdb_nats_jetstream_spark.functions.exact import (
     net_price,
 )
 from duckdb_nats_jetstream_spark.operators.broadcast_guard import sized_broadcast
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 
 def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -363,7 +363,7 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_proto,
         proto_extract,
     )
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     messages, enums = parse_proto(EVENTS_PROTO)
     desc = messages["Event"]
@@ -393,7 +393,7 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             yield pd.DataFrame({"payload": payloads})
 
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     # JSON parse stays JVM-side (get_json_object) — only the wire encode is
     # Python; spread so a single-file input doesn't serialize the codec
@@ -438,7 +438,7 @@ def proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_proto,
         proto_extract,
     )
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     messages, enums = parse_proto(REPEATED_EVENTS_PROTO)
     desc = messages["EventR"]
@@ -465,7 +465,7 @@ def proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"payload": payloads})
 
-    from duckdb_nats_jetstream_spark.session import spread
+    from duckdb_nats_jetstream_spark.tables import spread
 
     encoded = spread(
         read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
@@ -500,7 +500,7 @@ def scan_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DuckDB's native ASOF LEFT JOIN; ours is the union+window shape in
     :mod:`operators.asof` — one shuffle by user, no range explosion."""
     from duckdb_nats_jetstream_spark.operators.asof import asof_join
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     ev = read_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
@@ -528,7 +528,7 @@ def scan_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join; ours bins time so Spark plans a hash equi-join on
     (user, bin) — see :mod:`operators.interval_join`."""
     from duckdb_nats_jetstream_spark.operators.interval_join import interval_join
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     ev = read_table(spark, sf_dir, "events")
     signups = ev.filter(F.col("event_type") == "signup").select(
@@ -603,7 +603,7 @@ def scan_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     between bracketing observations."""
     from duckdb_nats_jetstream_spark.functions.exact import davg
     from duckdb_nats_jetstream_spark.operators.gapfill import time_bucket_gapfill
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     return time_bucket_gapfill(

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from duckdb_nats_jetstream_spark.errors import require
 from duckdb_nats_jetstream_spark.functions.json_extract import json_extract
-from duckdb_nats_jetstream_spark.session import table_path
+from duckdb_nats_jetstream_spark.tables import table_path
 
 #: DuckDB-oracle equivalent of the events→message-log mapping. Kept here as
 #: the single source of truth; every oracle SQL that scans the stream embeds

@@ -136,7 +136,14 @@ def near_dup_flagger(
                     break
                 except Exception:
                     continue
-            if any(m in cond or m in str(exc) for m in _FIRST_BATCH):
+            # When the API yielded a condition, match on IT alone — a
+            # str(exc) fallback alongside it would reintroduce breadth
+            # (a different failure whose nested cause chain merely
+            # MENTIONS PATH_NOT_FOUND would be swallowed as first batch,
+            # r08 ADVICE). Message-text matching only when neither API
+            # produced a condition on this pyspark version.
+            haystack = cond if cond else str(exc)
+            if any(m in haystack for m in _FIRST_BATCH):
                 return None  # store not created / no data files yet
             raise
         return store.filter(F.col("batch_id") != F.lit(batch_id))

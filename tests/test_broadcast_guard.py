@@ -20,7 +20,7 @@ from duckdb_nats_jetstream_spark.operators.sampling import (
     stratified_hash_topn,
 )
 from duckdb_nats_jetstream_spark.operators.winsorize import winsorize
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 from tests.test_plans import physical_plan
 
 

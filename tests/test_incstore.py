@@ -5,11 +5,11 @@ a real parquet round-trip of the store relations."""
 from pyspark.sql import functions as F
 
 from duckdb_nats_jetstream_spark.operators.dedup import incremental_near_dups
-from duckdb_nats_jetstream_spark.operators.incstore import (
+from duckdb_nats_jetstream_spark.operators.dedup import (
     build_signature_store,
     incremental_near_dups_stored,
 )
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 from conftest import SF_DIR
 

@@ -12,7 +12,7 @@ from duckdb_nats_jetstream_spark.operators import chunkdedup as CD
 from duckdb_nats_jetstream_spark.operators import dedup as D
 from duckdb_nats_jetstream_spark.operators import kmeans as KM
 from duckdb_nats_jetstream_spark.operators import semantic as SD
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 
 # --- SemDeDup -----------------------------------------------------------------

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from duckdb_nats_jetstream_spark.operators import hll as HLL
 from duckdb_nats_jetstream_spark.queries import pipeline5 as P5
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 
 # --- HLL ---------------------------------------------------------------------

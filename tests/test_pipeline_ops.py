@@ -9,7 +9,7 @@ from pyspark.sql import Row, functions as F
 
 from duckdb_nats_jetstream_spark.operators import dedup as D
 from duckdb_nats_jetstream_spark.operators import similarity as S
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 
 @pytest.fixture(scope="module")
@@ -568,6 +568,17 @@ def test_winnow_df_cap_drops_hot_fingerprints(spark):
     }
     assert capped <= uncapped
     assert len(capped) < len(uncapped)  # the boilerplate fps were hot (df=8)
+
+
+def test_winnow_pairs_capped_by_default():
+    """The hot-fingerprint cap is the DEFAULT (r08 verdict: the uncapped
+    self-join measured exponent 1.90 / 34 GB peak task memory at the 10×
+    replica); uncapped is an explicit ``df_cap=None`` opt-out."""
+    import inspect
+
+    default = inspect.signature(D.winnow_pairs).parameters["df_cap"].default
+    assert default == D.DEFAULT_WINNOW_DF_CAP
+    assert default is not None and default >= 64  # bounded, but not absurdly tight
 
 
 def test_dup_span_stats_flags_shared_spans(spark):

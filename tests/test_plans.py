@@ -87,7 +87,7 @@ def test_winnow_and_mixture_are_pure_jvm(spark, sf_dir):
     from duckdb_nats_jetstream_spark.operators.sampling import (
         weighted_mixture_sample,
     )
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     docs = read_table(spark, sf_dir, "documents")
     for df in (
@@ -110,7 +110,7 @@ def test_mixture_sample_no_shuffle(spark, sf_dir):
     from duckdb_nats_jetstream_spark.operators.sampling import (
         weighted_mixture_sample,
     )
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     docs = read_table(spark, sf_dir, "documents")
     out = weighted_mixture_sample(docs, {"src0": 0.5}, default_rate=0.1)
@@ -355,7 +355,7 @@ def test_hll_build_is_one_partial_agg(spark, sf_dir):
     partial max (shuffle moves <= m rows per partition, never the input)."""
     from duckdb_nats_jetstream_spark.operators.hll import hll_registers
     from duckdb_nats_jetstream_spark.plans.explain import physical_plan
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     plan = physical_plan(
         hll_registers(read_table(spark, sf_dir, "orders"), "o_custkey")
@@ -369,7 +369,7 @@ def test_funnel_fold_is_single_user_shuffle(spark, sf_dir):
     cascade would show three)."""
     from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
     from duckdb_nats_jetstream_spark.plans.explain import physical_plan
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     plan = physical_plan(
         funnel_user_stages(
@@ -391,7 +391,7 @@ def test_funnel_cascade_is_skew_safe(spark, sf_dir):
     flattened the measured 34× straggler (SCALING.md batch 4)."""
     from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
     from duckdb_nats_jetstream_spark.plans.explain import physical_plan
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     plan = physical_plan(
         funnel_user_stages(
@@ -407,7 +407,7 @@ def test_funnel_cascade_matches_fold(spark, sf_dir):
     """Both funnel algorithms are bit-identical on the same log — with and
     without the conversion window."""
     from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     ev = read_table(spark, sf_dir, "events")
     # salt_col="event_id": the deterministic tie-spreader (r07 review —
@@ -444,7 +444,7 @@ def test_skew_join_ready_presents_bare_shuffle(spark, sf_dir):
     measured in SCALING.md Round-6 batch 5: an aggregate left under the
     child keeps a 90%-hot-key straggler at 11.3× despite skewJoin=on)."""
     from duckdb_nats_jetstream_spark.operators.skew import skew_join_ready
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "value")
     users = ev.select("user_id").distinct()
@@ -519,7 +519,7 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         from pyspark.sql import functions as F
 
-        from duckdb_nats_jetstream_spark.session import read_table
+        from duckdb_nats_jetstream_spark.tables import read_table
 
         li = read_table(spark, sf_dir, "lineitem")
         orders = read_table(spark, sf_dir, "orders").filter(
@@ -550,7 +550,7 @@ def test_profile_is_single_scan_both_variants(spark, sf_dir):
     sketches, no Expand at all, one ordinary two-phase agg — the 100 TB
     default."""
     from duckdb_nats_jetstream_spark.operators.profile import profile
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     ev = read_table(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "event_type"]

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from duckdb_nats_jetstream_spark.operators.quantiles import exact_group_quantiles
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 
 def test_matches_percentile_aggregate(spark, sf_dir):

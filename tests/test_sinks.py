@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from duckdb_nats_jetstream_spark import sinks
 from duckdb_nats_jetstream_spark.errors import BindError
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 
 from conftest import SF_DIR
 

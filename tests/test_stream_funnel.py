@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from duckdb_nats_jetstream_spark.operators.funnel import funnel_user_stages
-from duckdb_nats_jetstream_spark.session import read_table
+from duckdb_nats_jetstream_spark.tables import read_table
 from duckdb_nats_jetstream_spark.streaming.funnel import streaming_funnel
 
 STAGES = ["view", "click", "purchase"]

@@ -142,6 +142,12 @@ def plan_hash(df) -> dict:
     except Exception:
         files = []
         rdd_free = False  # can't pin scan locations — not sound evidence
+    if not files:
+        # all-LocalRelation plans render only output ATTRIBUTES, not the
+        # embedded data, so an edit changing createDataFrame contents
+        # would hash identically; with no scan locations to pin either,
+        # equality is not sound evidence (r08 ADVICE).
+        rdd_free = False
     try:
         j = df._jdf.queryExecution().optimizedPlan().toJSON().lower()
         python_free = not any(m in j for m in _PY_MARKERS)

@@ -67,11 +67,55 @@ ROUND_CODE_REFS: dict[int, str] = {
     5: "64d3d88^",
     6: "28545f1^",
     7: "3351f68^",
+    8: "49b7369^",
 }
 
 
 def _module_relpath(module: str) -> str:
     return module.replace(".", "/") + ".py"
+
+
+def package_tree_fingerprint(repo: str = REPO) -> str:
+    """sha256 over every package source file (relpath + bytes, sorted).
+
+    Ties an independent-evidence artifact (``PARITY_EVIDENCE.json``,
+    written by ``tools/driver_sim.py`` on a full all-green oracle run) to
+    the exact tree it ran against, so a plan-hash clearing of a
+    materialization-gated edit — invisible to logical-plan hashing by
+    design — carries a mechanical record of the oracle re-run instead of
+    prose (r08 ADVICE)."""
+    pkg = os.path.join(repo, "duckdb_nats_jetstream_spark")
+    h = hashlib.sha256()
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(root, f)
+            h.update(os.path.relpath(p, repo).encode())
+            h.update(b"\0")
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+            h.update(b"\0")
+    return h.hexdigest()
+
+
+def _current_parity_evidence() -> dict | None:
+    """The committed parity artifact, iff it vouches for THIS tree."""
+    path = os.path.join(REPO, "PARITY_EVIDENCE.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        data = json.load(fh)
+    if not data.get("all_green"):
+        return None
+    if data.get("tree_fingerprint") != package_tree_fingerprint():
+        return None
+    return {
+        "artifact": "PARITY_EVIDENCE.json",
+        "tree_fingerprint": data["tree_fingerprint"],
+        "n_queries": data.get("n_queries"),
+    }
 
 
 def _source_at(ref: str | None, relpath: str) -> str | None:
@@ -370,7 +414,13 @@ def plan_evidence_valid(entry: dict, wt: "_SourceTree") -> bool:
         return False
     if pne.get("hash") != base.get("hash") or base.get("sf_dir") != pne.get("sf_dir"):
         return False
-    if pne.get("scheme") != base.get("scheme"):
+    # Pin to the CURRENT hash-domain scheme, not merely base==pne: schemes
+    # 1-4 were each superseded for soundness defects, and without this pin
+    # stale same-scheme evidence pairs keep clearing edited queries after a
+    # bump until the ledger happens to be regenerated (r08 ADVICE, medium).
+    from tools.plan_hash import PLAN_HASH_SCHEME
+
+    if pne.get("scheme") != PLAN_HASH_SCHEME or base.get("scheme") != PLAN_HASH_SCHEME:
         return False
     own_then = _fn_fingerprint(
         _ref_tree(lg).src(entry["module"]), entry["function"]
@@ -640,6 +690,7 @@ def _run_plan_check(status: dict) -> None:
             **h, "sf_dir": sf_dir, "scheme": scheme, "fingerprint": wt_fp[name],
         }
     cleared = 0
+    new_clearings: set[str] = set()
     for name in edited_cand:
         h = hashes.get(name, {})
         s = status[name]
@@ -660,6 +711,7 @@ def _run_plan_check(status: dict) -> None:
             }
             if plan_evidence_valid(s, wt):
                 cleared += 1
+                new_clearings.add(name)
             else:  # own-segment guard (or another invariant) rejected it
                 del s["plan_neutral_edit"]
                 print(f"  NOT cleared (own source edited): {name}")
@@ -677,6 +729,32 @@ def _run_plan_check(status: dict) -> None:
         if s.get("plan_neutral_edit") and not plan_evidence_valid(s, wt):
             del s["plan_neutral_edit"]
             print(f"  pruned stale evidence: {name}")
+    # independent-evidence stamping (r08 ADVICE): plan hashes cover the
+    # LOGICAL plan only, so a materialization-gated dependency edit (the
+    # r08 spread() shape) could clear on hashes alone. When a committed
+    # PARITY_EVIDENCE.json (full all-green oracle run, tools/driver_sim.py)
+    # vouches for EXACTLY this tree, stamp every valid clearing with it;
+    # clearings left bare are printed so they can't pass silently.
+    parity = _current_parity_evidence()
+    bare: list[str] = []
+    for name, s in status.items():
+        pne = s.get("plan_neutral_edit")
+        if not pne:
+            continue
+        if parity and wt_fp.get(name, wt.fn_fingerprint(
+                s["module"], s["function"])) == pne.get("fingerprint_at_clear"):
+            pne["parity"] = parity
+        elif "parity" not in pne and name in new_clearings:
+            bare.append(name)
+    if bare:
+        print(
+            f"plan-check: {len(bare)} clearings rest on plan hashes ALONE "
+            "(no matching PARITY_EVIDENCE.json for this tree) — run "
+            "`python tools/driver_sim.py all` then re-run --plan-check "
+            "if any cleared edit is materialization-gated:"
+        )
+        for name in bare:
+            print(f"  bare clearing: {name}")
     # remove the ref worktrees: they hold full engine copies that would
     # double-count in any whole-repo LoC/copy diagnostic; recreating one
     # costs ~1 s next run, the subprocess session dominates anyway

@@ -6,7 +6,7 @@ with the corpus — which requires the signature STORE, not the API alone.
 rescanned per batch") but its API takes the raw reference corpus and
 re-shingles + re-minhashes it on EVERY call — so the per-batch wall
 grows with corpus size even at a fixed batch. The store-backed twin
-(`operators/incstore.py`) makes the docstring true: the reference side
+(`operators/dedup.py`, folded in at r08) makes the docstring true: the reference side
 arrives as two prebuilt narrow relations.
 
 Experiment: fixed 5k-doc incoming batch (500 of them exact copies of
@@ -48,7 +48,7 @@ def main() -> None:
     from duckdb_nats_jetstream_spark.operators.dedup import (
         incremental_near_dups,
     )
-    from duckdb_nats_jetstream_spark.operators.incstore import (
+    from duckdb_nats_jetstream_spark.operators.dedup import (
         build_signature_store,
         incremental_near_dups_stored,
     )

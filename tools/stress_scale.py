@@ -166,7 +166,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm codegen/python workers so the 1x runs aren't charged for startup
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     read_table(spark, SRC_DIR, "documents").count()
 

@@ -188,7 +188,7 @@ def run_join_variant(
     dataset another 10×."""
     from pyspark.sql import functions as F
 
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     conf = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -238,7 +238,7 @@ def main() -> None:
     spark = _sparkui.build_session("stress-skew", UI_PORT)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from duckdb_nats_jetstream_spark.session import read_table
+    from duckdb_nats_jetstream_spark.tables import read_table
 
     read_table(spark, UNIFORM_DIR, "events").count()  # warm
 
