@@ -94,6 +94,13 @@ def main() -> None:
 
     for fname in os.listdir(sf_dir):
         if fname.endswith(".parquet"):
+            # raw-byte read first: .count() alone can satisfy itself from
+            # footer metadata, leaving data pages cold when a prior workload
+            # churned the page cache (the r08 official run absorbed +20%
+            # host drift; quiet-host protocol, PERF.md r09)
+            with open(os.path.join(sf_dir, fname), "rb") as fh:
+                while fh.read(1 << 20):
+                    pass
             read_table(spark, sf_dir, fname[: -len(".parquet")]).count()
     spark.range(100000).repartition(8).groupBy(
         (F.col("id") % 10).alias("k")
@@ -107,21 +114,24 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # Best-of-2 per query: single-shot timings on this rig show random
-    # 5-10s spikes on a rotating victim query (host jitter / GC pauses),
-    # which would mis-rank queries run-to-run. Each attempt executes the
-    # full query plan end-to-end (noop sink). Failures are ISOLATED per
-    # query — one broken plan must never void the other ~90 timings (that is
-    # exactly what aborted the round-1 bench). A query is an *error* only
-    # when NO attempt succeeded; a success-then-flake is a timing, not an
-    # error (it must not be double-reported in both maps).
+    # Best-of-3 per query (2 through r08): single-shot timings on this rig
+    # show random 5-10s spikes on a rotating victim query (host jitter / GC
+    # pauses), which would mis-rank queries run-to-run — and the r08
+    # official total still absorbed a uniform +20% host drift on
+    # plan-hash-identical plans, so one extra attempt buys the official
+    # number real noise immunity (quiet-host protocol, PERF.md r09). Each
+    # attempt executes the full query plan end-to-end (noop sink). Failures
+    # are ISOLATED per query — one broken plan must never void the other
+    # ~90 timings (that is exactly what aborted the round-1 bench). A query
+    # is an *error* only when NO attempt succeeded; a success-then-flake is
+    # a timing, not an error (it must not be double-reported in both maps).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry):
         fn, _sql = registry[name]
         best = float("inf")
         last_err: str | None = None
-        for _ in range(2):
+        for _ in range(3):
             try:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)

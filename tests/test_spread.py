@@ -1,4 +1,5 @@
-"""`session.spread()` contract — including the r08 fix for the non-file
+"""`tables.spread()` contract (lived in `session.py` through r08) —
+including the r08 fix for the non-file
 blind spot (SCALING batch 15): a cached/localCheckpoint relation reports
 zero `inputFiles()`, and before r08 it was round-robin re-shuffled even
 when already well-partitioned (~1× data per codec stage; 2×460 MB

@@ -40,11 +40,13 @@ Known residual risks (documented, accepted — r08 review):
 - identity-checkpointing means the hash covers the LOGICAL plan, not
   materialization state: an edit whose behavior is gated on real
   materialization (e.g. code branching on ``inputFiles()`` emptiness,
-  like the r08 ``session.spread`` fix itself) is invisible to the hash.
-  Clearing such plumbing edits needs independent evidence — in r08 the
-  full 160-query DuckDB oracle parity suite was re-run green on the
-  edited tree before the clearings were committed; treat that as the
-  template.
+  like the r08 ``tables.spread`` fix itself) is invisible to the hash.
+  Clearing such plumbing edits needs independent evidence — recorded
+  MECHANICALLY since r09 (r08 ADVICE): ``tools/driver_sim.py all``
+  writes ``PARITY_EVIDENCE.json`` (full oracle run, all green, tied to
+  a package-tree fingerprint), and ``--plan-check`` stamps each
+  clearing whose tree matches with a ``parity`` field — clearings
+  resting on plan hashes alone are printed per-name at check time.
 
 Known instability (safe direction): ``RewriteDistinctAggregates`` orders
 its Expand/gid groups by hash-set iteration, which is NONDETERMINISTIC
