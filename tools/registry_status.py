@@ -283,10 +283,13 @@ class _SourceTree:
             self._mod_imports[relpath] = frozenset(found - {relpath})
         return self._mod_imports[relpath]
 
-    def fn_fingerprint(self, relpath: str, fn_name: str) -> str | None:
-        """Dependency-aware fingerprint: fn source segment + full sources of
-        every package module reachable from the names the function (or the
-        same-module top-level helpers it calls) uses."""
+    def fn_dependency_closure(
+        self, relpath: str, fn_name: str
+    ) -> frozenset[str] | None:
+        """The package-module relpaths whose semantic hashes feed
+        ``fn_fingerprint`` — exposed so tests can pin blast-radius claims
+        (r08 verdict ask #5: ``session.py`` must appear in NO query's
+        closure after the ``tables.py`` split)."""
         src = self.src(relpath)
         tree = self.tree(relpath)
         if src is None or tree is None:
@@ -352,6 +355,21 @@ class _SourceTree:
             closure.add(m)
             mods.extend(self.module_imports(m) - closure)
         closure.discard(relpath)
+        return frozenset(closure)
+
+    def fn_fingerprint(self, relpath: str, fn_name: str) -> str | None:
+        """Dependency-aware fingerprint: fn source segment + full sources of
+        every package module reachable from the names the function (or the
+        same-module top-level helpers it calls) uses."""
+        closure = self.fn_dependency_closure(relpath, fn_name)
+        if closure is None:
+            return None
+        src = self.src(relpath)
+        tree = self.tree(relpath)
+        fns = {
+            n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
+        }
+        seg = ast.get_source_segment(src, fns[fn_name])
 
         h = hashlib.sha256(seg.encode())
         for dep in sorted(closure):
