@@ -367,11 +367,16 @@ SELECT doc_id, unnest(f) AS fp FROM fps WHERE f IS NOT NULL
 #: A fingerprint shared by ``d`` documents emits ``d·(d-1)/2`` pairs, so the
 #: uncapped self-join is quadratic in per-fingerprint popularity — measured
 #: at the 10× replica (PERF.md sf1 table): exponent 1.90, 9.7 GB shuffle,
-#: 34 GB peak task memory, while the capped twin stayed flat at 16 MB. 512
-#: bounds any one fingerprint's contribution to ~131k pairs regardless of
-#: corpus size; fingerprints hotter than that are boilerplate (license
-#: headers, nav bars), which is noise for near-dup detection, not signal.
-DEFAULT_WINNOW_DF_CAP = 512
+#: 34 GB peak task memory, while the capped twin stayed flat at 16 MB.
+#: The cap value is a memory dial, ~quadratic in peak task memory (r09
+#: sweep on the same adversarial replica, `tools/stress_winnow_default.py`:
+#: cap 128 → 2.2 GB, 256 → 4.8 GB, 512 → 11.8 GB peak task memory). 256
+#: bounds any one fingerprint's contribution to ~33k pairs regardless of
+#: corpus size and keeps the worst measured task under 5 GB — inside any
+#: standard executor — while fingerprints hotter than a few hundred docs
+#: are boilerplate (license headers, nav bars): noise for near-dup
+#: detection, not signal.
+DEFAULT_WINNOW_DF_CAP = 256
 
 
 def winnow_pairs(

@@ -4,7 +4,7 @@ ask #1 "Done" condition).
 r08 measured the then-default UNCAPPED form at exponent 1.90 / 9.7 GB
 shuffle / 34 GB peak task memory on the 10× adversarial replica (every doc
 has 9 near-copies, so hot fingerprints explode quadratically), while the
-df_cap=40 twin stayed flat. r09 made `df_cap=DEFAULT_WINNOW_DF_CAP` (512)
+df_cap=40 twin stayed flat. r09 made `df_cap=DEFAULT_WINNOW_DF_CAP` (256)
 the default; this script measures exactly what a user now gets by calling
 `winnow_pairs(docs, min_shared=30)` with NO cap argument, at 1× and 10×,
 with the same UI-REST stage accounting as `tools/stress_scale.py` —
@@ -81,8 +81,12 @@ def main() -> None:
         "| shuffle MB 0.1→1.0 | peak task mem MB 0.1→1.0 |"
     )
     print("|---|---|---|---|---|---|")
+    from duckdb_nats_jetstream_spark.operators.dedup import (
+        DEFAULT_WINNOW_DF_CAP,
+    )
+
     print(
-        f"| winnow_pairs (default df_cap=512) | {r1['wall_s']}s "
+        f"| winnow_pairs (default df_cap={DEFAULT_WINNOW_DF_CAP}) | {r1['wall_s']}s "
         f"| {r10['wall_s']}s | {round(exp, 2)} "
         f"| {r1['shuffle_write_mb']}→{r10['shuffle_write_mb']} "
         f"| {r1['peak_task_mem_mb']}→{r10['peak_task_mem_mb']} |"
