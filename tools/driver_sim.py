@@ -35,6 +35,13 @@ def main() -> None:
     arg = sys.argv[1] if len(sys.argv) > 1 else "50"
     n = 10**9 if arg == "all" else int(arg)
 
+    # Fingerprint the package tree BEFORE the (long) run: evidence must
+    # vouch for the tree the queries actually executed against, and an
+    # edit made mid-run would otherwise be stamped as tested (r09 review).
+    from tools.registry_status import package_tree_fingerprint
+
+    tree_fp_before = package_tree_fingerprint()
+
     from pyspark.sql import SparkSession
 
     from duckdb_nats_jetstream_spark.queries import full_registry
@@ -71,13 +78,18 @@ def main() -> None:
     if len(names) == len(registry) and failures == 0:
         import json
 
-        from tools.registry_status import package_tree_fingerprint
-
+        if package_tree_fingerprint() != tree_fp_before:
+            print(
+                "package tree CHANGED during the run — refusing to write "
+                "PARITY_EVIDENCE.json (the green run tested the old tree); "
+                "re-run on a quiescent tree"
+            )
+            sys.exit(1)
         evidence = {
             "all_green": True,
             "n_queries": len(names),
             "sf_dir": SF_DIR,
-            "tree_fingerprint": package_tree_fingerprint(),
+            "tree_fingerprint": tree_fp_before,
         }
         with open(os.path.join(REPO, "PARITY_EVIDENCE.json"), "w",
                   encoding="utf-8") as fh:

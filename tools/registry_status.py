@@ -290,6 +290,12 @@ class _SourceTree:
         ``fn_fingerprint`` — exposed so tests can pin blast-radius claims
         (r08 verdict ask #5: ``session.py`` must appear in NO query's
         closure after the ``tables.py`` split)."""
+        res = self._closure_and_seg(relpath, fn_name)
+        return None if res is None else res[0]
+
+    def _closure_and_seg(
+        self, relpath: str, fn_name: str
+    ) -> tuple[frozenset[str], str] | None:
         src = self.src(relpath)
         tree = self.tree(relpath)
         if src is None or tree is None:
@@ -355,21 +361,16 @@ class _SourceTree:
             closure.add(m)
             mods.extend(self.module_imports(m) - closure)
         closure.discard(relpath)
-        return frozenset(closure)
+        return frozenset(closure), seg
 
     def fn_fingerprint(self, relpath: str, fn_name: str) -> str | None:
         """Dependency-aware fingerprint: fn source segment + full sources of
         every package module reachable from the names the function (or the
         same-module top-level helpers it calls) uses."""
-        closure = self.fn_dependency_closure(relpath, fn_name)
-        if closure is None:
+        res = self._closure_and_seg(relpath, fn_name)
+        if res is None:
             return None
-        src = self.src(relpath)
-        tree = self.tree(relpath)
-        fns = {
-            n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
-        }
-        seg = ast.get_source_segment(src, fns[fn_name])
+        closure, seg = res
 
         h = hashlib.sha256(seg.encode())
         for dep in sorted(closure):
@@ -708,7 +709,6 @@ def _run_plan_check(status: dict) -> None:
             **h, "sf_dir": sf_dir, "scheme": scheme, "fingerprint": wt_fp[name],
         }
     cleared = 0
-    new_clearings: set[str] = set()
     for name in edited_cand:
         h = hashes.get(name, {})
         s = status[name]
@@ -729,7 +729,6 @@ def _run_plan_check(status: dict) -> None:
             }
             if plan_evidence_valid(s, wt):
                 cleared += 1
-                new_clearings.add(name)
             else:  # own-segment guard (or another invariant) rejected it
                 del s["plan_neutral_edit"]
                 print(f"  NOT cleared (own source edited): {name}")
@@ -759,10 +758,12 @@ def _run_plan_check(status: dict) -> None:
         pne = s.get("plan_neutral_edit")
         if not pne:
             continue
-        if parity and wt_fp.get(name, wt.fn_fingerprint(
-                s["module"], s["function"])) == pne.get("fingerprint_at_clear"):
+        if parity and wt_fp.get(name) == pne.get("fingerprint_at_clear"):
             pne["parity"] = parity
-        elif "parity" not in pne and name in new_clearings:
+        elif "parity" not in pne:
+            # EVERY bare clearing is reported every run, not only this
+            # run's (a prior run's hash-only clearing must not go silent
+            # once the operator's attention moves on — r09 review)
             bare.append(name)
     if bare:
         print(

@@ -45,7 +45,7 @@ WORK = os.path.join(REPO, ".stress", "multimodal")
 def _build_images() -> str:
     """131,072 48×48 RGB PNG rows (2,048 distinct images ×64) as a
     MANY-FILE parquet directory — the shape a 100 TB media corpus
-    actually arrives in, and the shape `session.spread()`'s file
+    actually arrives in, and the shape `tables.spread()`'s file
     heuristic recognizes, so the measured region has NO shuffle at all
     (spread no-ops; the codec stages are map-only)."""
     import numpy as np

@@ -46,12 +46,14 @@ def build_data() -> None:
 
     # deterministic near-distinct doubles; 5 sources with skewed sizes
     # (source s0 holds ~half the rows — the grouped-selection path must
-    # not straggle on it)
+    # not straggle on it). NB: odd r must cycle through ALL of s1..s4 —
+    # `1 + (r % 4)` on odd r only ever yields 2 or 4 (r09 review catch),
+    # so the cycle is driven by r//2.
     duckdb.sql(
         f"""
         COPY (
           SELECT 's' || CAST(CASE WHEN r % 2 = 0 THEN 0
-                                  ELSE 1 + (r % {G - 1}) END AS VARCHAR)
+                                  ELSE 1 + ((r // 2) % {G - 1}) END AS VARCHAR)
                    AS source,
                  CAST(hash(r) % 1000000007 AS DOUBLE) AS qs
           FROM (SELECT unnest(range({N})) AS r)
@@ -96,10 +98,15 @@ def main() -> None:
     duck_vals = {r[0]: list(r[1:4]) for r in duck_rows}
 
     assert set(spark_vals) == set(duck_vals), (spark_vals, duck_vals)
+    assert len(spark_vals) == G, (
+        f"expected {G} groups, generator produced {sorted(spark_vals)}"
+    )
+    n_checked = 0
     for s in spark_vals:
         for a, b in zip(spark_vals[s], duck_vals[s]):
             assert a == b, f"value mismatch {s}: {a} != {b}"
-    print("parity: all group×p values bit-equal across engines",
+            n_checked += 1
+    print(f"parity: all {n_checked} group×p values bit-equal across engines",
           file=sys.stderr)
 
     print(

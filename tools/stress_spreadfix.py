@@ -1,4 +1,4 @@
-"""Batch-15 follow-up (r08): re-measure `session.spread()` on a
+"""Batch-15 follow-up (r08): re-measure `spread()` (now `tables.spread`; `session.spread` through r08) on a
 MATERIALIZED (localCheckpoint) binary-media input after the non-file fix.
 
 Batch 15 found the blind spot: a checkpointed input reports zero
