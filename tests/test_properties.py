@@ -147,6 +147,28 @@ def _winnow_ref(text: str, k: int = 8, w: int = 4) -> set[str]:
 
 
 @settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcd ", min_size=11, max_size=40),  # >= k+w-1 = 11
+    st.text(alphabet="xyz ", max_size=20),
+    st.text(alphabet="xyz ", max_size=20),
+    st.text(alphabet="uvw ", max_size=20),
+    st.text(alphabet="uvw ", max_size=20),
+)
+def test_winnow_shared_run_guarantee_two_docs(run, pre_a, post_a, pre_b, post_b):
+    """THE MOSS guarantee (r09 property pin): any two documents sharing a
+    verbatim run of >= w + k - 1 characters share at least one selected
+    fingerprint — winnowing picks a window minimum from every w
+    consecutive grams, and a shared run of that length contains one full
+    window whose grams (hence minimum) are identical in both docs. This
+    is what makes the pair self-join complete w.r.t. long clones."""
+    doc_a = pre_a + run + post_a
+    doc_b = pre_b + run + post_b
+    assert _winnow_ref(doc_a) & _winnow_ref(doc_b), (
+        f"no shared fingerprint for shared run {run!r}"
+    )
+
+
+@settings(max_examples=200, deadline=None)
 @given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=60))
 def test_winnow_reference_guarantee(text):
     # any doc sharing an identical >= k+w-1 run with itself trivially shares

@@ -50,6 +50,42 @@ def test_nulls_excluded(spark):
     assert (got.q_0, got.n) == (2.0, 2)
 
 
+def test_randomized_ties_and_partitionings_match_numpy(spark):
+    """Fuzz the rank-coordination math (r09): heavy TIES (values drawn
+    from a tiny domain, so order statistics repeat and lo/hi often land
+    on equal values), skewed group sizes, several partition counts —
+    every (group, p) must equal numpy's linear interpolation, which is
+    the same symmetric form Spark's percentile evaluates. One seeded
+    dataset per partition-count (a Spark job per hypothesis example
+    would be minutes per run; the seed keeps failures reproducible)."""
+    import numpy as np
+
+    rng = np.random.default_rng(90210)
+    groups = ["a"] * 1 + ["b"] * 7 + ["c"] * 311 + ["d"] * 64
+    vals = rng.integers(0, 9, size=len(groups)).astype(float)  # many ties
+    rows = list(zip(groups, vals.tolist()))
+    rng.shuffle(rows)
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]  # includes both endpoints
+    ref = {}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        ref[g] = tuple(
+            float(np.percentile(np.array(vs), p * 100, method="linear"))
+            for p in ps
+        )
+    for n_partitions in (1, 3, 32, 97):  # more partitions than rows too
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r.g: tuple(r[f"q_{i}"] for i in range(len(ps)))
+            for r in exact_group_quantiles(
+                df, "g", "v", ps, n_partitions=n_partitions
+            ).collect()
+        }
+        assert got == ref, f"n_partitions={n_partitions}"
+
+
 def test_group_cardinality_guard(spark):
     """r05 verdict ask #5: an unbounded group key must raise (naming the
     histsketch alternative) instead of silently collecting O(partitions ×
