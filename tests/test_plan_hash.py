@@ -94,6 +94,16 @@ def test_rdd_leaf_not_clearable(spark, sf_dir):
     assert not r["rdd_free"] and not r["clearable"]
 
 
+def test_local_relation_not_clearable(spark):
+    """An all-LocalRelation plan (empty inputFiles) renders only output
+    ATTRIBUTES — an edit changing the embedded createDataFrame data would
+    hash identically, so equality is not evidence (r08 ADVICE, fixed r09)."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string").select("id")
+    assert df.inputFiles() == []
+    r = plan_hash(df)
+    assert not r["clearable"] and not r["rdd_free"]
+
+
 def test_identity_checkpoints_restore(spark, sf_dir):
     """Inside the context, localCheckpoint is identity (the full plan
     stays hashable); outside, real checkpointing is restored."""
