@@ -626,6 +626,35 @@ def _ref_worktree(round_n: int) -> str:
     return path
 
 
+def _stamp_parity(status: dict, wt_fp: dict) -> None:
+    """Independent-evidence stamping (r08 ADVICE): plan hashes cover the
+    LOGICAL plan only, so a materialization-gated dependency edit (the
+    r08 spread() shape) could clear on hashes alone. When a committed
+    PARITY_EVIDENCE.json (full all-green oracle run, tools/driver_sim.py)
+    vouches for EXACTLY this tree, stamp every valid clearing with it;
+    clearings left bare are printed on EVERY run so they can't pass
+    silently once the operator's attention moves on."""
+    parity = _current_parity_evidence()
+    bare: list[str] = []
+    for name, s in status.items():
+        pne = s.get("plan_neutral_edit")
+        if not pne:
+            continue
+        if parity and wt_fp.get(name) == pne.get("fingerprint_at_clear"):
+            pne["parity"] = parity
+        elif "parity" not in pne:
+            bare.append(name)
+    if bare:
+        print(
+            f"plan-check: {len(bare)} clearings rest on plan hashes ALONE "
+            "(no matching PARITY_EVIDENCE.json for this tree) — run "
+            "`python tools/driver_sim.py all` then re-run --plan-check "
+            "if any cleared edit is materialization-gated:"
+        )
+        for name in bare:
+            print(f"  bare clearing: {name}")
+
+
 def _run_plan_check(status: dict) -> None:
     """Opt-in (``--plan-check``) plan-hash pass — needs a live spark, run
     as subprocesses (``tools/plan_hash.py``) so the ledger CLI itself
@@ -669,6 +698,11 @@ def _run_plan_check(status: dict) -> None:
             if not has_base and s["last_green_round"] in ROUND_CODE_REFS:
                 baseline_ref.setdefault(s["last_green_round"], []).append(name)
     if not baseline_wt and not edited_cand:
+        # still refresh parity stamps / report bare clearings: a no-op
+        # plan-check after a fresh driver_sim run must upgrade carried
+        # evidence to the new artifact, and a bare clearing must keep
+        # being reported (r09 review follow-up)
+        _stamp_parity(status, wt_fp)
         print("plan-check: nothing to hash")
         return
     print(
@@ -746,34 +780,7 @@ def _run_plan_check(status: dict) -> None:
         if s.get("plan_neutral_edit") and not plan_evidence_valid(s, wt):
             del s["plan_neutral_edit"]
             print(f"  pruned stale evidence: {name}")
-    # independent-evidence stamping (r08 ADVICE): plan hashes cover the
-    # LOGICAL plan only, so a materialization-gated dependency edit (the
-    # r08 spread() shape) could clear on hashes alone. When a committed
-    # PARITY_EVIDENCE.json (full all-green oracle run, tools/driver_sim.py)
-    # vouches for EXACTLY this tree, stamp every valid clearing with it;
-    # clearings left bare are printed so they can't pass silently.
-    parity = _current_parity_evidence()
-    bare: list[str] = []
-    for name, s in status.items():
-        pne = s.get("plan_neutral_edit")
-        if not pne:
-            continue
-        if parity and wt_fp.get(name) == pne.get("fingerprint_at_clear"):
-            pne["parity"] = parity
-        elif "parity" not in pne:
-            # EVERY bare clearing is reported every run, not only this
-            # run's (a prior run's hash-only clearing must not go silent
-            # once the operator's attention moves on — r09 review)
-            bare.append(name)
-    if bare:
-        print(
-            f"plan-check: {len(bare)} clearings rest on plan hashes ALONE "
-            "(no matching PARITY_EVIDENCE.json for this tree) — run "
-            "`python tools/driver_sim.py all` then re-run --plan-check "
-            "if any cleared edit is materialization-gated:"
-        )
-        for name in bare:
-            print(f"  bare clearing: {name}")
+    _stamp_parity(status, wt_fp)
     # remove the ref worktrees: they hold full engine copies that would
     # double-count in any whole-repo LoC/copy diagnostic; recreating one
     # costs ~1 s next run, the subprocess session dominates anyway
