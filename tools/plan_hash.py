@@ -130,40 +130,55 @@ def normalized_plan(df) -> str:
 
 
 def plan_hash(df) -> dict:
-    """hash + clearability for one built DataFrame (see module doc)."""
+    """hash + clearability for one built DataFrame (see module doc).
+
+    ``reasons`` names each distinct cause of unclearability — the flags
+    alone misdirected debugging (``rdd_free=False`` used to cover four
+    unrelated causes, sending the operator hunting for a LogicalRDD that
+    wasn't there — r09 review)."""
     plan = normalized_plan(df)
-    rdd_free = not any(m in plan for m in _RDD_MARKERS)
+    reasons: list[str] = []
+    if any(m in plan for m in _RDD_MARKERS):
+        reasons.append("rdd_leaf")  # materialized leaf hides the plan
     if "more fields" in plan:
         # toString truncates expression lists at
         # spark.sql.debug.maxToStringFields — a truncated tail is outside
         # the hash, so equality would be unsound (r08 review). main()
         # raises the conf; this guard catches any other session.
-        rdd_free = False
+        reasons.append("tostring_truncated")
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
-        rdd_free = False  # can't pin scan locations — not sound evidence
-    if not files:
+        reasons.append("input_files_failed")  # can't pin scan locations
+    if not files and "input_files_failed" not in reasons:
         # all-LocalRelation plans render only output ATTRIBUTES, not the
         # embedded data, so an edit changing createDataFrame contents
         # would hash identically; with no scan locations to pin either,
         # equality is not sound evidence (r08 ADVICE).
-        rdd_free = False
+        reasons.append("no_scan_files")
     try:
         j = df._jdf.queryExecution().optimizedPlan().toJSON().lower()
         python_free = not any(m in j for m in _PY_MARKERS)
     except Exception:
         python_free = False
+    if not python_free:
+        reasons.append("python_eval_node")
+    rdd_free = not any(
+        r in reasons
+        for r in ("rdd_leaf", "tostring_truncated", "input_files_failed",
+                  "no_scan_files")
+    )
     h = hashlib.sha256()
     h.update(plan.encode())
     h.update(b"\0")
     h.update("\n".join(files).encode())
     return {
         "hash": h.hexdigest(),
-        "clearable": rdd_free and python_free,
+        "clearable": not reasons,
         "python_free": python_free,
         "rdd_free": rdd_free,
+        "reasons": reasons,
     }
 
 
@@ -227,6 +242,10 @@ def _registry_fns(repo: str):
             f"duckdb_nats_jetstream_spark.queries.{fname[:-3]}"
         )
         for name, (fn, _sql) in getattr(mod, "QUERIES", {}).items():
+            # mirror full_registry's duplicate guard: silently letting the
+            # alphabetically-last module win could hash the WRONG
+            # function's plan into a baseline (r09 review)
+            assert name not in fns, f"duplicate query name: {name}"
             fns[name] = fn
     return fns
 

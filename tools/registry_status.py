@@ -37,7 +37,11 @@ fn's own segment stays raw-source-hashed (editing the query re-queues
 it, as before). Same-module helper functions the query calls contribute
 their DEPENDENCIES but not their own source (helpers live in query
 modules and churn with registration housekeeping; the operators they
-route to are the behavior surface worth re-verifying).
+route to are the behavior surface worth re-verifying). Same-module
+TOP-LEVEL CONSTANTS the query (or its helpers) reference contribute
+their raw source segments (r09 review: a constant IS behavior — editing
+_GOPHER's thresholds must re-queue the gopher query — and unlike a
+helper there is no operator module behind it to hash instead).
 Oracle SQL literals remain out of scope — an oracle edit shows up as a
 driver hash mismatch directly.
 
@@ -71,6 +75,17 @@ ROUND_CODE_REFS: dict[int, str] = {
 }
 
 
+#: name -> reason. Stale-but-deferred queries someone consciously pushed
+#: past the driver prefix. Canonical here (r09 review: it used to live
+#: only in tests/test_registry_freshness.py, so the tool's printed prefix
+#: and the test's derivation diverged the moment a deferral existed —
+#: the exact transcription trap the tool exists to prevent). The test
+#: imports this table and enforces that every entry is cited in the
+#: round's VERDICT.md/ADVICE.md. Keep SHORT — every entry is rotation
+#: debt the next round's prefix must pay down. r06→r09: EMPTY.
+ACK_DEFERRED: dict[str, str] = {}
+
+
 def _module_relpath(module: str) -> str:
     return module.replace(".", "/") + ".py"
 
@@ -100,6 +115,14 @@ def package_tree_fingerprint(repo: str = REPO) -> str:
     return h.hexdigest()
 
 
+#: the only sf_dir a parity artifact may vouch from — the driver's own
+#: correctness scale. A run against a tiny/degenerate dir would green
+#: trivially while missing exactly the materialization-gated behavior
+#: (inputFiles() emptiness branches) the evidence exists to catch
+#: (r09 review).
+PARITY_SF_DIR = "/root/testdata/sf0.01"
+
+
 def _current_parity_evidence() -> dict | None:
     """The committed parity artifact, iff it vouches for THIS tree."""
     path = os.path.join(REPO, "PARITY_EVIDENCE.json")
@@ -108,6 +131,8 @@ def _current_parity_evidence() -> dict | None:
     with open(path, encoding="utf-8") as fh:
         data = json.load(fh)
     if not data.get("all_green"):
+        return None
+    if data.get("sf_dir") != PARITY_SF_DIR:
         return None
     if data.get("tree_fingerprint") != package_tree_fingerprint():
         return None
@@ -334,22 +359,54 @@ class _SourceTree:
                         x for x in all_targets if x.startswith(prefix)
                     )
 
+        # top-level assignments: target name -> assignment node. A query
+        # fn referencing a module-level CONSTANT (_GOPHER thresholds,
+        # _MIX_RATES, a protobuf descriptor literal) must re-queue when
+        # the constant is edited — before r09 these names were silently
+        # ignored and a threshold edit shipped unverified (r09 review,
+        # the one hole in the tool's core guarantee). Tuple targets map
+        # every bound name to the whole statement (conservative).
+        consts: dict[str, ast.stmt] = {}
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            consts[n.id] = node
+            elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+                if isinstance(node.target, ast.Name):
+                    consts[node.target.id] = node
+
         # names used by the fn, chasing same-module helpers' deps (not
-        # their source — see module docstring), cycle-safe
+        # their source — see module docstring) and same-module constants'
+        # SOURCE (a constant IS behavior; unlike helpers it has no
+        # operator module behind it to hash instead), cycle-safe
         roots: set[str] = set()
-        seen_helpers: set[str] = set()
-        stack = [fn_name]
+        const_segs: set[str] = set()
+        seen_helpers: set[str] = {fn_name}
+        seen_consts: set[str] = set()
+        stack: list[tuple[str, str]] = [("fn", fn_name)]
         while stack:
-            current = stack.pop()
-            if current in seen_helpers:
-                continue
-            seen_helpers.add(current)
-            for node in ast.walk(fns[current]):
+            kind, current = stack.pop()
+            walk_root = fns[current] if kind == "fn" else consts[current]
+            for node in ast.walk(walk_root):
                 if isinstance(node, ast.Name):
                     if node.id in alias:
                         roots.update(alias[node.id])
-                    elif node.id in fns and node.id not in seen_helpers:
-                        stack.append(node.id)
+                    elif node.id in fns:
+                        if node.id not in seen_helpers:
+                            seen_helpers.add(node.id)
+                            stack.append(("fn", node.id))
+                    elif node.id in consts and node.id not in seen_consts:
+                        seen_consts.add(node.id)
+                        cseg = ast.get_source_segment(src, consts[node.id])
+                        if cseg is not None:
+                            const_segs.add(cseg)
+                        stack.append(("const", node.id))
+        if const_segs:
+            # fingerprints of constant-free queries stay byte-identical
+            # to the pre-r09 definition (material == fn segment alone)
+            seg = seg + "\0#consts\0" + "\0".join(sorted(const_segs))
 
         # transitive closure over package imports of the used modules
         closure: set[str] = set()
@@ -481,9 +538,10 @@ def build_status() -> dict:
             with open(path, encoding="utf-8") as fh:
                 rounds[n] = json.load(fh)
 
-    ref_trees = {
-        n: _SourceTree(ref) for n, ref in ROUND_CODE_REFS.items()
-    }
+    # reuse the module-level per-ref cache: plan_evidence_valid /
+    # recommend_prefix hit the same refs right after build_status, and a
+    # private dict here doubled every git-show + AST parse (r09 review)
+    ref_trees = {n: _ref_tree(n) for n in ROUND_CODE_REFS}
 
     status: dict[str, dict] = {}
     for pos, name in enumerate(names):
@@ -591,16 +649,19 @@ def _hash_subprocess(names: list[str], repo: str) -> dict:
 
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         out_path = tf.name
-    sp.run(
-        [sys.executable, os.path.join(REPO, "tools", "plan_hash.py"),
-         "--out", out_path, "--names", ",".join(names), "--repo", repo],
-        cwd=REPO,
-        check=True,
-    )
-    with open(out_path, encoding="utf-8") as fh:
-        payload = json.load(fh)
-    os.unlink(out_path)
-    return payload
+    try:
+        sp.run(
+            [sys.executable, os.path.join(REPO, "tools", "plan_hash.py"),
+             "--out", out_path, "--names", ",".join(names), "--repo", repo],
+            cwd=REPO,
+            check=True,
+        )
+        with open(out_path, encoding="utf-8") as fh:
+            return json.load(fh)
+    finally:
+        # a failed subprocess must not orphan the tempfile (r09 review)
+        if os.path.exists(out_path):
+            os.unlink(out_path)
 
 
 def _ref_worktree(round_n: int) -> str:
@@ -624,6 +685,19 @@ def _ref_worktree(round_n: int) -> str:
         capture_output=True,
     )
     return path
+
+
+def _prune_stale(status: dict, wt: "_SourceTree") -> None:
+    """Drop evidence that no longer validates. Runs on EVERY plan-check
+    path, including nothing-to-hash (r09 review: revert an edit after a
+    clearing and the query is 'unchanged' with a valid baseline, so the
+    early-return path was the only one that could ever prune its now
+    fingerprint-mismatched evidence — the freshness suite failed with a
+    remedy that was a no-op)."""
+    for name, s in status.items():
+        if s.get("plan_neutral_edit") and not plan_evidence_valid(s, wt):
+            del s["plan_neutral_edit"]
+            print(f"  pruned stale evidence: {name}")
 
 
 def _stamp_parity(status: dict, wt_fp: dict) -> None:
@@ -698,10 +772,12 @@ def _run_plan_check(status: dict) -> None:
             if not has_base and s["last_green_round"] in ROUND_CODE_REFS:
                 baseline_ref.setdefault(s["last_green_round"], []).append(name)
     if not baseline_wt and not edited_cand:
-        # still refresh parity stamps / report bare clearings: a no-op
-        # plan-check after a fresh driver_sim run must upgrade carried
-        # evidence to the new artifact, and a bare clearing must keep
-        # being reported (r09 review follow-up)
+        # still prune invalid evidence and refresh parity stamps / report
+        # bare clearings: a no-op plan-check after a fresh driver_sim run
+        # must upgrade carried evidence to the new artifact, a reverted
+        # edit must shed its stale clearing, and a bare clearing must
+        # keep being reported (r09 review follow-ups)
+        _prune_stale(status, wt)
         _stamp_parity(status, wt_fp)
         print("plan-check: nothing to hash")
         return
@@ -767,19 +843,18 @@ def _run_plan_check(status: dict) -> None:
                 del s["plan_neutral_edit"]
                 print(f"  NOT cleared (own source edited): {name}")
         else:
+            why = h.get("reasons") or base.get("reasons") or []
             print(
                 f"  NOT cleared {name}: hash {'==' if h['hash'] == base['hash'] else '!='}"
                 f" baseline, clearable now={h['clearable']} then={base['clearable']}"
+                + (f" ({', '.join(why)})" if why else "")
             )
     # prune stale evidence: a query edited again after a clearing (or one
     # that failed to re-clear above) must not keep an invalid
     # plan_neutral_edit in the ledger — it would re-queue anyway via
     # recommend_prefix, but the freshness suite rightly rejects a ledger
     # carrying evidence that no longer validates
-    for name, s in status.items():
-        if s.get("plan_neutral_edit") and not plan_evidence_valid(s, wt):
-            del s["plan_neutral_edit"]
-            print(f"  pruned stale evidence: {name}")
+    _prune_stale(status, wt)
     _stamp_parity(status, wt_fp)
     # remove the ref worktrees: they hold full engine copies that would
     # double-count in any whole-repo LoC/copy diagnostic; recreating one
@@ -793,8 +868,17 @@ def _run_plan_check(status: dict) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    # a typo'd flag must be a hard error, not a silent plain-ledger run
+    # that overwrites REGISTRY_STATUS.json without the plan-hash pass
+    # (r09 review)
+    ap.add_argument("--plan-check", action="store_true")
+    args = ap.parse_args()
+
     status = build_status()
-    if "--plan-check" in sys.argv[1:]:
+    if args.plan_check:
         _run_plan_check(status)
     out = os.path.join(REPO, "REGISTRY_STATUS.json")
     with open(out, "w", encoding="utf-8") as fh:
@@ -805,7 +889,7 @@ def main() -> None:
     for n in never:
         print("  never-green:", n, "(rows-only)" if not status[n]["oracle"] else "")
     print("\nrecommended driver prefix (paste into queries/__init__.py):")
-    for n in recommend_prefix(status):
+    for n in recommend_prefix(status, ack_deferred=set(ACK_DEFERRED)):
         print(f'    "{n}",')
 
 
