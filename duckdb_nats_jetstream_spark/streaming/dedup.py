@@ -56,6 +56,7 @@ def near_dup_flagger(
     id_col: str = "doc_id",
     k: int = 8,
     band_size: int = 2,
+    n: int = 3,
     store_table: str | None = None,
     store_buckets: int = 64,
 ):
@@ -68,15 +69,20 @@ def near_dup_flagger(
 
     1. compute the batch's MinHash LSH band keys (same salted-md5 carving
        as the batch operator — identical keys, so batch and stream agree
-       on candidates);
+       on candidates; ``k``/``band_size``/``n`` must mirror the batch
+       pipeline's values, r09: ``n`` is now a parameter rather than
+       silently pinned to the batch default);
     2. broadcast-join them against the accumulated band-key store (a plain
        partitioned parquet table — at scale, the store shuffles on
        ``band_key`` and the join is key-co-located; candidate = any shared
        band key with an earlier doc);
     3. append per-doc verdicts ``(id, n_candidate_bands, is_near_dup)`` to
-       ``out_dir`` under a per-batch subdirectory (idempotent on
-       redelivery: a replayed batch OVERWRITES its own directory, never
-       double-appends);
+       ``out_dir`` under a per-batch subdirectory — one row for EVERY
+       document in the batch, including docs too short to shingle (they
+       cannot be near-dups under this detector and verdict
+       ``(0, false)``; before r09 they silently got no row). Idempotent
+       on redelivery: a replayed batch OVERWRITES its own directory,
+       never double-appends;
     4. append the batch's own keys to the store the same way.
 
     State is the parquet store, not executor memory — survives restarts,
@@ -129,20 +135,27 @@ def near_dup_flagger(
         try:
             store = spark.read.parquet(store_dir)
         except AnalysisException as exc:
-            cond = ""
+            # When a condition API EXISTS, its verdict is final: a present
+            # API returning None/"" means "this error has no condition",
+            # which is already the answer (not PATH_NOT_FOUND → propagate).
+            # str(exc) matching only when NEITHER API exists on this
+            # pyspark version — falling back whenever the condition was
+            # merely empty would reintroduce the message breadth where a
+            # different failure whose nested cause chain MENTIONS
+            # PATH_NOT_FOUND gets swallowed as first batch (r08 ADVICE;
+            # tightened r09 review: `or ""` + break treated None as
+            # "fall back" instead of "answered: no condition").
+            cond = None
             for attr in ("getCondition", "getErrorClass"):
+                api = getattr(exc, attr, None)
+                if api is None:
+                    continue
                 try:
-                    cond = getattr(exc, attr)() or ""
-                    break
+                    cond = api() or ""
                 except Exception:
                     continue
-            # When the API yielded a condition, match on IT alone — a
-            # str(exc) fallback alongside it would reintroduce breadth
-            # (a different failure whose nested cause chain merely
-            # MENTIONS PATH_NOT_FOUND would be swallowed as first batch,
-            # r08 ADVICE). Message-text matching only when neither API
-            # produced a condition on this pyspark version.
-            haystack = cond if cond else str(exc)
+                break
+            haystack = str(exc) if cond is None else cond
             if any(m in haystack for m in _FIRST_BATCH):
                 return None  # store not created / no data files yet
             raise
@@ -193,38 +206,49 @@ def near_dup_flagger(
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return
-        keys = _band_keys_df(batch_df, text_col, id_col, k, band_size).persist()
-        store = _read_store(spark, batch_id)
-        if store is not None:
-            hits = (
-                keys.join(
-                    store.withColumnRenamed(id_col, "__prior_id"),
-                    "band_key",
+        keys = _band_keys_df(batch_df, text_col, id_col, k, band_size, n).persist()
+        # unpersist in finally: _read_store deliberately PROPAGATES
+        # transient FS errors, and a throw between persist and unpersist
+        # would leak this batch's cached keys on every foreachBatch retry
+        # (r09 review — the persist/rebind leak class from the r07 notes)
+        try:
+            store = _read_store(spark, batch_id)
+            if store is not None:
+                hits = (
+                    keys.join(
+                        store.withColumnRenamed(id_col, "__prior_id"),
+                        "band_key",
+                    )
+                    .filter(F.col("__prior_id") != F.col(id_col))
+                    .groupBy(id_col)
+                    .agg(F.countDistinct("band_key").alias("n_candidate_bands"))
                 )
-                .filter(F.col("__prior_id") != F.col(id_col))
-                .groupBy(id_col)
-                .agg(F.countDistinct("band_key").alias("n_candidate_bands"))
+            else:
+                hits = keys.select(id_col).distinct().withColumn(
+                    "n_candidate_bands", F.lit(0).cast("long")
+                ).limit(0)
+            # verdict universe = EVERY batch document, not just the
+            # shingle-bearing ones: a doc with < n tokens produces no band
+            # keys (the shingle stage filters empties) and used to get NO
+            # verdict row at all (r09 review) — it cannot be a near-dup
+            # under this detector, so it verdicts (0, false) explicitly.
+            verdict = (
+                batch_df.select(id_col)
+                .distinct()
+                .join(hits, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("n_candidate_bands", F.lit(0).cast("long")).alias(
+                        "n_candidate_bands"
+                    ),
+                    (F.coalesce("n_candidate_bands", F.lit(0)) > 0).alias("is_near_dup"),
+                )
             )
-        else:
-            hits = keys.select(id_col).distinct().withColumn(
-                "n_candidate_bands", F.lit(0).cast("long")
-            ).limit(0)
-        verdict = (
-            keys.select(id_col)
-            .distinct()
-            .join(hits, id_col, "left")
-            .select(
-                id_col,
-                F.coalesce("n_candidate_bands", F.lit(0).cast("long")).alias(
-                    "n_candidate_bands"
-                ),
-                (F.coalesce("n_candidate_bands", F.lit(0)) > 0).alias("is_near_dup"),
-            )
-        )
-        # per-batch dirs → a replayed batch overwrites itself (idempotent)
-        verdict.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        _write_store(spark, keys, batch_id)
-        keys.unpersist(blocking=True)
+            # per-batch dirs → a replayed batch overwrites itself (idempotent)
+            verdict.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            _write_store(spark, keys, batch_id)
+        finally:
+            keys.unpersist(blocking=True)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -61,8 +61,18 @@ def _funnel_fn(stages: Sequence[str], idle_timeout_ms: int | None = None):
 
         events: list[tuple[int, str]] = []
         for pdf in pdfs:
-            events.extend(zip((int(t) for t in pdf["t_us"]), pdf["event_type"]))
+            # null event times arrive as NaN (nullable source field /
+            # failed cast upstream) — int(NaN) would kill the task and
+            # the whole streaming query (r09 review). An event with no
+            # time cannot be ordered into a funnel: drop it.
+            events.extend(
+                (int(t), e)
+                for t, e in zip(pdf["t_us"], pdf["event_type"])
+                if pd.notna(t)
+            )
         events.sort()
+        if not events and not state.exists:
+            return  # only null-ts rows for a user with no state: no-op
 
         rows = []
         for t_us, etype in events:

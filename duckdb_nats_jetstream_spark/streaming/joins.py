@@ -33,6 +33,26 @@ def stream_interval_join(
     Column names from both sides are preserved with ``l_`` / ``r_``
     prefixes (stream-stream joins forbid ambiguous references).
     """
+    # the prefixing reserves l_ts / r_ts / __k / __rk; a side carrying a
+    # column that prefixes INTO one of those (e.g. a payload-extracted
+    # column literally named 'ts' → 'l_ts') would produce a duplicate
+    # name and fail later with AMBIGUOUS_REFERENCE at watermark/filter
+    # time — fail loud at definition time instead (r09 review)
+    for side, df_, ts_c, reserved in (
+        ("left", left, left_ts, {"l_ts", "__k"}),
+        ("right", right, right_ts, {"r_ts", "__rk"}),
+    ):
+        pref = "l_" if side == "left" else "r_"
+        produced = {
+            f"{pref}{c}" for c in df_.columns if c not in (on, ts_c)
+        } | set(df_.columns)
+        clash = produced & reserved
+        if clash:
+            raise ValueError(
+                f"stream_interval_join: {side} side would produce "
+                f"reserved column(s) {sorted(clash)} — rename the "
+                f"conflicting input column(s) before joining"
+            )
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("l_ts"),

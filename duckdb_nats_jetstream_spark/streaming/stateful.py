@@ -76,7 +76,14 @@ def _sessionize_fn(gap_minutes: int):
         events = []
         for pdf in pdfs:
             for seq, ts in zip(pdf["seq"], pdf["ts_nats"]):
-                events.append((int(pd.Timestamp(ts).value) // 1000, int(seq)))
+                # a null ts (NaT) would otherwise become the sentinel
+                # value -2^63 → a bogus 1677 session boundary and an
+                # OverflowError at emit (r09 review). A message with no
+                # event time cannot be placed in a session: drop it.
+                stamp = pd.Timestamp(ts)
+                if pd.isna(stamp):
+                    continue
+                events.append((int(stamp.value) // 1000, int(seq)))
         events.sort()
 
         rows = []
@@ -90,6 +97,11 @@ def _sessionize_fn(gap_minutes: int):
                 n_msgs, first_seq = 0, seq
             n_msgs += 1
             last_ts_us = ts_us
+        if last_ts_us is None:
+            # every row in this batch had a null ts and no session is
+            # open: nothing to track and no timeout to arm (arming on
+            # None would TypeError)
+            return
         state.update((session_no, n_msgs, first_seq, last_ts_us))
         # close via event time: fires when the watermark passes last + gap
         state.setTimeoutTimestamp(last_ts_us // 1000 + gap_minutes * 60 * 1000)

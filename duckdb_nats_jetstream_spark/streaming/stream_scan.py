@@ -24,7 +24,12 @@ def _events_raw_ts_type(log_dir: str) -> T.DataType:
     """Inspect one parquet file to learn the stored ts flavor — streaming
     reads require a declared schema, and the driver's writer has produced
     both TIMESTAMP(NANOS) (Spark: long under nanosAsLong) and timestamp[us]
-    naive (Spark: TIMESTAMP_NTZ). Declaring the wrong one fails the scan."""
+    naive (Spark: TIMESTAMP_NTZ). Declaring the wrong one fails the scan,
+    so an EMPTY directory is an error, not a guess (r09 review: guessing
+    LongType on an empty live-tail dir made the first real micro-batch
+    fail with a parquet conversion error once timestamp-flavored files
+    appeared; pass ``ts_type`` to :func:`message_stream` to start a
+    stream ahead of its first file)."""
     import glob
     import os
 
@@ -32,7 +37,12 @@ def _events_raw_ts_type(log_dir: str) -> T.DataType:
 
     candidates = sorted(glob.glob(os.path.join(log_dir, "*.parquet")))
     if not candidates:
-        return T.LongType()
+        raise ValueError(
+            f"message_stream: no *.parquet in {log_dir!r} to infer the ts "
+            "flavor from — pass ts_type= explicitly (LongType for "
+            "ns-as-long logs, TimestampNTZType/TimestampType for "
+            "timestamp-encoded logs) to tail a not-yet-written directory"
+        )
     t = pq.read_schema(candidates[0]).field("ts").type
     s = str(t)
     if s.startswith("timestamp[ns") or not s.startswith("timestamp"):
@@ -63,13 +73,23 @@ def message_stream(
     subject: str | None = None,
     json_fields: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    ts_type: T.DataType | None = None,
 ) -> DataFrame:
     """``readStream`` over a directory of parquet message-log files,
     projected to the message schema. New files appearing in ``log_dir`` are
     new message batches (the live-tail model). ``ts_nats`` is canonical
-    TimestampType whatever the stored flavor (schema.py BASE_FIELDS)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = _events_raw_ts_type(log_dir)
+    TimestampType whatever the stored flavor (schema.py BASE_FIELDS).
+
+    ``ts_type`` overrides the file-sniffed flavor — required to tail a
+    directory that has no files yet. NB: the ns-as-long path sets the
+    SESSION conf ``spark.sql.legacy.parquet.nanosAsLong`` (Spark offers
+    no per-read form); it is set only when actually needed so a
+    timestamp-flavored stream doesn't silently change how unrelated
+    TIMESTAMP(NANOS) reads in the same session decode (r09 review)."""
+    if ts_type is None:
+        ts_type = _events_raw_ts_type(log_dir)
+    if isinstance(ts_type, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_events_raw_schema(ts_type)).format("parquet")
     if max_files_per_trigger is not None:
         # bounds each micro-batch (availableNow honors it too) — the knob

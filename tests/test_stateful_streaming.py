@@ -20,6 +20,53 @@ def log_dir(tmp_path_factory, sf_dir):
     return str(d)
 
 
+def test_null_ts_rows_are_dropped_not_fatal(spark, tmp_path):
+    """A message with a null event time cannot be placed in a session —
+    it must be DROPPED, not crash the worker (r09 review: NaT became the
+    -2^63 sentinel → a bogus 1677 session boundary → OverflowError at
+    emit, killing the streaming query)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1704067200 * 10**9
+    d = tmp_path / "log"
+    d.mkdir()
+    # user 7: two timed events 60s apart plus one null-ts row; user 8's
+    # much-later event pushes the final watermark past 7's session+gap so
+    # the session actually closes under availableNow (8's own stays open)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(
+                    [base, None, base + 60 * 10**9, base + 7200 * 10**9],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "a"], pa.string()),
+                "value": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}", "{}", "{}"], pa.string()),
+            }
+        ),
+        d / "a.parquet",
+    )
+    stream = message_stream(spark, str(d))
+    sessions = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("null_ts_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # would raise the worker failure pre-fix
+    got = spark.sql("SELECT * FROM null_ts_sessions").collect()
+    # both timestamped events land in ONE 30-min session of 2 messages;
+    # the null-ts row contributes nothing
+    assert [(r.user_id, r.n_msgs) for r in got] == [(7, 2)]
+
+
 def test_streaming_sessions_match_batch(spark, sf_dir, log_dir, tmp_path):
     stream = message_stream(spark, log_dir)
     sessions = streaming_sessionize(stream, gap_minutes=30)

@@ -99,6 +99,31 @@ def test_near_dup_flagger_incremental(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(store).select("doc_id").distinct().collect()} == {1, 2, 3, 4}
 
 
+def test_near_dup_flagger_short_docs_still_get_verdicts(spark, tmp_path):
+    """Docs with fewer tokens than the shingle size produce no band keys,
+    but they must still verdict (0, false) — before r09 they silently got
+    NO row, and a curation pipeline joining on verdicts lost them."""
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.streaming.dedup import near_dup_flagger
+
+    doc_dir = tmp_path / "docs_in"
+    doc_dir.mkdir()
+    rows = [
+        (1, "hi"),  # 1 token < n=3: no shingles
+        (2, "the quick brown fox jumps over the lazy dog by the river"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(doc_dir / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(doc_dir))
+    near_dup_flagger(
+        stream, str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        str(tmp_path / "verdicts"),
+    ).awaitTermination()
+    v = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()}
+    assert set(v) == {1, 2}
+    assert not v[1].is_near_dup and v[1].n_candidate_bands == 0
+
+
 def test_near_dup_flagger_replay_idempotent(spark, tmp_path):
     """A replayed micro-batch must produce the same verdicts as a clean run:
     the band-key store may already contain the batch's OWN keys from a failed

@@ -66,6 +66,23 @@ def test_stream_join_matches_batch_semantics(spark, tmp_path):
     assert got == [(1, 2, 3), (3, 6, 7)]
 
 
+def test_stream_join_reserved_column_collision_raises(spark, tmp_path):
+    """A side carrying a column that prefixes into a reserved name
+    (payload-extracted 'ts' → 'l_ts') must fail LOUD at definition time —
+    the silent duplicate used to surface later as AMBIGUOUS_REFERENCE at
+    watermark time (r09 review)."""
+    import pytest
+
+    log = tmp_path / "log"
+    log.mkdir()
+    _write_events(str(log / "a.parquet"), [(1, BASE, 1, "signup", 0.0, "{}")])
+    s = message_stream(spark, str(log)).select(
+        F.lit(1).alias("user_id"), "ts_nats", F.lit(0).alias("ts")
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        stream_interval_join(s, s, on="user_id", within="1 hour")
+
+
 def test_stream_join_plan_has_watermarks(spark, tmp_path):
     log = tmp_path / "log"
     log.mkdir()

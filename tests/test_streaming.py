@@ -24,6 +24,21 @@ def log_dir(tmp_path_factory, sf_dir):
     return str(d)
 
 
+def test_empty_log_dir_requires_explicit_ts_type(spark, tmp_path):
+    """Tailing a not-yet-written directory must not GUESS the ts flavor
+    (r09 review: the silent LongType guess made the first real micro-batch
+    fail with a parquet conversion error on timestamp-flavored files) —
+    it raises with the remedy, and the explicit ts_type override builds."""
+    from pyspark.sql import types as T
+
+    empty = tmp_path / "empty_log"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="ts_type"):
+        message_stream(spark, str(empty))
+    df = message_stream(spark, str(empty), ts_type=T.TimestampNTZType())
+    assert df.isStreaming and "ts_nats" in df.columns
+
+
 def test_stream_matches_batch(spark, sf_dir, log_dir, tmp_path):
     stream = message_stream(spark, log_dir)
     got = run_to_completion(stream, str(tmp_path / "ckpt")).collect()
