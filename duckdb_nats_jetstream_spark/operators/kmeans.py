@@ -107,8 +107,12 @@ def kmeans_assignments(
     # seeds CTE is naturally bounded by the corpus; match it)
     k = len(C1)
 
+    # NO persist on a1: the only action before the caller's own is the
+    # sums collect below — a cache written for one read is pure memory
+    # overhead, and the old unpersist-before-return meant the caller's
+    # action never saw the cache anyway (r09 review; the recompute
+    # tradeoff below still holds and is documented there).
     a1 = q.withColumn("c1", _assign_udf(C1)(F.col("qv").cast("array<double>")))
-    a1.persist()  # both the update agg and the final join-back read it
 
     # --- centroid update: one hash agg; k×dim numbers to the driver ---
     sums = (
@@ -129,18 +133,16 @@ def kmeans_assignments(
             C2.append([dims[i][0] / dims[i][1] for i in range(dim)])
 
     a2 = a1.withColumn("c2", _assign_udf(C2)(F.col("qv").cast("array<double>")))
-    out = a2.select(
+    # The centroids are already driver-side literals, so the caller's
+    # eventual action recomputes the scan + two assignment maps (one
+    # extra Arrow pass) — measured cheaper than an eager localCheckpoint
+    # materialization here; callers that branch over the result several
+    # times checkpoint it themselves (kmeans_cluster_sizes does).
+    return a2.select(
         F.col(id_col),
         F.col("c1").cast("long").alias("cluster_iter1"),
         F.col("c2").cast("long").alias("cluster_iter2"),
     )
-    # release the a1 cache NOW — without this every kmeans call leaks one
-    # cached quantized corpus for the session lifetime. The centroids are
-    # already driver-side literals, so the caller's eventual action just
-    # recomputes the scan + two assignment maps (one extra Arrow pass) —
-    # measured cheaper than an eager localCheckpoint materialization here.
-    a1.unpersist(blocking=True)
-    return out
 
 
 def kmeans_cluster_sizes(
@@ -153,7 +155,13 @@ def kmeans_cluster_sizes(
     """Per-cluster movement summary after two Lloyd iterations:
     ``(cluster, n_iter1, n_iter2, n_stayed)`` — integers only, so the
     driver's value-hash is byte-stable by construction."""
-    a = kmeans_assignments(df, k, vec_col, id_col, dim)
+    # checkpoint the narrow (id, c1, c2) relation: the i1/i2 branches of
+    # the self-join below would otherwise EACH re-run the quantize + two
+    # Arrow assignment passes — the dominant cost, doubled for nothing
+    # (r09 review)
+    a = kmeans_assignments(df, k, vec_col, id_col, dim).localCheckpoint(
+        eager=True
+    )
     i1 = a.groupBy(F.col("cluster_iter1").alias("cluster")).agg(
         F.count("*").alias("n_iter1")
     )
@@ -175,7 +183,8 @@ def kmeans_cluster_sizes(
 
 
 def sql_kmeans_assignment_ctes(
-    k: int = 8, dim: int = 64, table: str = "embeddings", id_col: str = "vec_id"
+    k: int = 8, dim: int = 64, table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> str:
     """The two unrolled Lloyd iterations as a CTE chain ending in
     ``joined(id, c1, c2)`` — shared by the cluster-sizes mirror and the
@@ -196,7 +205,7 @@ def sql_kmeans_assignment_ctes(
     d2_fold = f"(({fdot('q.qv', 'q.qv')}) - 2.0 * ({fdot('q.qv', 'c.cv')})) + ({fdot('c.cv', 'c.cv')})"
     return f"""q AS (
   SELECT {id_col} AS id,
-         list_transform(embedding,
+         list_transform({vec_col},
                         x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
   FROM {table}
 ),

@@ -342,12 +342,25 @@ def image_dhash(
         for pdf in it:
             ids, hashes = [], []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                arr = png_decode(bytes(data))
-                if arr.ndim == 3:
+                ids.append(mid)
+                # TOTAL stage, like resize_images: one NULL/corrupt/
+                # non-PNG row must yield a null hash, not fail the job
+                # (r09 review; at 100 TB some rows are always bad)
+                try:
+                    arr = png_decode(bytes(data))
+                except (TypeError, ValueError):
+                    hashes.append(None)
+                    continue
+                if arr.ndim == 3 and arr.shape[2] >= 3:
                     r = arr[:, :, 0].astype(np.int64)
                     g = arr[:, :, 1].astype(np.int64)
                     b = arr[:, :, 2].astype(np.int64)
                     luma = (299 * r + 587 * g + 114 * b) // 1000
+                elif arr.ndim == 3:
+                    # grayscale / gray+alpha PNG decodes as (h, w, 1|2):
+                    # channel 0 IS the luma (indexing channels 1/2 was an
+                    # IndexError pre-r09)
+                    luma = arr[:, :, 0].astype(np.int64)
                 else:
                     luma = arr.astype(np.int64)
                 small = resize_nearest(
@@ -357,7 +370,6 @@ def image_dhash(
                 val = 0
                 for bit in bits:
                     val = (val << 1) | int(bit)
-                ids.append(mid)
                 hashes.append(format(val, "016x"))
             yield pd.DataFrame({id_col: ids, "dhash": hashes})
 

@@ -51,8 +51,15 @@ def _l2norm(X: np.ndarray) -> np.ndarray:
     euclidean distance is 2 − 2·cos, so ADC ranking == cosine ranking —
     which is what every embedding-similarity consumer actually wants, and
     what the recall test compares against. One division per element,
-    mirrored by ``x / sqrt(dot(v, v))`` in the oracle."""
-    return X / fold_norms(X)[:, None]
+    mirrored by ``x / sqrt(dot(v, v))`` in the oracle.
+
+    Zero-norm guard (r09 review, the same guard ``quantize_int8``
+    carries): an all-zero embedding stays all-zero instead of going NaN —
+    NaN in the fit sample poisons the trained centroids AND renders as a
+    syntactically invalid ``nane0`` literal in the embedded-codebook
+    oracle SQL."""
+    n = fold_norms(X)
+    return X / np.where(n == 0.0, 1.0, n)[:, None]
 from duckdb_nats_jetstream_spark.operators.similarity import (
     _kmeans_sample,
     sql_lit_f64,
@@ -72,6 +79,14 @@ def fit_pq_codebooks(
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks ``C[s][j][d]`` from the k-smallest-ids sample
     (TakeOrderedAndProject, bounded, deterministic)."""
+    if dim % m != 0:
+        from duckdb_nats_jetstream_spark.errors import BindError
+
+        raise BindError(
+            f"PQ requires m to divide dim (dim={dim}, m={m}): a non-zero "
+            f"remainder would silently drop the trailing {dim % m} "
+            "dimensions from training, encoding, and ADC (r09 review)"
+        )
     sample = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .sort(id_col)
@@ -142,6 +157,13 @@ def pq_topk(
         .collect()
     )
     qids = [r[0] for r in queries]
+    if not qids:
+        # no ids below query_max_id: empty result, same schema — the
+        # sibling cosine_topk/ivf_topk shapes degrade the same way
+        # (np.asarray([]) is 1-D and crashed _l2norm pre-r09)
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rnk long, adc_r double"
+        )
     Q = _l2norm(np.asarray([r.v for r in queries], dtype=float))
     # LUT[qi][s][j] = fold-exact d2(query subvector, centroid j of subspace s)
     lut = np.empty((len(qids), m, n_codes), dtype=float)

@@ -94,8 +94,13 @@ def _prune_within_block(
     """
     if not arrow:
         withnrm = b.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
-        cos = dot(F.col("a.v"), F.col("b.v"), dim) / (
-            F.col("a.nrm") * F.col("b.nrm")
+        # try_divide: a zero-norm pair yields NULL (excluded by the
+        # threshold filter, matching DuckDB's 0.0/0.0 → NULL and the
+        # arrow path's NaN-drop); the raw `/` crashes under ANSI mode —
+        # Spark 4's default — on the first degenerate vector (r09 review)
+        cos = F.try_divide(
+            dot(F.col("a.v"), F.col("b.v"), dim),
+            F.col("a.nrm") * F.col("b.nrm"),
         )
         pairs = (
             withnrm.alias("a")
@@ -131,8 +136,15 @@ def _prune_within_block(
         ids = pdf[id_col].to_numpy()
         m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = fold_norms(m)
-        # same op sequence as the JVM path: dot / (nrm_a * nrm_b)
-        cos = fold_gram(m, m) / np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # same op sequence as the JVM path: dot / (nrm_a * nrm_b).
+            # Zero-norm vectors give 0/0 = NaN here; `cos >= threshold`
+            # is False for NaN, which IS the contract: a vector with
+            # undefined similarity is never a near-dup — DuckDB renders
+            # the same pair as NULL (0.0/0.0 → NULL) and excludes it,
+            # and the JVM path try_divides to NULL (r09 review: under
+            # ANSI the raw division crashed the JVM path outright).
+            cos = fold_gram(m, m) / np.outer(nrm, nrm)
         mask = (ids[:, None] < ids[None, :]) & (cos >= threshold)
         n_dups = mask.sum(axis=0)
         keep = n_dups > 0
@@ -185,6 +197,7 @@ def sql_semantic_dedup_pruned_kmeans(
     dim: int = 64,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> str:
     """DuckDB mirror: the unrolled k-means assignment CTEs feed the same
     blocked pair query."""
@@ -193,12 +206,12 @@ def sql_semantic_dedup_pruned_kmeans(
     )
 
     return f"""
-WITH {sql_kmeans_assignment_ctes(k, dim, table, id_col)},
+WITH {sql_kmeans_assignment_ctes(k, dim, table, id_col, vec_col)},
 base AS (
   SELECT e.{id_col},
          CAST(joined.c2 AS BIGINT) AS cluster,
-         e.embedding AS v,
-         sqrt({sql_dot('e.embedding', 'e.embedding')}) AS nrm
+         e.{vec_col} AS v,
+         sqrt({sql_dot(f'e.{vec_col}', f'e.{vec_col}')}) AS nrm
   FROM {table} e JOIN joined ON joined.id = e.{id_col}
 )
 SELECT {id_col}, cluster, COUNT(*) AS n_dups
@@ -219,14 +232,15 @@ def sql_semantic_dedup_pruned(
     dim: int = 64,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> str:
     """DuckDB mirror: same md5-parity hyperplane literals, same fold-cosine."""
     return f"""
 WITH base AS (
   SELECT {id_col},
-         {sql_srp_bucket('embedding', n_bits, dim)} AS bucket,
-         embedding AS v,
-         sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+         {sql_srp_bucket(vec_col, n_bits, dim)} AS bucket,
+         {vec_col} AS v,
+         sqrt({sql_dot(vec_col, vec_col)}) AS nrm
   FROM {table}
 )
 SELECT {id_col}, bucket, COUNT(*) AS n_dups

@@ -434,8 +434,15 @@ def srp_topk(
     exact cosine re-rank inside. Recall < 1 by design; compare against
     :func:`cosine_topk` to measure."""
     bucketed = with_srp_bucket(df, vec_col, n_bits, dim)
-    base = _prep(bucketed, vec_col, id_col, dim).join(
-        bucketed.select(id_col, "bucket"), id_col
+    # project (id, v, nrm, bucket) off the bucketed frame directly — the
+    # bucket column is already ON these rows, and the previous
+    # re-attachment via a corpus×corpus self-join on id shuffled the
+    # whole corpus twice to recover it (r09 review)
+    base = bucketed.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
+        "bucket",
     )
     queries = base.filter(F.col(id_col) < query_max_id)
     scored = _scored_pairs(
@@ -506,7 +513,13 @@ def knn_join(
             row = cos[r]
             sel = np.lexsort((ids_c, -row))[:k]
             for j in sel:
-                if row[j] != -np.inf:  # masked self-pair in a tiny block
+                # drop masked self-pairs AND NaN cosines (zero-norm
+                # vectors): lexsort puts NaN last (= worst) but Spark's
+                # cos.desc() merge window would rank a surviving NaN
+                # FIRST — inconsistent partials corrupt the exact top-k
+                # (r09 review); a neighbor with undefined similarity is
+                # no neighbor.
+                if row[j] != -np.inf and not np.isnan(row[j]):
                     out.append((ids_q[r], ids_c[j], row[j]))
 
     def _block_pair(key, pdf):

@@ -238,6 +238,31 @@ def test_dhash_identity_and_near_pairs(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_dhash_grayscale_and_bad_rows_are_total(spark):
+    """image_dhash must be a TOTAL stage (r09 review): a grayscale PNG
+    (decodes (h, w, 1) — indexing channels 1/2 was an IndexError), a NULL
+    media cell, and non-PNG bytes all yield rows — real hashes for the
+    gray image, null hash for the undecodable ones — instead of failing
+    the whole job."""
+    import numpy as np
+
+    from duckdb_nats_jetstream_spark.functions.imagecodec import png_encode
+    from duckdb_nats_jetstream_spark.operators.multimodal import image_dhash
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 255, (16, 16)).astype(np.uint8)
+    rows = [
+        (1, bytearray(png_encode(gray))),
+        (2, None),
+        (3, bytearray(b"not a png at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    hs = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert set(hs) == {1, 2, 3}
+    assert hs[1] is not None and len(hs[1]) == 16
+    assert hs[2] is None and hs[3] is None
+
+
 def test_phash_query_runs(spark, sf_dir):
     from duckdb_nats_jetstream_spark.queries.pipeline5 import multimodal_phash
 

@@ -306,6 +306,82 @@ def test_pq_recall_against_exact(spark, sf_dir):
     assert len(a & e) / len(e) > 0.1, f"PQ recall {len(a & e) / len(e):.2f}"
 
 
+def test_pq_guards(spark, sf_dir):
+    """r09 review edges: m must divide dim (silent tail-dimension drop
+    otherwise); an empty query set returns an empty frame instead of
+    crashing _l2norm; a zero embedding normalizes to zeros, not NaN (a
+    NaN in the fit sample poisons centroids AND renders an invalid
+    'nane0' oracle literal)."""
+    import numpy as np
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+    from duckdb_nats_jetstream_spark.operators import pq as PQ
+    from duckdb_nats_jetstream_spark.operators.pq import _l2norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with pytest.raises(BindError, match="divide dim"):
+        PQ.pq_topk(emb, query_max_id=5, m=6, dim=64)
+    assert PQ.pq_topk(emb, query_max_id=0, k=3).count() == 0
+
+    X = np.array([[0.0, 0.0], [3.0, 4.0]])
+    N = _l2norm(X)
+    assert not np.isnan(N).any() and (N[0] == 0).all()
+    assert np.isclose(np.linalg.norm(N[1]), 1.0)
+
+
+def test_semantic_prune_zero_norm_vectors_never_dup(spark):
+    """Zero-norm vectors have undefined cosine; the contract (matching
+    DuckDB, where 0.0/0.0 → NULL and the threshold excludes it) is that
+    such pairs are NEVER near-dups — and neither engine path may crash
+    on them (r09 review: the JVM path's raw division died with
+    DIVIDE_BY_ZERO under ANSI, Spark 4's default)."""
+    from duckdb_nats_jetstream_spark.operators.semantic import (
+        _prune_within_block,
+    )
+
+    rows = [
+        (1, 0, [0.0, 0.0]),  # zero-norm pair: cos undefined → no dup
+        (2, 0, [0.0, 0.0]),
+        (3, 1, [1.0, 0.0]),  # orthogonal pair: cos = 0 < threshold
+        (4, 1, [0.0, 1.0]),
+        (5, 2, [1.0, 0.0]),  # identical pair: cos = 1 → id 6 condemned
+        (6, 2, [1.0, 0.0]),
+    ]
+    b = spark.createDataFrame(rows, "vec_id long, bucket long, v array<double>")
+    got_arrow = {
+        (r.vec_id, r.n_dups)
+        for r in _prune_within_block(b, "bucket", "vec_id", 2, 0.4).collect()
+    }
+    got_jvm = {
+        (r.vec_id, r.n_dups)
+        for r in _prune_within_block(
+            b, "bucket", "vec_id", 2, 0.4, arrow=False
+        ).collect()
+    }
+    assert got_arrow == got_jvm == {(6, 1)}
+
+
+def test_knn_join_excludes_nan_neighbors(spark):
+    """A zero-norm corpus vector has undefined similarity to everything;
+    it must never appear as a NEIGHBOR (r09 review: a NaN partial that
+    survived a small block ranked FIRST in the merge window because
+    Spark sorts NaN as largest under desc)."""
+    from duckdb_nats_jetstream_spark.operators.similarity import knn_join
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero-norm: NaN cosine vs everyone
+        (3, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_join(df, k=2, n_blocks=2, dim=2).collect()
+    assert got, "expected neighbors for the non-degenerate vectors"
+    assert all(r.neighbor_id != 2 for r in got)
+    assert all(not (r.cos_r != r.cos_r) for r in got)  # no NaN cos survives
+
+
 def test_funnel_conversion_window(spark):
     """max_gap bounds each stage-to-stage gap: a click 3h after the view
     misses a 2h window; a later in-window click still converts."""
