@@ -72,6 +72,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     6: "28545f1^",
     7: "3351f68^",
     8: "49b7369^",
+    9: "972bd7f^",
 }
 
 
