@@ -76,15 +76,96 @@ def test_hash_insensitive_to_lambda_name_counter(spark, sf_dir):
     assert h1 == h2
 
 
-def test_python_udf_not_clearable(spark, sf_dir):
-    """A Python UDF's plan names the function but not its body — a body
-    edit is invisible to the hash, so such plans must refuse clearing."""
+def test_python_udf_not_clearable_without_capture(spark, sf_dir):
+    """A Python UDF's plan names the function but not its body — without
+    a matching captured UDF object (scheme 6), a body edit is invisible
+    to the hash, so such plans must refuse clearing."""
     from pyspark.sql.types import LongType
 
     fn = F.udf(lambda x: x, LongType())
     df = read_table(spark, sf_dir, "lineitem").select(fn("l_orderkey").alias("k"))
     r = plan_hash(df)
     assert not r["python_free"] and not r["clearable"]
+    assert any(s.startswith("python_udf_unmatched") for s in r["reasons"])
+
+
+def _hash_mapinpandas(spark, sf_dir, k):
+    """Build a mapInPandas query whose UDF body depends on ``k`` ONLY
+    through a closure cell — the logical plan is identical for any k."""
+    from tools.plan_hash import _capture_udfs
+
+    base = read_table(spark, sf_dir, "lineitem").select("l_quantity")
+
+    def shift_batches(it):
+        for pdf in it:
+            pdf["l_quantity"] = pdf["l_quantity"] + k
+            yield pdf
+
+    cap: list = []
+    with _capture_udfs(cap):
+        df = base.mapInPandas(shift_batches, base.schema)
+    return plan_hash(df, cap)
+
+
+def test_pandas_udf_clearable_with_matched_capture(spark, sf_dir):
+    """Scheme 6 (r09 verdict ask #3): an Arrow-stage plan whose named
+    Python expressions are all matched by captured UDFs IS clearable,
+    the closure digest folds into the hash, and two identical builds
+    hash identically."""
+    a = _hash_mapinpandas(spark, sf_dir, 1)
+    b = _hash_mapinpandas(spark, sf_dir, 1)
+    assert a["clearable"] and a["closure"]
+    assert a["hash"] == b["hash"] and a["closure"] == b["closure"]
+
+
+def test_pandas_udf_hash_sensitive_to_closure_constant(spark, sf_dir):
+    """The pinned negative (r09 verdict ask #3): a changed constant
+    reachable from the UDF — here a closure cell; the logical PLAN is
+    byte-identical — must change the hash, so the edit does NOT clear."""
+    a = _hash_mapinpandas(spark, sf_dir, 1)
+    c = _hash_mapinpandas(spark, sf_dir, 2)
+    assert a["clearable"] and c["clearable"]
+    assert a["hash"] != c["hash"]
+
+
+def _exec_udf(body_src, glb_extra):
+    """A function compiled outside site-packages (user code) with a
+    controlled global namespace."""
+    ns = {"__name__": "tests_closure_fixture"}
+    ns.update(glb_extra)
+    exec(compile(body_src, "/root/repo/tests/<closure-fixture>", "exec"), ns)
+    return ns["f"]
+
+
+def test_closure_fingerprint_global_constant_and_line_shift():
+    """Referenced-global VALUES are in the fingerprint (a threshold edit
+    in a dependency module must void it); pure line shifts are not (a
+    dependency edit that only moves the UDF down its file must clear)."""
+    from tools.plan_hash import closure_fingerprint
+
+    src = "def f(batches):\n    for b in batches:\n        yield b * K\n"
+    h1, r1 = closure_fingerprint([("f", _exec_udf(src, {"K": 3}))])
+    h2, _ = closure_fingerprint([("f", _exec_udf(src, {"K": 4}))])
+    h3, _ = closure_fingerprint([("f", _exec_udf("\n\n\n" + src, {"K": 3}))])
+    assert r1 == [] and h1 is not None
+    assert h1 != h2, "changed referenced-global constant must change the fp"
+    assert h1 == h3, "a pure line shift must not change the fp"
+
+
+def test_closure_fingerprint_refuses_opaque_globals():
+    """A reachable value whose content can't be pinned deterministically
+    (default object repr carries a memory address) must surface a reason
+    — the caller then refuses clearing instead of hashing garbage."""
+    from tools.plan_hash import closure_fingerprint
+
+    class Opaque:  # test-module class → user code, but instance state
+        __module__ = "some_external_lib"  # forced external → repr path
+
+        pass
+
+    src = "def f(x):\n    return OBJ\n"
+    h, reasons = closure_fingerprint([("f", _exec_udf(src, {"OBJ": Opaque()}))])
+    assert h is None and any(r.startswith("fp_opaque") for r in reasons)
 
 
 def test_rdd_leaf_not_clearable(spark, sf_dir):

@@ -13,8 +13,15 @@ JSON map ``name -> {"hash", "clearable", ...}`` where:
 - ``clearable`` says whether plan-hash equality is SOUND evidence that
   an edit cannot have changed the query's results:
   * plans containing Python-eval nodes (pandas UDFs, mapInPandas,
-    Python data sources, UDTFs) are NOT clearable — the plan string
-    names the function but not its body, so a body edit is invisible;
+    UDTFs) are clearable SINCE SCHEME 6 iff every named Python
+    expression in the plan is matched by a UDF object captured during
+    the build AND the recursive closure fingerprint of those objects
+    (bytecode, consts, defaults, closure cells, referenced-global
+    values — see :func:`closure_fingerprint`) folds into the hash;
+    unmatched names (session-registered functions reused by name),
+    uncovered python node classes (Python data sources), or any
+    reachable value that can't be pinned deterministically still
+    refuse clearing;
   * plans truncated by materialization (``LogicalRDD`` /
     ``ExistingRDD``) are NOT clearable — the leaf hides the upstream
     plan entirely. To keep checkpoint-heavy operators hashable, the
@@ -92,13 +99,451 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #:    fresh-name counter made every higher-order-function plan hash
 #:    session-position-dependent — 40 spurious mismatches in the first
 #:    scheme-4 batch run)
-PLAN_HASH_SCHEME = 5
+#: 6: Python-eval plans become clearable when every named Python
+#:    expression in the plan (PythonUDF/PythonUDTF/PythonUDAF) is matched
+#:    by a UDF object captured during THIS build, and the recursive
+#:    closure fingerprint of those objects (bytecode, consts, defaults,
+#:    closure cells, referenced-global VALUES — never file paths or line
+#:    numbers) folds into the hash. r09 verdict ask #3: 26/50 driver
+#:    slots went to re-queues of Arrow-stage queries whose edits the
+#:    plan hash could see but not vouch for.
+PLAN_HASH_SCHEME = 6
 
 #: default snapshot data — plan SHAPE only matters, so the smallest SF
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 _PY_MARKERS = ("python", "pandas", "udtf")
 _RDD_MARKERS = ("LogicalRDD", "ExistingRDD")
+
+# ---------------------------------------------------------------------------
+# scheme 6: Python-closure fingerprinting
+# ---------------------------------------------------------------------------
+
+_PKG = "duckdb_nats_jetstream_spark"
+
+#: plan-node classes that carry Python code ONLY through an embedded
+#: PythonUDF/PythonUDTF/PythonUDAF expression (whose name+closure we
+#: match/fingerprint). Any OTHER class matching _PY_CLASS_RE is treated
+#: as an uncovered Python node and refuses clearing — safe direction for
+#: e.g. Python data sources, whose code never surfaces as a named UDF.
+_PY_WRAPPER_CLASSES = frozenset({
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "BatchEvalPythonUDTF",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "FlatMapGroupsInArrow",
+    "ApplyInPandasWithState",
+    "TransformWithStateInPandas",
+})
+_PY_NAMED_CLASSES = frozenset({"PythonUDF", "PythonUDTF", "PythonUDAF"})
+_PY_CLASS_RE = re.compile(r"python|pandas|udtf", re.I)
+_ADDR_RE = re.compile(r" at 0x[0-9a-fA-F]+")
+
+_FP_MAX_DEPTH = 64
+_FP_MAX_VISITS = 20_000
+
+
+class _FpState:
+    __slots__ = ("seen", "visits", "reasons")
+
+    def __init__(self):
+        self.seen: set[int] = set()
+        self.visits = 0
+        self.reasons: list[str] = []
+
+
+def _module_sem_hash(path: str) -> bytes:
+    """Docstring-stripped AST hash of a package module file — a
+    UDF-referenced module global hashes by CONTENT so edits to it void
+    the closure fingerprint, but a docstring-only edit doesn't."""
+    import ast
+
+    try:
+        with open(path, encoding="utf-8") as fh:
+            src = fh.read()
+        tree = ast.parse(src)
+    except (OSError, SyntaxError):
+        return hashlib.sha256(b"<unreadable>").digest()
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                del body[0]
+    return hashlib.sha256(
+        ast.dump(tree, include_attributes=False).encode()
+    ).digest()
+
+
+def _global_names(code) -> set[str]:
+    import types
+
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _global_names(c)
+    return names
+
+
+def _fp_code(code, h, st: _FpState, depth: int) -> None:
+    """Bytecode + consts + name tables. Deliberately EXCLUDES co_filename,
+    co_firstlineno and co_linetable, so a dependency edit that only shifts
+    the UDF's position in its file still clears."""
+    h.update(b"code:")
+    h.update(code.co_code)
+    h.update(
+        repr((
+            code.co_name, code.co_names, code.co_varnames, code.co_freevars,
+            code.co_cellvars, code.co_argcount, code.co_posonlyargcount,
+            code.co_kwonlyargcount, code.co_flags,
+        )).encode()
+    )
+    import types
+
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            _fp_code(c, h, st, depth + 1)
+        else:
+            _fp_value(c, h, st, depth + 1)
+
+
+def _is_user_code(obj) -> bool:
+    """Full-fingerprint user code (package, tools, tests, exec'd);
+    identify installed-library / stdlib callables by dotted name only
+    (their versions are environment-pinned, and recursing into e.g.
+    numpy internals would be unbounded)."""
+    mod = getattr(obj, "__module__", None) or ""
+    if mod.split(".")[0] == _PKG:
+        return True
+    code = getattr(obj, "__code__", None)
+    if code is not None:
+        f = code.co_filename
+    else:
+        f = getattr(sys.modules.get(mod), "__file__", None)
+    return bool(f) and "site-packages" not in f and not f.startswith(
+        sys.base_prefix
+    )
+
+
+def _fp_function(f, h, st: _FpState, depth: int) -> None:
+    import types
+
+    if not _is_user_code(f):
+        # external (library / test) function: identity by dotted name —
+        # library versions are environment-pinned — but STILL recurse
+        # into defaults and closure cells: wrapper lambdas defined in
+        # library code (e.g. pyspark shims) can smuggle user callables
+        # through their cells.
+        h.update(
+            f"extfn:{getattr(f, '__module__', '?')}.{f.__qualname__}".encode()
+        )
+    else:
+        h.update(b"fn:")
+        _fp_code(f.__code__, h, st, depth)
+        # referenced-global VALUES (sorted by name): a changed module-level
+        # constant the UDF reads must change the fingerprint (the verdict's
+        # pinned-test requirement)
+        g = f.__globals__
+        for name in sorted(_global_names(f.__code__)):
+            if name in g:
+                h.update(f"g:{name}=".encode())
+                _fp_value(g[name], h, st, depth + 1)
+            else:
+                h.update(f"g:{name}:<unbound>".encode())
+    _fp_value(f.__defaults__, h, st, depth + 1)
+    _fp_value(getattr(f, "__kwdefaults__", None), h, st, depth + 1)
+    code = getattr(f, "__code__", None)
+    cells = getattr(f, "__closure__", None) or ()
+    freevars = code.co_freevars if code is not None else ()
+    for name, cell in zip(freevars, cells):
+        h.update(f"cell:{name}=".encode())
+        try:
+            _fp_value(cell.cell_contents, h, st, depth + 1)
+        except ValueError:  # empty cell
+            h.update(b"<empty-cell>")
+
+
+def _fp_class(cls, h, st: _FpState, depth: int) -> None:
+    if not _is_user_code(cls):
+        h.update(
+            f"extclass:{getattr(cls, '__module__', '?')}.{cls.__qualname__}".encode()
+        )
+        return
+    h.update(f"class:{cls.__qualname__}(".encode())
+    h.update(
+        ",".join(
+            f"{b.__module__}.{b.__qualname__}" for b in cls.__bases__
+        ).encode()
+    )
+    h.update(b")")
+    skip = {
+        "__dict__", "__weakref__", "__doc__", "__module__", "__qualname__",
+        "__firstlineno__", "__static_attributes__",
+    }
+    for k in sorted(cls.__dict__):
+        if k in skip:
+            continue
+        v = cls.__dict__[k]
+        if isinstance(v, (staticmethod, classmethod)):
+            v = v.__func__
+        h.update(f"attr:{k}=".encode())
+        if isinstance(v, property):
+            for part in (v.fget, v.fset, v.fdel):
+                _fp_value(part, h, st, depth + 1)
+        else:
+            _fp_value(v, h, st, depth + 1)
+
+
+def _fp_value(v, h, st: _FpState, depth: int) -> None:
+    """Deterministic content fingerprint of a Python value reachable from
+    a UDF — see ``closure_fingerprint``. Anything whose full content
+    cannot be pinned deterministically records a reason instead (the
+    plan then refuses clearing: safe direction)."""
+    import functools
+    import types
+
+    st.visits += 1
+    if depth > _FP_MAX_DEPTH or st.visits > _FP_MAX_VISITS:
+        st.reasons.append("fp_budget_exceeded")
+        h.update(b"<budget>")
+        return
+    if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
+        h.update(b"p:")
+        h.update(repr(v).encode())
+        return
+    if id(v) in st.seen:
+        h.update(b"<revisit>")
+        return
+    st.seen.add(id(v))
+    tmod = type(v).__module__ or ""
+    if isinstance(v, (list, tuple)):
+        h.update(f"seq:{type(v).__name__}:{len(v)}:".encode())
+        for x in v:
+            _fp_value(x, h, st, depth + 1)
+    elif isinstance(v, (set, frozenset)):
+        # element order is hash-randomized for strings — sort by each
+        # element's own digest
+        subs = []
+        for x in v:
+            hh = hashlib.sha256()
+            _fp_value(x, hh, st, depth + 1)
+            subs.append(hh.digest())
+        h.update(f"set:{len(v)}:".encode())
+        for d in sorted(subs):
+            h.update(d)
+    elif isinstance(v, dict):
+        h.update(f"dict:{len(v)}:".encode())
+        for k, val in v.items():  # insertion order: deterministic from code
+            _fp_value(k, h, st, depth + 1)
+            _fp_value(val, h, st, depth + 1)
+    elif isinstance(v, types.FunctionType):
+        _fp_function(v, h, st, depth + 1)
+    elif isinstance(v, types.MethodType):
+        h.update(b"method:")
+        _fp_value(v.__func__, h, st, depth + 1)
+        _fp_value(v.__self__, h, st, depth + 1)
+    elif isinstance(
+        v, (types.BuiltinFunctionType, types.BuiltinMethodType,
+            types.WrapperDescriptorType, types.MethodDescriptorType)
+    ):
+        h.update(
+            f"builtin:{getattr(v, '__module__', '?')}."
+            f"{getattr(v, '__qualname__', getattr(v, '__name__', '?'))}".encode()
+        )
+    elif isinstance(v, functools.partial):
+        h.update(b"partial:")
+        _fp_value(v.func, h, st, depth + 1)
+        _fp_value(v.args, h, st, depth + 1)
+        _fp_value(v.keywords, h, st, depth + 1)
+    elif isinstance(v, types.ModuleType):
+        name = getattr(v, "__name__", "?")
+        h.update(f"module:{name}".encode())
+        if name.split(".")[0] == _PKG and getattr(v, "__file__", None):
+            # package module referenced from a UDF: hash its (docstring-
+            # stripped) source so editing it voids the fingerprint
+            h.update(_module_sem_hash(v.__file__))
+    elif isinstance(v, type):
+        _fp_class(v, h, st, depth + 1)
+    elif tmod.split(".")[0] == "numpy":
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            h.update(f"ndarray:{v.dtype}:{v.shape}:".encode())
+            h.update(np.ascontiguousarray(v).tobytes())
+        elif isinstance(v, np.generic):
+            h.update(f"npscalar:{v.dtype}:".encode())
+            h.update(v.tobytes())
+        elif isinstance(v, np.dtype):
+            h.update(f"npdtype:{v}".encode())
+        else:
+            st.reasons.append(f"fp_opaque:{tmod}.{type(v).__qualname__}")
+            h.update(b"<opaque>")
+    elif tmod.split(".")[0] == "pandas":
+        # pandas reprs truncate — content would sit outside the hash
+        st.reasons.append(f"fp_opaque:{tmod}.{type(v).__qualname__}")
+        h.update(b"<opaque>")
+    elif _is_user_code(type(v)):
+        # instance of a user-code class (e.g. a parsed proto Descriptor):
+        # fingerprint = its class definition + its instance state
+        h.update(b"pkginst:")
+        _fp_class(type(v), h, st, depth + 1)
+        state = getattr(v, "__dict__", None)
+        if state is None and hasattr(type(v), "__slots__"):
+            state = {
+                s: getattr(v, s, None) for s in type(v).__slots__
+            }
+        if state is None:
+            st.reasons.append(f"fp_opaque:{tmod}.{type(v).__qualname__}")
+            h.update(b"<opaque>")
+        else:
+            _fp_value(state, h, st, depth + 1)
+    elif type(v) is object:
+        # a bare object() sentinel carries identity, not content — any
+        # two are behaviorally interchangeable
+        h.update(b"sentinel:object")
+    else:
+        r = repr(v)
+        if _ADDR_RE.search(r):
+            st.reasons.append(f"fp_opaque:{tmod}.{type(v).__qualname__}")
+            h.update(f"opaque:{tmod}.{type(v).__qualname__}".encode())
+        else:
+            h.update(b"r:")
+            h.update(r.encode())
+
+
+def closure_fingerprint(entries) -> tuple[str | None, list[str]]:
+    """(hex digest, reasons) over ``[(name, callable), ...]`` in creation
+    order. Covers bytecode, consts, defaults, kwdefaults, closure-cell
+    values and referenced-global values recursively (package functions
+    fully; external-library callables by dotted name plus their cells);
+    excludes file paths, line numbers and docstring-only module changes.
+    A non-empty ``reasons`` means some reachable value could not be
+    pinned deterministically — callers must refuse clearing then."""
+    h = hashlib.sha256()
+    st = _FpState()
+    for name, fn in entries:
+        h.update(f"udf:{name}\0".encode())
+        _fp_value(fn, h, st, 0)
+        h.update(b"\0")
+    return (None if st.reasons else h.hexdigest()), sorted(set(st.reasons))
+
+
+def _capture_udfs(into: list):
+    """Context manager recording every UserDefinedFunction /
+    UserDefinedTableFunction constructed while active, as (name, func)
+    in creation order — mapInPandas/applyInPandas/pandas_udf/udf/
+    spark.udf.register all construct through these two classes."""
+    from contextlib import contextmanager
+
+    import pyspark.sql.udf as _udf_mod
+    import pyspark.sql.udtf as _udtf_mod
+
+    targets = [
+        _udf_mod.UserDefinedFunction,
+        _udtf_mod.UserDefinedTableFunction,
+    ]
+
+    def _preseed():
+        """Module-level UDF objects (``@pandas_udf`` at import time, e.g.
+        ``functions/udx.py``) were constructed before any capture window
+        — scan already-imported package modules for them, in sorted
+        (module, attr-definition) order so provenance (pre-seed vs
+        build-time construction) can't reorder the folded sequence."""
+        out = []
+        for mname in sorted(sys.modules):
+            if not mname.startswith(_PKG):
+                continue
+            mod = sys.modules[mname]
+            for attr, v in vars(mod).items():
+                # @pandas_udf / @udf return a WRAPPED plain function
+                # carrying func/returnType/evalType attributes (not a
+                # UserDefinedFunction instance); @udtf returns the
+                # UserDefinedTableFunction itself — accept both shapes
+                is_udf = isinstance(v, tuple(targets)) or (
+                    callable(v)
+                    and hasattr(v, "func")
+                    and hasattr(v, "evalType")
+                    and hasattr(v, "returnType")
+                )
+                if is_udf:
+                    func = getattr(v, "func", None)
+                    if func is not None:
+                        name = getattr(v, "_name", None) or getattr(
+                            v, "__name__", None
+                        ) or getattr(func, "__name__", "?")
+                        out.append((name, func))
+        return out
+
+    @contextmanager
+    def _cm():
+        into.extend(_preseed())
+        saved = [(c, c.__init__) for c in targets]
+
+        def _wrap(orig):
+            def __init__(self, func, *a, **kw):  # noqa: N807
+                orig(self, func, *a, **kw)
+                name = getattr(self, "_name", None) or getattr(
+                    func, "__name__", "?"
+                )
+                into.append((name, func))
+
+            return __init__
+
+        for c, orig in saved:
+            c.__init__ = _wrap(orig)
+        try:
+            yield
+        finally:
+            for c, orig in saved:
+                c.__init__ = orig
+
+    return _cm()
+
+
+def _python_plan_nodes(plan_json: str) -> tuple[set[str], list[str]]:
+    """Walk the optimized plan's JSON: return (names of PythonUDF/UDTF/
+    UDAF expressions, uncovered python-ish class basenames)."""
+    names: set[str] = set()
+    uncovered: list[str] = []
+    seen_any = [False]
+
+    def walk(node):
+        if isinstance(node, dict):
+            cls = node.get("class", "")
+            base = cls.rsplit(".", 1)[-1]
+            if _PY_CLASS_RE.search(base):
+                seen_any[0] = True
+                if base in _PY_NAMED_CLASSES:
+                    nm = node.get("name")
+                    names.add(nm if isinstance(nm, str) else "?")
+                elif base not in _PY_WRAPPER_CLASSES:
+                    uncovered.append(base)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    try:
+        walk(json.loads(plan_json))
+    except (ValueError, RecursionError):
+        uncovered.append("plan_json_unparsed")
+        seen_any[0] = True
+    # backstop: the old substring markers catch python-ness the
+    # structural walk missed (an unknown rendering) — refuse clearing
+    if not seen_any[0] and any(m in plan_json.lower() for m in _PY_MARKERS):
+        uncovered.append("python_marker_unparsed")
+    return names, uncovered
 
 
 def normalized_plan(df) -> str:
@@ -129,8 +574,15 @@ def normalized_plan(df) -> str:
     return re.sub(r"(?<=lambda )(\w+?)_\d+(?=#)", r"\1_v", s)
 
 
-def plan_hash(df) -> dict:
+def plan_hash(df, captured=None) -> dict:
     """hash + clearability for one built DataFrame (see module doc).
+
+    ``captured`` is the ``[(name, callable), ...]`` list recorded by
+    :func:`_capture_udfs` around THIS query's build. Scheme 6: when every
+    named Python expression in the plan matches a captured UDF and the
+    captured closures fingerprint cleanly, the closure digest folds into
+    the hash and the plan stays clearable; otherwise a python reason
+    refuses clearing exactly as schemes 1–5 did.
 
     ``reasons`` names each distinct cause of unclearability — the flags
     alone misdirected debugging (``rdd_free=False`` used to cover four
@@ -157,13 +609,33 @@ def plan_hash(df) -> dict:
         # would hash identically; with no scan locations to pin either,
         # equality is not sound evidence (r08 ADVICE).
         reasons.append("no_scan_files")
+    closure: str | None = None
     try:
-        j = df._jdf.queryExecution().optimizedPlan().toJSON().lower()
-        python_free = not any(m in j for m in _PY_MARKERS)
+        j = df._jdf.queryExecution().optimizedPlan().toJSON()
+        udf_names, uncovered = _python_plan_nodes(j)
     except Exception:
-        python_free = False
-    if not python_free:
-        reasons.append("python_eval_node")
+        udf_names, uncovered = set(), ["plan_json_failed"]
+    python_free = not udf_names and not uncovered
+    if uncovered:
+        reasons.append(
+            "python_node_uncovered:" + ",".join(sorted(set(uncovered)))
+        )
+    elif udf_names:
+        cap = captured or []
+        missing = udf_names - {n for n, _ in cap}
+        if missing:
+            # a plan UDF not constructed during this build (e.g. a
+            # session-registered function reused by name) — its body is
+            # outside the fingerprint, so equality would be unsound
+            reasons.append("python_udf_unmatched:" + ",".join(sorted(missing)))
+        else:
+            closure, fp_reasons = closure_fingerprint(
+                [(n, f) for n, f in cap if n in udf_names]
+            )
+            if closure is None:
+                reasons.append(
+                    "python_closure_opaque:" + ",".join(fp_reasons[:3])
+                )
     rdd_free = not any(
         r in reasons
         for r in ("rdd_leaf", "tostring_truncated", "input_files_failed",
@@ -173,11 +645,15 @@ def plan_hash(df) -> dict:
     h.update(plan.encode())
     h.update(b"\0")
     h.update("\n".join(files).encode())
+    if closure is not None:
+        h.update(b"\0closure\0")
+        h.update(closure.encode())
     return {
         "hash": h.hexdigest(),
         "clearable": not reasons,
         "python_free": python_free,
         "rdd_free": rdd_free,
+        "closure": closure,
         "reasons": reasons,
     }
 
@@ -276,8 +752,10 @@ def main() -> None:
                 out[name] = {"error": "unknown query"}
                 continue
             try:
-                with _identity_checkpoints():
-                    out[name] = plan_hash(fns[name](spark, args.sf))
+                cap: list = []
+                with _capture_udfs(cap), _identity_checkpoints():
+                    df = fns[name](spark, args.sf)
+                out[name] = plan_hash(df, cap)
             except Exception as exc:  # noqa: BLE001 — per-query isolation
                 out[name] = {"error": f"{type(exc).__name__}: {exc}"}
     finally:
