@@ -122,6 +122,15 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_fingerprints(read_table(spark, sf_dir, "documents"))
 
 
+# SCALE PIN (r09 verdict #7): dedup_winnow below is the deliberately
+# UNCAPPED oracle form and must NEVER be run past the oracle fixtures
+# (sf0.01 gate / sf0.1 bench). Measured exponent 1.90 — 477.5 s / 34 GB
+# peak task memory at the 10× replica vs 6.3 s / 4.8 GB for the capped
+# default (SCALING batch 27, PERF.md r09) — so it is excluded from every
+# scale harness (tools/stress_fullsweep.py SKIP table) and must not be
+# copied into any pipeline example. (Comment, not docstring: the pin must
+# not re-fingerprint the r09-green query fn — the ledger hashes the def
+# segment raw.)
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-sharing near-dup pairs (MOSS match step): self-join the
     winnowing fingerprints on fp, count shared prints per pair, keep pairs
