@@ -152,6 +152,35 @@ def test_closure_fingerprint_global_constant_and_line_shift():
     assert h1 == h3, "a pure line shift must not change the fp"
 
 
+def test_set_element_fingerprints_are_isolated():
+    """Set elements hash against isolated seen-state copies: with a
+    SHARED state, iteration order decides which of two elements
+    referencing a common object hashes its full content vs a <revisit>
+    marker — the sorted sub-digests would differ between processes whose
+    string-hash seeds order the set differently."""
+    import hashlib
+
+    from tools.plan_hash import _fp_value, _FpState
+
+    class Box:
+        pass
+
+    shared = Box()
+    shared.v = 7
+    s = {("k1", shared), ("k2", shared)}
+    st = _FpState()
+    _fp_value(s, hashlib.sha256(), st, 0)
+    # the shared object was visited only inside per-element sub-states;
+    # a leak into the parent seen-set is exactly the order-dependence bug
+    assert id(shared) not in st.seen
+    # and both elements produced full (non-revisit) content: hashing the
+    # set twice with fresh states is stable
+    h1, h2 = hashlib.sha256(), hashlib.sha256()
+    _fp_value(s, h1, _FpState(), 0)
+    _fp_value(s, h2, _FpState(), 0)
+    assert h1.hexdigest() == h2.hexdigest()
+
+
 def test_closure_fingerprint_refuses_opaque_globals():
     """A reachable value whose content can't be pinned deterministically
     (default object repr carries a memory address) must surface a reason

@@ -107,7 +107,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #:    numbers) folds into the hash. r09 verdict ask #3: 26/50 driver
 #:    slots went to re-queues of Arrow-stage queries whose edits the
 #:    plan hash could see but not vouch for.
-PLAN_HASH_SCHEME = 6
+#: 7: set elements fingerprint against isolated seen-state copies (a
+#:    shared seen-set made the sorted sub-digests depend on iteration
+#:    order for sets whose elements reference a common object — caught
+#:    by the same-round review before any baseline shipped a round)
+PLAN_HASH_SCHEME = 7
 
 #: default snapshot data — plan SHAPE only matters, so the smallest SF
 DEFAULT_SF = "/root/testdata/sf0.001"
@@ -332,11 +336,20 @@ def _fp_value(v, h, st: _FpState, depth: int) -> None:
             _fp_value(x, h, st, depth + 1)
     elif isinstance(v, (set, frozenset)):
         # element order is hash-randomized for strings — sort by each
-        # element's own digest
+        # element's own digest. Each element hashes against an ISOLATED
+        # copy of the seen-set: sharing it would let iteration order
+        # decide which of two elements referencing a common object gets
+        # the full content vs the <revisit> marker, making the sorted
+        # digests order-dependent after all.
         subs = []
         for x in v:
             hh = hashlib.sha256()
-            _fp_value(x, hh, st, depth + 1)
+            sub = _FpState()
+            sub.seen = set(st.seen)
+            sub.visits = st.visits
+            _fp_value(x, hh, sub, depth + 1)
+            st.visits = sub.visits
+            st.reasons.extend(sub.reasons)
             subs.append(hh.digest())
         h.update(f"set:{len(v)}:".encode())
         for d in sorted(subs):
