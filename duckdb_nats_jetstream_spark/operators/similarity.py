@@ -455,10 +455,11 @@ def srp_topk(
 def knn_join(
     df: DataFrame,
     k: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """Exact k-NN **self-join**: every vector gets its top-k cosine
     neighbors, both sides the full corpus. Fills the gap between
@@ -471,9 +472,26 @@ def knn_join(
     pair** (selected under the total order (cos desc, neighbor_id asc), so
     merging partials preserves the exact global top-k). Intermediate volume
     is O(n_blocks · N · k) instead of the N² score matrix; one final window
-    rank merges the partials. Shuffle = n_blocks × corpus; per-task memory =
-    two blocks. The N²/2 dot products are intrinsic to exact k-NN — for
-    corpora beyond a few million vectors use :func:`srp_topk` / IVF.
+    rank merges the partials. Shuffle = n_blocks × corpus. The N²/2 dot
+    products are intrinsic to exact k-NN — for corpora beyond a few million
+    vectors use :func:`srp_topk` / IVF.
+
+    ``n_blocks`` defaults to AUTO-BLOCKING on two dials (pass an int to
+    pin): (a) memory — ``ceil(N / target_block_rows)`` caps the per-task
+    block-pair cosine matrix at ~``target_block_rows``² doubles (134 MB
+    at the 4096 default); the old fixed 4 meant task memory grew
+    quadratically with the corpus (34→208 MB on 10× data, r10 sweep);
+    (b) parallelism — the smallest b with b(b+1)/2 ≥ 2×defaultParallelism,
+    so the block-pair task count covers the executor slots in ≥2 waves
+    (the r10 sweep's sf1 run under the fixed 4 scheduled 10 tasks on 32
+    cores: the intrinsic N² gram work is parallel by construction, and
+    leaving 2/3 of the slots idle doubled the wall for free).
+
+    Inside each block pair the per-row top-k is selected by a STABLE
+    argsort over candidate columns pre-sorted by id — cos ties break by
+    ascending neighbor id exactly like the (cos desc, id asc) oracle
+    order, with no per-row Python loop (the r10 sweep found the old
+    per-row ``np.lexsort`` loop dominating the sf1 wall).
 
     Cosine uses the fold-exact numpy kernel, so results are bit-identical to
     the column-fold oracle (cross join + row_number). ``dim`` is accepted
@@ -481,10 +499,18 @@ def knn_join(
     and, like there, does NOT truncate vectors — the kernel always uses the
     full stored width. Returns (query_id, neighbor_id, rnk, cos_r).
     """
+    import math
+
     import numpy as np
 
     from duckdb_nats_jetstream_spark.functions.vector_np import pairwise_cosine
 
+    if n_blocks is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        b = 2
+        while b * (b + 1) // 2 < 2 * par:
+            b += 1
+        n_blocks = max(b, math.ceil(df.count() / target_block_rows))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rows = df.select(F.col(id_col), F.col(vec_col), blk.alias("blk"))
     pairs = rows.select(
@@ -507,20 +533,30 @@ def knn_join(
     )
 
     def _partial_topk(ids_q, cos, ids_c, out):
-        # per query row: k best candidates under (cos desc, id asc) — lexsort's
-        # LAST key is primary, so (-cos) primary, candidate id secondary
-        for r in range(len(ids_q)):
-            row = cos[r]
-            sel = np.lexsort((ids_c, -row))[:k]
-            for j in sel:
-                # drop masked self-pairs AND NaN cosines (zero-norm
-                # vectors): lexsort puts NaN last (= worst) but Spark's
-                # cos.desc() merge window would rank a surviving NaN
-                # FIRST — inconsistent partials corrupt the exact top-k
-                # (r09 review); a neighbor with undefined similarity is
-                # no neighbor.
-                if row[j] != -np.inf and not np.isnan(row[j]):
-                    out.append((ids_q[r], ids_c[j], row[j]))
+        """Per-row top-k under (cos desc, neighbor_id asc), vectorized:
+        ``ids_c`` is ASCENDING (callers sort their block by id), so a
+        STABLE argsort on -cos breaks cos ties by candidate position =
+        candidate id — identical selection to the old per-row lexsort.
+        Masked self-pairs (-inf) and NaN cosines (zero-norm vectors:
+        undefined similarity is no neighbor — r09 review) sort past
+        every finite value and are dropped by the finite filter."""
+        import pandas as pd
+
+        kk = min(k, cos.shape[1])
+        sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(cos.shape[0]), kk)
+        cols = sel.ravel()
+        vals = cos[rows, cols]
+        m = np.isfinite(vals)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": ids_q[rows[m]],
+                    "neighbor_id": ids_c[cols[m]],
+                    "cos": vals[m],
+                }
+            )
+        )
 
     def _block_pair(key, pdf):
         import pandas as pd
@@ -529,6 +565,7 @@ def knn_join(
         p, q = key
         if pdf.empty:
             return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(id_col)  # ascending ids → stable tie-break
         out: list = []
         if p == q:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -547,8 +584,10 @@ def knn_join(
             ids_b = pb[id_col].to_numpy()
             cos = pairwise_cosine(ma, mb)
             _partial_topk(ids_a, cos, ids_b, out)
-            _partial_topk(ids_b, cos.T, ids_a, out)
-        return pd.DataFrame(out, columns=cols)
+            _partial_topk(ids_b, np.ascontiguousarray(cos.T), ids_a, out)
+        if not out:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(out, ignore_index=True)
 
     partial = pairs.groupBy("bp.p", "bp.q").applyInPandas(
         _block_pair, "query_id long, neighbor_id long, cos double"

@@ -258,6 +258,7 @@ def main() -> None:
             f"| {r1['shuffle_write_mb']}→{r10['shuffle_write_mb']} "
             f"| {r1['peak_task_mem_mb']}→{r10['peak_task_mem_mb']} |"
         )
+    spark.stop()  # non-daemon JVM threads otherwise outlive main()
 
 
 if __name__ == "__main__":
