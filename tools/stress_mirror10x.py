@@ -26,7 +26,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-STRESS_DIR = os.path.join(REPO, ".stress", "sf1.0")
+STRESS_DIR = os.environ.get(
+    "SPARK_GRAFT_MIRROR_DIR", os.path.join(REPO, ".stress", "sf1.0")
+)
 TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_MIRROR_TIMEOUT", "900"))
 NAMES = os.environ.get(
     "SPARK_GRAFT_MIRROR_QUERIES",
