@@ -176,7 +176,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard. ``block_col`` bounds the pair
     explosion (at scale, block on an LSH bucket or length band — never
-    all-pairs). Returns (id_a, id_b, jaccard_r)."""
+    all-pairs). Returns (id_a, id_b, jaccard_r).
+
+    Join-strategy note (r10 sweep follow-up, measured at the 10×
+    replica): Catalyst broadcasts the corpus side below the session's
+    64 MB scan-size threshold, and the SCAN estimate misses the ~20–50×
+    in-memory expansion of the shingle arrays — 4.3 GB peak task memory
+    at sf1 is the broadcast hash build, not the pair expansion. The
+    zone is bounded (≤ threshold × expansion ≈ a few GB; above it the
+    estimate itself crosses the threshold and Catalyst picks
+    sort-merge, whose group buffering spills). Callers in the
+    under-estimate zone can force ``df.hint("merge")`` semantics by
+    joining pre-hinted frames — measured 4× lower peak (1.0 GB) at the
+    same wall at sf1. Sub-block salting was ALSO measured here and
+    rejected: it shrinks join groups but replicates the array-heavy
+    rows s×, and the sort/hash-build memory it inflates dominates
+    (peak 2.1 GB salted vs 1.0 GB unsalted under merge; 20 GB vs 4.3 GB
+    under broadcast)."""
     from duckdb_nats_jetstream_spark.tables import spread
 
     sh = shingles(tokens(F.col(text_col)), n)

@@ -48,6 +48,50 @@ def test_ngram_jaccard_pairs_unblocked(spark, docs):
     assert pairs[(1, 2)] == 1.0 and (1, 3) in pairs
 
 
+def test_ngram_jaccard_merge_hint_same_pairs(spark, sf_dir):
+    """The documented escape hatch for the broadcast under-estimate zone
+    (see the operator docstring): sort-merge-joining the same blocked
+    self-join must produce the identical pair set — the hint changes
+    only the physical strategy."""
+    from pyspark.sql import functions as F
+
+    from duckdb_nats_jetstream_spark.operators.dedup import (
+        jaccard,
+        shingles,
+        tokens,
+    )
+    from duckdb_nats_jetstream_spark.tables import read_table, spread
+
+    df = read_table(spark, sf_dir, "documents")
+    base = D.ngram_jaccard_pairs(df, block_col="n_chars", threshold=0.05)
+    sh = shingles(tokens(F.col("text")), 3)
+    docs = (
+        spread(df)
+        .select(F.col("doc_id"), sh.alias("sh"), F.col("n_chars").alias("blk"))
+        .filter(F.size("sh") > 0)
+    )
+    a, b = docs.alias("a"), docs.hint("merge").alias("b")
+    merged = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jac", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("jac") >= 0.05)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("jac").alias("jaccard_r"),
+        )
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert {tuple(r) for r in base.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+
+
 def test_simhash_identical_docs_equal(spark, docs):
     sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
     assert sh[1] == sh[2]
