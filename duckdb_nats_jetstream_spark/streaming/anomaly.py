@@ -59,7 +59,12 @@ def _ewma_fn(alpha: float, spike_factor: float):
 
         hours: list = []
         for pdf in pdfs:
-            hours.extend(int(h) for h in pdf["h"])
+            # null event times arrive as NaN (nullable ts_nats upstream) —
+            # int(NaN) raises and kills the whole streaming query (the r09
+            # funnel/sessionize crash class; this module was missed in
+            # that sweep — r10 review). An event with no time belongs to
+            # no hour: drop it.
+            hours.extend(int(h) for h in pdf["h"] if pd.notna(h))
         hours.sort()
 
         rows = []

@@ -122,3 +122,45 @@ def test_streaming_ewma_multibatch_chronological(spark, sf_dir, tmp_path):
             ewma = float(c) if ewma is None else 0.25 * c + 0.75 * ewma
             if i < len(pts) - 1:
                 assert got[(subject, h)] == (c, ewma), (subject, h)
+
+
+def test_streaming_ewma_null_timestamps_dropped(spark, tmp_path):
+    """Null event times must be DROPPED, not kill the query with
+    int(NaN) (the r09 funnel/sessionize crash class — this module was
+    missed in that sweep, found by the r10 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "null_log"
+    d.mkdir()
+    base = 1704067200 * 10**6
+    pq.write_table(
+        pa.table(
+            {
+                "subject": ["s.a"] * 4,
+                "ts_nats": pa.array(
+                    [base, None, base + 3600 * 10**6, None],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(d / "chunk.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("subject string, ts_nats timestamp")
+        .parquet(str(d))
+    )
+    out = streaming_ewma_anomaly(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_null_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # would raise PythonException before the fix
+    rows = spark.sql("SELECT * FROM ewma_null_out").collect()
+    # hour 0 closed by the hour-1 event with exactly the ONE non-null
+    # event counted; the two null-ts rows vanished instead of crashing
+    assert len(rows) == 1 and rows[0].n_msgs == 1
