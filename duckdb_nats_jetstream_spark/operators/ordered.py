@@ -50,6 +50,13 @@ def chunked_lag(
     ``order_col`` receive the same predecessor either way, so any aggregate
     over ``out_col`` differences matches the global-window answer exactly.
     """
+    # `/` here round-trips through double, so above 2^53 the chunk index
+    # is approximate — examined in the r10 review and left as-is on
+    # purpose: correctness needs only a MONOTONE chunk function of the
+    # key (per-chunk lag + previous-non-empty-chunk max yields the exact
+    # global predecessor under any monotone chunking; equal keys always
+    # co-chunk), and double rounding is monotone. Only the chunk-size
+    # bound gets fuzzy at uint64 extremes, not any answer.
     chunked = df.withColumn(
         _CHUNK, (F.col(order_col) / F.lit(chunk_size)).cast("long")
     )
