@@ -51,13 +51,19 @@ def pack_sequences(
         bins = []
         bin_id, fill = 0, 0
         for i, n in enumerate(pdf[size_col]):
+            # a NULL token count arrives as NaN and int(NaN) would kill
+            # the task (the streaming null-ts crash class, r10 review).
+            # Semantics: an unknown-size document is zero-width — it packs
+            # into the current bin, contributes nothing to the fill, and
+            # keeps its row (its stored size stays NULL in the output).
+            w = 0 if pd.isna(n) else int(n)
             if i == 0:
-                fill = int(n)
-            elif fill + int(n) > budget:
+                fill = w
+            elif fill + w > budget:
                 bin_id += 1
-                fill = int(n)
+                fill = w
             else:
-                fill += int(n)
+                fill += w
             bins.append(bin_id)
         pdf["seq_id"] = pdf["__chunk"] * chunk_size + pd.Series(bins)
         return pdf[[id_col, size_col, "seq_id"]]

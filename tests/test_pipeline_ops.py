@@ -440,6 +440,22 @@ def test_pack_sequences_invariants(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_pack_sequences_null_size_is_zero_width(spark):
+    """A NULL token count must not kill the task (int(NaN) — the null
+    crash class, r10 review): the doc packs zero-width into the current
+    bin and keeps its row with a NULL size."""
+    from duckdb_nats_jetstream_spark.operators.packing import pack_sequences
+
+    rows = [(0, 300), (1, None), (2, 200), (3, 300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r.doc_id: r for r in pack_sequences(df, budget=512, chunk_size=10).collect()}
+    assert len(out) == 4
+    assert out[1].n_tokens is None
+    # zero-width doc 1 stays in doc 0's bin; 300+200 fits; doc 3 overflows
+    assert out[0].seq_id == out[1].seq_id == out[2].seq_id
+    assert out[3].seq_id == out[0].seq_id + 1
+
+
 def test_pack_sequences_greedy_boundaries(spark):
     from duckdb_nats_jetstream_spark.operators.packing import pack_sequences
 
