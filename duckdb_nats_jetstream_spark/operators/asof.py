@@ -63,7 +63,12 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("__asof_mts"), *[F.col(c) for c in right_cols]
     )
-    r = right.select(
+    # a NULL-timestamp right row can never be "as of" anything (SQL
+    # comparisons with NULL match nothing — DuckDB ASOF JOIN drops such
+    # rows), but the union+window encoding sorts nulls FIRST, where
+    # last(ignorenulls) would happily pick the row's payload as a match
+    # for every left row with no real predecessor (r10 review)
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_L),

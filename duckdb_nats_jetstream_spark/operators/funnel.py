@@ -280,12 +280,17 @@ def funnel_user_stages(
 
 
 def funnel_summary(per_user: DataFrame, n_stages: int) -> DataFrame:
-    """One-row stage counts + stage-to-stage conversion rates."""
+    """One-row stage counts + stage-to-stage conversion rates.
+
+    ``try_divide``, not ``/``: a stage nobody reached makes the rate
+    ``0.0/0.0``, which Spark's default ANSI mode THROWS on — a funnel
+    with a dead stage is data, not an error (NULL rate, matching
+    DuckDB's divide-by-zero NULL; r10 review)."""
     counts = [F.count(f"t{i}").alias(f"n_stage{i}") for i in range(1, n_stages + 1)]
     convs = [
-        (F.count(f"t{i + 1}").cast("double") / F.count(f"t{i}").cast("double")).alias(
-            f"conv_{i + 1}"
-        )
+        F.try_divide(
+            F.count(f"t{i + 1}").cast("double"), F.count(f"t{i}").cast("double")
+        ).alias(f"conv_{i + 1}")
         for i in range(1, n_stages)
     ]
     return per_user.agg(*counts, *convs)

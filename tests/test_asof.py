@@ -95,3 +95,21 @@ def test_single_shuffle_plan(spark, sides):
     # one hash-partitioning exchange feeds the window; no join node at all
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_null_timestamp_right_rows_never_match(spark):
+    """A right row with a NULL timestamp cannot be 'as of' anything —
+    but the union+window encoding sorts nulls FIRST, where the
+    last(ignorenulls) pick-up would hand its payload to every left row
+    with no real predecessor (r10 review; DuckDB ASOF drops such rows)."""
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame([Row(k="a", t=5, lv="L")])
+    right = spark.createDataFrame(
+        [Row(k="a", t=None, rv=666), Row(k="a", t=10, rv=100)],
+        "k string, t long, rv long",
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols={"rv": "rv"}
+    ).collect()
+    assert got[0].rv is None  # NOT 666 from the null-ts row

@@ -92,6 +92,15 @@ def test_funnel_strict_order_semantics(spark):
     out = funnel_summary(per_user, 3).collect()[0]
     assert (out.n_stage1, out.n_stage2, out.n_stage3) == (3, 2, 1)
 
+    # dead stage: nobody past stage 1 → 0.0/0.0 rate, which default-ANSI
+    # division THROWS on — the rate must be NULL instead (r10 review)
+    dead = funnel_user_stages(
+        df, ["view", "signup", "purchase"]
+    )
+    s = funnel_summary(dead, 3).collect()[0]
+    assert (s.n_stage1, s.n_stage2, s.n_stage3) == (3, 0, 0)
+    assert s.conv_2 == 0.0 and s.conv_3 is None
+
 
 def test_funnel_adversarial_log_all_algorithms_match_reference(spark):
     """Adversarial log — NULL user, timestamp ties at a stage boundary
