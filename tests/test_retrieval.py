@@ -1,0 +1,130 @@
+"""Operator-level invariants for the retrieval family (BM25 + RRF).
+
+The registry queries (``text_bm25_topk`` / ``sim_hybrid_rrf``) are
+oracle-checked by the driver; these tests pin the operator semantics on
+constructed inputs where the expected values are computable by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark.operators import retrieval as R
+
+
+def _py_bm25(texts: list[str], terms: list[str], k1=1.5, b=0.75) -> list[float]:
+    """Pure-Python mirror of bm25_scored — SAME operation order, so the
+    expected doubles are bit-identical, not approximately equal."""
+    toks = [t.split(" ") for t in texts]
+    n = len(texts)
+    dls = [len(tk) for tk in toks]
+    avgdl = float(sum(dls)) / n
+    dfs = [sum(1 for tk in toks if term in tk) for term in terms]
+    out = []
+    for tk, dl in zip(toks, dls):
+        score = 0.0
+        for term, df in zip(terms, dfs):
+            tf = sum(1 for x in tk if x == term)
+            idf = (n - df + 0.5) / (df + 0.5)
+            denom = tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+            score = score + idf * (tf * (k1 + 1.0)) / denom
+        out.append(score)
+    return out
+
+
+def test_bm25_matches_python_reference_bit_exact(spark):
+    texts = [
+        "alpha beta beta gamma",
+        "alpha alpha alpha",
+        "delta epsilon zeta eta theta",
+        "beta",
+        "gamma gamma gamma gamma beta alpha",
+    ]
+    terms = ["alpha", "beta"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: r.score
+        for r in R.bm25_scored(docs, terms).collect()
+    }
+    expected = _py_bm25(texts, terms)
+    assert got == {i: expected[i] for i in range(len(texts))}
+
+
+def test_bm25_absent_terms_score_exact_zero(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="nothing relevant here"), Row(doc_id=1, text="alpha")]
+    )
+    scores = {r.doc_id: r.score for r in R.bm25_scored(docs, ["alpha"]).collect()}
+    assert scores[0] == 0.0
+    assert scores[1] > 0.0
+
+
+def test_bm25_topk_rank_and_saturation(spark):
+    # tf saturation: 10x the term occurrences must NOT give 10x the score
+    # (the k1 denominator bounds the per-term contribution), but more
+    # occurrences at equal length still rank higher.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha alpha alpha alpha alpha alpha alpha alpha alpha alpha"),
+            Row(doc_id=1, text="alpha filler filler filler filler filler filler filler filler filler"),
+            Row(doc_id=2, text="filler filler filler filler filler filler filler filler filler filler"),
+        ]
+    )
+    top = R.bm25_topk(docs, ["alpha"], topk=3).collect()
+    assert [r.doc_id for r in top] == [0, 1, 2]
+    assert [r.rnk for r in top] == [1, 2, 3]
+    s = {r.doc_id: r.bm25_r for r in top}
+    assert s[0] < 10 * s[1]  # saturated, not linear in tf
+    assert s[2] == 0.0
+
+
+def test_bm25_rare_term_dominates_fixture_ranking(spark, sf_dir):
+    """On the driver fixtures the rare 'dup' marker has ~19x the idf of any
+    common token, so every document containing it must outrank every
+    document without it."""
+    from duckdb_nats_jetstream_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_dup = {
+        r.doc_id
+        for r in docs.filter(
+            F.array_contains(F.split(F.col("text"), " "), "dup")
+        ).select("doc_id").collect()
+    }
+    if not with_dup:  # tiny SF may not plant any dup docs
+        import pytest
+
+        pytest.skip("fixture has no 'dup' docs at this SF")
+    k = min(len(with_dup), 10)
+    top = R.bm25_topk(docs, ["dup", "vector", "join"], topk=k).collect()
+    assert {r.doc_id for r in top} <= with_dup
+
+
+def test_rrf_fuse_exact_values_and_overlap_priority(spark):
+    # item 1 appears in both lists (ranks 2 and 1); items 2/3 in one each.
+    a = spark.createDataFrame([Row(doc_id=2, rnk=1), Row(doc_id=1, rnk=2)])
+    b = spark.createDataFrame([Row(doc_id=1, rnk=1), Row(doc_id=3, rnk=2)])
+    rows = {r.doc_id: r for r in R.rrf_fuse(a, b, topk=10).collect()}
+    assert rows[1].rrf_r == 1.0 / 62 + 1.0 / 61
+    assert rows[2].rrf_r == 1.0 / 61
+    assert rows[3].rrf_r == 1.0 / 62
+    assert rows[1].lex_rnk == 2 and rows[1].vec_rnk == 1
+    assert rows[2].vec_rnk is None and rows[3].lex_rnk is None
+    # the doubly-listed item wins
+    order = sorted(rows.values(), key=lambda r: (-r.rrf_r, r.doc_id))
+    assert order[0].doc_id == 1
+
+
+def test_hybrid_rrf_query_shape(spark, sf_dir):
+    from duckdb_nats_jetstream_spark.queries.pipeline6 import sim_hybrid_rrf
+
+    out = sim_hybrid_rrf(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    assert all(r.doc_id != 0 for r in out)  # the query doc never retrieves itself
+    vals = [r.rrf_r for r in out]
+    assert vals == sorted(vals, reverse=True)
+    # every fused row carries at least one source rank
+    assert all(r.lex_rnk is not None or r.vec_rnk is not None for r in out)
