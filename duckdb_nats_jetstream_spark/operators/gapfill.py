@@ -59,6 +59,10 @@ def _bucket_seconds(bucket_width: str) -> int:
         raise ValueError(
             f"unsupported bucket unit {unit!r}; one of {sorted(_UNIT_SECONDS)}"
         )
+    if n <= 0:
+        # a zero step would divide-by-zero the bucket index (NULL buckets
+        # non-ANSI, a runtime throw under ANSI); fail at bind time instead
+        raise ValueError(f"bucket width must be positive: {bucket_width!r}")
     return n * _UNIT_SECONDS[unit]
 
 
@@ -88,9 +92,12 @@ def time_bucket_gapfill(
     """
     step = _bucket_seconds(bucket_width)
     # epoch-bucket index: integer floor-div — exact, tz-free, and the unit
-    # the interpolation fraction is computed in
+    # the interpolation fraction is computed in. A NULL timestamp has no
+    # bucket: dropped HERE, explicitly — otherwise it forms a NULL-eb
+    # aggregate the spine join silently discards.
     observed = (
-        df.withColumn(
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn(
             "eb", F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long")
         )
         .groupBy(*keys, "eb")
@@ -109,7 +116,28 @@ def time_bucket_gapfill(
         )
     )
 
-    dense = spine.join(observed, [*keys, "eb"], "left_outer")
+    # NULL-safe on the key columns: a NULL-key series is a series like any
+    # other (groupBy already made it one group) — plain equality would leave
+    # its spine rows unmatched, emitting a phantom all-empty dense series
+    # while the real observations vanish. eqNullSafe is still an equi-key,
+    # so the join stays hash/sort-merge co-partitioned.
+    dense = (
+        spine.alias("s")
+        .join(
+            observed.alias("o"),
+            [
+                F.col(f"s.{k}").eqNullSafe(F.col(f"o.{k}")) for k in keys
+            ]
+            + [F.col("s.eb") == F.col("o.eb")],
+            "left_outer",
+        )
+        .select(
+            *[F.col(f"s.{k}").alias(k) for k in keys],
+            F.col("s.eb").alias("eb"),
+            F.col("o.n_obs").alias("n_obs"),
+            F.col("o.v_obs").alias("v_obs"),
+        )
+    )
 
     w_past = (
         W.partitionBy(*keys).orderBy("eb").rowsBetween(W.unboundedPreceding, 0)

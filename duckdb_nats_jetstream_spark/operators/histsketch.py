@@ -56,19 +56,11 @@ def hist_bins(
 def merge_hist(*sketches: DataFrame) -> DataFrame:
     """Union of histogram sketches = count sum per (group_cols…, bin).
 
-    Grouped sketches (built with ``group_cols``) merge per group: the key
-    is every column except ``cnt``, so group columns survive the merge
-    instead of being silently summed across groups."""
-    out = sketches[0]
-    keys = [c for c in out.columns if c != "cnt"]
-    for s in sketches[1:]:
-        if set(s.columns) != set(out.columns):
-            # not assert: library validation must survive ``python -O``
-            raise ValueError(
-                f"sketch schema mismatch: {s.columns} vs {out.columns}"
-            )
-        out = out.unionByName(s)
-    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+    Grouped sketches (built with ``group_cols``) merge per group — see
+    :func:`operators.hll.merge_keyed_sketch` (shared union-merge)."""
+    from duckdb_nats_jetstream_spark.operators.hll import merge_keyed_sketch
+
+    return merge_keyed_sketch(sketches, "cnt", F.sum)
 
 
 def hist_quantiles(

@@ -93,14 +93,13 @@ def hll_registers(
     )
 
 
-def merge_registers(*sketches: DataFrame) -> DataFrame:
-    """Union of HLL sketches = max per (group_cols…, register).
-
-    Grouped sketches (e.g. per-window registers) merge per group: the key
-    is every column except ``max_rank``, so group columns survive the merge
-    instead of collapsing distinct groups into one register table."""
+def merge_keyed_sketch(sketches, value_col: str, agg) -> DataFrame:
+    """Shared union-merge for keyed sketch relations (HLL registers,
+    histogram bins): the merge key is every column except ``value_col``,
+    so group columns survive the merge instead of collapsing distinct
+    groups; ``agg`` (e.g. ``F.max`` / ``F.sum``) folds the stacked value."""
     out = sketches[0]
-    keys = [c for c in out.columns if c != "max_rank"]
+    keys = [c for c in out.columns if c != value_col]
     for s in sketches[1:]:
         if set(s.columns) != set(out.columns):
             # not assert: library validation must survive ``python -O``
@@ -108,7 +107,12 @@ def merge_registers(*sketches: DataFrame) -> DataFrame:
                 f"sketch schema mismatch: {s.columns} vs {out.columns}"
             )
         out = out.unionByName(s)
-    return out.groupBy(*keys).agg(F.max("max_rank").alias("max_rank"))
+    return out.groupBy(*keys).agg(agg(value_col).alias(value_col))
+
+
+def merge_registers(*sketches: DataFrame) -> DataFrame:
+    """Union of HLL sketches = max per (group_cols…, register)."""
+    return merge_keyed_sketch(sketches, "max_rank", F.max)
 
 
 def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:

@@ -46,8 +46,19 @@ def interval_join(
         raise BindError(
             f"interval_join: column(s) {sorted(clash)} exist on both sides; alias them first"
         )
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        # withColumn would silently overwrite it and drop() would then
+        # delete the user's data — unlike every other collision, which errors
+        raise BindError(
+            "interval_join: '__bin' is a reserved internal column; alias it first"
+        )
 
     bin_us = F.lit(_width_to_us(bin_width))
+    # inverted intervals (end < start) can never match (BETWEEN is false);
+    # drop them BEFORE binning — sequence() would otherwise step DOWNWARD
+    # from start to end, exploding one bad row into |start-end|/bin junk
+    # bins that the final filter pays to discard
+    intervals = intervals.filter(F.col(start_col) <= F.col(end_col))
     i_binned = intervals.withColumn(
         "__bin",
         F.explode(

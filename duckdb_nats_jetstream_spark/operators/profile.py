@@ -31,18 +31,23 @@ def profile(df: DataFrame, columns: list[str], approx: bool = False) -> DataFram
         raise ValueError(f"profile(): unknown columns {missing}")
 
     ndist = F.approx_count_distinct if approx else F.countDistinct
+    # internal aliases are POSITIONAL (__nn_0, not __nn_<name>): a profiled
+    # column named `a-b` or `a b` is a legal Spark name but not a bare SQL
+    # identifier, and the stack() expr below is parsed as SQL text
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in columns:
+    for i, c in enumerate(columns):
         aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            ndist(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(F.col(c)).alias(f"__nn_{i}"),
+            ndist(F.col(c)).alias(f"__nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
 
     parts = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in columns
+        # the column NAME is a string literal inside the expr — escape quotes
+        f"'{c.replace(chr(39), chr(39) * 2)}', __nn_{i}, __nd_{i}, __min_{i}, __max_{i}"
+        for i, c in enumerate(columns)
     )
     stacked = wide.select(
         F.col("__n").alias("n_rows"),

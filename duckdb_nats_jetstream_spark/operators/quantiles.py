@@ -55,6 +55,13 @@ def exact_group_quantiles(
     oversized set), and the error names the scalable alternative —
     ``operators.histsketch.hist_quantiles``, whose state is O(groups ×
     bins) and never driver-materialized."""
+    if not ps:
+        raise ValueError("exact_group_quantiles: ps must be non-empty")
+    bad = [p for p in ps if not 0.0 <= p <= 1.0]
+    if bad:
+        # fail fast — out-of-range targets would otherwise surface as a
+        # KeyError in the driver-side assembly AFTER both distributed passes
+        raise ValueError(f"exact_group_quantiles: ps outside [0, 1]: {bad}")
     spark = df.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
     s = (
@@ -143,7 +150,10 @@ def exact_group_quantiles(
 
     vals = {(r.g, r.p_idx, r.side): r.v for r in picked}
     rows = []
-    for g in sorted(totals):
+    # a NULL group key is a group like any other (SQL GROUP BY semantics);
+    # the (is-not-None, value) key keeps sorted() from comparing None
+    # against str/int, which raises TypeError
+    for g in sorted(totals, key=lambda g: (g is not None, g)):
         row = [g]
         for i in range(len(ps)):
             v_lo, v_hi = vals[(g, i, "lo")], vals[(g, i, "hi")]

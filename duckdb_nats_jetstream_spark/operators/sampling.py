@@ -141,9 +141,23 @@ def stratified_hash_topn(
     the joins fall back to the planner's shuffle strategy instead of
     OOMing the driver (SCALING.md batch 8). The sizing probe is free
     here: ``counts`` is persisted and consumed eagerly anyway."""
+    reserved = {"__h", "__gk", "__gcnt", "__thr", "__kept", rank_col}
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"stratified_hash_topn: column(s) {sorted(taken)} are reserved "
+            "internals; alias them first"
+        )
     h = sample_hash(F.col(id_col), salt)
     w = W.partitionBy(group_col).orderBy("__h", id_col)
-    hashed = df.withColumn("__h", h)
+    # __gk: the stratum key wrapped in a struct — struct equality is
+    # null-safe on its fields, so every join below keeps the NULL stratum
+    # (a bare group_col equi-join silently drops it, diverging from the
+    # margin=None window path and from the module's NULL-stratum policy
+    # in weighted_mixture_sample).
+    hashed = df.withColumn("__h", h).withColumn(
+        "__gk", F.struct(F.col(group_col))
+    )
 
     def ranked(in_df: DataFrame) -> DataFrame:
         return (
@@ -152,9 +166,9 @@ def stratified_hash_topn(
         )
 
     if margin is None:
-        return ranked(hashed).drop("__h")
+        return ranked(hashed).drop("__h", "__gk")
 
-    counts = hashed.groupBy(group_col).agg(F.count("*").alias("__gcnt"))
+    counts = hashed.groupBy("__gk").agg(F.count("*").alias("__gcnt"))
     # per-group prefix threshold: ceil(space * margin * n / count), capped
     # cap at space-1 ("ffffffff", keeps everything): the cap must stay
     # _PFX hex chars wide or the lpad would truncate it into a SMALLER bound
@@ -182,7 +196,7 @@ def stratified_hash_topn(
         # proved huge (see operators/broadcast_guard docstring)
         return F.broadcast(d) if hint else d.hint("merge")
 
-    survivors = hashed.join(maybe_b(counts), group_col).filter(
+    survivors = hashed.join(maybe_b(counts), "__gk").filter(
         F.substring("__h", 1, _PFX) <= F.col("__thr")
     )
     # cached: ≈ margin·n rows per group, consumed by the shortfall check
@@ -194,18 +208,18 @@ def stratified_hash_topn(
     # rows at all and must still be flagged (left join + coalesce 0)
     shortfall = (
         counts.join(
-            kept.groupBy(group_col).agg(F.count("*").alias("__kept")),
-            group_col,
+            kept.groupBy("__gk").agg(F.count("*").alias("__kept")),
+            "__gk",
             "left",
         )
         .filter(
             F.coalesce(F.col("__kept"), F.lit(0).cast("long"))
             < F.least(F.lit(n).cast("long"), F.col("__gcnt"))
         )
-        .select(group_col)
+        .select("__gk")
     )
-    ok = kept.join(maybe_b(shortfall), group_col, "left_anti")
-    redo = ranked(hashed.join(maybe_b(shortfall), group_col, "left_semi"))
+    ok = kept.join(maybe_b(shortfall), "__gk", "left_anti")
+    redo = ranked(hashed.join(maybe_b(shortfall), "__gk", "left_semi"))
     out_cols = df.columns + [rank_col]
     out = ok.select(out_cols).unionByName(redo.select(out_cols))
     out = out.localCheckpoint(eager=True)

@@ -27,13 +27,25 @@ def salted_agg(
     """Aggregate with per-key sharding.
 
     ``partial_aggs`` run per (keys, salt); ``final_aggs`` merge the shards
-    per key. The salt is derived deterministically (hash of a high-card
-    column mod n_salts) so results are reproducible.
+    per key. The salt is a deterministic function of ROW CONTENT (xxhash64
+    of a named high-cardinality column, or of every column when
+    ``salt_source`` is None): a positional salt like
+    ``monotonically_increasing_id`` feeding a shuffle key is the
+    SPARK-23207 retry hazard — a re-run map task can re-salt rows that
+    reducers already fetched, losing or double-counting partials.
+    ``pmod`` (not ``abs % n``) keeps the shard index total: under ANSI,
+    ``abs(MIN_VALUE)`` overflows — at 100 TB row counts a 2^-32 per-row
+    hash event is an expected occurrence, not a curiosity.
+
+    Caveat of the all-columns default: byte-identical duplicate rows land
+    in one shard, so a hot key made of EXACT duplicates still skews —
+    name a varying ``salt_source`` for that shape.
     """
-    salt_col = (
-        F.abs(F.hash(F.col(salt_source))) % n_salts
+    salt_col = F.pmod(
+        F.xxhash64(F.col(salt_source))
         if salt_source
-        else (F.monotonically_increasing_id() % n_salts)
+        else F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
     )
     partial = (
         df.withColumn("__salt", salt_col)

@@ -78,3 +78,42 @@ def test_bucket_width_parsing(spark):
         _bucket_seconds("2 fortnights")
     with pytest.raises(ValueError):
         _bucket_seconds("1 2 3")
+
+
+def test_null_key_series_survives_with_real_values(spark):
+    """A NULL-key series is a series like any other: the spine join is
+    null-safe, so its observed aggregates must appear — not a phantom
+    all-zero dense series (r10 review sweep)."""
+    rows = [
+        (None, datetime(2024, 1, 1, 0, 15), 5.0),
+        (None, datetime(2024, 1, 1, 2, 15), 15.0),
+        ("A", datetime(2024, 1, 1, 1, 30), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = time_bucket_gapfill(
+        df, "ts", F.avg("v").alias("v"), keys=["k"], bucket_width="1 hour"
+    )
+    got = {(r["k"], r["bucket"].hour): r for r in out.collect()}
+    assert len(got) == 6  # 2 keys x hours 0..2
+    assert got[(None, 0)]["n"] == 1 and got[(None, 0)]["v"] == 5.0
+    assert got[(None, 2)]["n"] == 1 and got[(None, 2)]["v"] == 15.0
+    assert got[(None, 1)]["n"] == 0 and got[(None, 1)]["v_interp"] == 10.0
+
+
+def test_null_timestamps_are_dropped_not_phantomed(spark):
+    rows = [
+        ("A", datetime(2024, 1, 1, 0, 15), 5.0),
+        ("A", None, 99.0),  # no bucket: must not crash, must not count
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = time_bucket_gapfill(
+        df, "ts", F.avg("v").alias("v"), keys=["k"], bucket_width="1 hour"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 1 and out[0]["v"] == 5.0
+
+
+def test_nonpositive_bucket_width_rejected():
+    for bad in ("0 hours", "-1 hour"):
+        with pytest.raises(ValueError, match="positive"):
+            _bucket_seconds(bad)

@@ -99,3 +99,39 @@ def test_width_parse():
     assert _width_to_us("30 minutes") == 1_800_000_000
     with pytest.raises(BindError):
         _width_to_us("-5 minutes")
+
+
+def test_reserved_bin_column_rejected(spark, sides):
+    from pyspark.sql import functions as F
+
+    points, intervals = sides
+    with pytest.raises(BindError, match="__bin"):
+        interval_join(
+            points.withColumn("__bin", F.lit(1)),
+            intervals, "k", "p_ts", "start", "end",
+        )
+    with pytest.raises(BindError, match="__bin"):
+        interval_join(
+            points,
+            intervals.withColumn("__bin", F.lit(1)),
+            "k", "p_ts", "start", "end",
+        )
+
+
+def test_inverted_intervals_never_match_and_never_explode(spark, sides):
+    """end < start can never satisfy BETWEEN; the prefilter must drop such
+    rows before sequence() walks DOWNWARD through thousands of junk bins
+    (r10 review sweep)."""
+    from pyspark.sql import functions as F
+
+    points, intervals = sides
+    inverted = intervals.select(
+        "k",
+        F.col("end").alias("start"),
+        F.col("start").alias("end"),
+        (F.col("iid") + 100).alias("iid"),
+    )
+    both = intervals.unionByName(inverted)
+    base = interval_join(points, intervals, "k", "p_ts", "start", "end")
+    with_bad = interval_join(points, both, "k", "p_ts", "start", "end")
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, with_bad.collect()))

@@ -795,6 +795,45 @@ def test_snapshot_diff_statuses(spark):
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
 
 
+def test_snapshot_diff_null_content_is_presence_not_absence(spark):
+    """md5(NULL) is NULL: presence must come from marker columns, and the
+    digest compare must be null-safe (r10 review sweep). NULL->text is
+    'changed', text->NULL is 'changed', NULL->NULL is 'unchanged'."""
+    from duckdb_nats_jetstream_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=None),
+            Row(doc_id=2, text="x"),
+            Row(doc_id=3, text=None),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x"),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text=None),
+        ]
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_snapshot_diff_sql_mirror_agrees_on_null_content(spark):
+    import duckdb
+
+    from duckdb_nats_jetstream_spark.operators.cdc import sql_snapshot_diff
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE snap_old(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE snap_new(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO snap_old VALUES (1, NULL), (2, 'x'), (3, NULL)")
+    con.execute("INSERT INTO snap_new VALUES (1, 'x'), (2, NULL), (3, NULL)")
+    sql = sql_snapshot_diff("SELECT * FROM snap_old", "SELECT * FROM snap_new")
+    got = dict(con.execute(f"SELECT doc_id, status FROM ({sql})").fetchall())
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
 def test_leakage_safe_split_is_component_atomic(spark, sf_dir):
     from duckdb_nats_jetstream_spark.queries.pipeline3 import (
         docs_leakage_safe_split,
@@ -829,3 +868,41 @@ def test_fuzzy_key_pairs_blocking_complete(spark):
         ("events.click.u12", "events.click.u123"),
         ("events.click.u123", "events.click.u13"),  # delete the '2'
     }
+
+
+def test_stratified_topn_null_stratum_sampled_on_both_paths(spark):
+    """The NULL stratum is data too (module policy): the margin prefilter
+    path must return exactly what the plain-window path returns for it,
+    not silently drop it (r10 review sweep)."""
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        stratified_hash_topn,
+    )
+
+    rows = [Row(doc_id=i, grp=(None if i % 3 == 0 else f"g{i % 3}")) for i in range(90)]
+    df = spark.createDataFrame(rows)
+    plain = stratified_hash_topn(df, "grp", 5, margin=None)
+    fast = stratified_hash_topn(df, "grp", 5, margin=4.0)
+    starved = stratified_hash_topn(df, "grp", 5, margin=0.01)
+
+    def rows(d):  # null-safe sort key for the NULL stratum
+        return sorted(
+            ((r.grp, r.doc_id) for r in d.collect()),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+        )
+
+    p = rows(plain)
+    assert rows(fast) == p
+    assert rows(starved) == p
+    assert sum(1 for g, _ in p if g is None) == 5
+
+
+def test_stratified_topn_reserved_columns_rejected(spark):
+    import pytest
+
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        stratified_hash_topn,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, grp="a", __gk="boom")])
+    with pytest.raises(ValueError, match="reserved"):
+        stratified_hash_topn(df, "grp", 5)

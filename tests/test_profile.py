@@ -53,3 +53,19 @@ def test_profile_single_pass_plan(tbl):
     assert plan.count("Expand") >= 1
     # the input is scanned once: a single Expand feeds every distinct agg
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_profile_non_identifier_column_names(spark):
+    """Profiled columns are legal Spark names, not necessarily bare SQL
+    identifiers: hyphens, spaces, and quotes must survive the stack()
+    expr (r10 review sweep)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("a-b"),
+        F.col("id").alias("a b"),
+        F.col("id").alias("it's"),
+    )
+    got = {r.column_name: r for r in profile(df, ["a-b", "a b", "it's"]).collect()}
+    assert set(got) == {"a-b", "a b", "it's"}
+    assert all(r.n_rows == 3 and r.n_nulls == 0 and r.n_distinct == 3 for r in got.values())

@@ -103,3 +103,31 @@ def test_group_cardinality_guard(spark):
         df, "g", "v", [0.5], max_coordination_rows=10_000
     )
     assert got.count() == 200
+
+
+def test_null_group_key_is_a_group(spark):
+    """SQL GROUP BY semantics: a NULL group key forms a group; the driver
+    assembly must not crash sorting None against str (r10 review sweep)."""
+    from duckdb_nats_jetstream_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: (r.q_0, r.n) for r in exact_group_quantiles(df, "g", "v", [0.5]).collect()}
+    assert out["a"] == (2.0, 2)
+    assert out[None] == (20.0, 3)
+
+
+def test_out_of_range_ps_fail_fast(spark):
+    import pytest
+
+    from duckdb_nats_jetstream_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="outside"):
+        exact_group_quantiles(df, "g", "v", [1.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_group_quantiles(df, "g", "v", [])
