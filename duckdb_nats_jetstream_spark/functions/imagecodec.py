@@ -125,6 +125,10 @@ def png_decode(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, chunk in _iter_chunks(data):
         if ctype == b"IHDR":
+            if len(chunk) != 13:
+                # struct.error is NOT a ValueError — keep the documented
+                # "corrupt media raises ValueError" boundary total
+                raise ValueError(f"corrupt PNG: IHDR length {len(chunk)} != 13")
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
@@ -141,7 +145,12 @@ def png_decode(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     ch = _COLOR_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # zlib.error is NOT a ValueError; a truncated IDAT must still hit
+        # the documented capability boundary, not leak a foreign exception
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({exc})") from exc
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG payload size mismatch")

@@ -144,10 +144,14 @@ def sql_minhash_signature(sh: str, k: int = 8) -> list[str]:
 
 def jaccard(a: Column, b: Column) -> Column:
     """Set Jaccard over shingle arrays (both engines dedup in
-    intersect/distinct; division is one IEEE op — bit-identical)."""
+    intersect/distinct; division is one IEEE op — bit-identical).
+    ``try_divide``: two EMPTY shingle sets make 0/0, which DuckDB returns
+    as NULL and default-ANSI ``/`` turns into a job-killing
+    DIVIDE_BY_ZERO — NULL is also the right answer (undefined
+    similarity, and a NULL never passes a ``>= threshold`` filter)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_distinct(F.concat(a, b)))
-    return inter / union
+    return F.try_divide(inter, union)
 
 
 def sql_jaccard(a: str, b: str) -> str:
@@ -162,7 +166,10 @@ def dup_ngram_fraction(toks: Column, n: int) -> Column:
     SQL mirror."""
     sh = shingles(toks, n)
     total = F.size(sh)
-    return (total - F.size(F.array_distinct(sh))) / total
+    # try_divide: a doc shorter than n tokens has ZERO n-gram positions —
+    # 0/0 is NULL in the DuckDB mirror and a DIVIDE_BY_ZERO crash under
+    # default-ANSI `/`; NULL ("no repetition signal") matches the oracle
+    return F.try_divide(total - F.size(F.array_distinct(sh)), total)
 
 
 def sql_dup_ngram_fraction(toks: str, n: int) -> str:

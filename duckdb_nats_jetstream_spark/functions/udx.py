@@ -21,7 +21,6 @@ halfway case and rint (half-even) agrees with DuckDB's ``round``
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import SparkSession, functions as F
@@ -30,14 +29,25 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 @pandas_udf("long")
 def cents(x: pd.Series) -> pd.Series:
-    """Scalar vectorized UDF: dollars (2-decimal double) → exact cents."""
-    return pd.Series(np.rint(x.to_numpy() * 100).astype("int64"))
+    """Scalar vectorized UDF: dollars (2-decimal double) → exact cents.
+
+    Nullable ``Int64``, not numpy int64: a NULL dollar arrives as NaN and
+    ``np.rint(NaN).astype('int64')`` silently yields INT64_MIN — a garbage
+    sentinel that would fold into downstream sums. ``.round()`` is numpy
+    rint (half-even), preserving the module-docstring exactness argument.
+    """
+    return (x * 100).round().astype("Int64")
 
 
 @pandas_udf("long")
-def cents_sum(x: pd.Series) -> int:
-    """Grouped-agg pandas UDAF: exact total cents of a money column."""
-    return int(np.rint(x.to_numpy() * 100).astype("int64").sum())
+def cents_sum(x: pd.Series) -> int | None:
+    """Grouped-agg pandas UDAF: exact total cents of a money column.
+    SQL SUM semantics: NULLs are skipped; an all-NULL (or empty) group
+    sums to NULL, never to an INT64_MIN-corrupted total."""
+    v = (x * 100).round().astype("Int64")
+    if v.notna().sum() == 0:
+        return None
+    return int(v.sum())
 
 
 @udtf(returnType="token: string")

@@ -117,7 +117,15 @@ def winsorize(
         .withColumn(out_col, F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
         .withColumn(
             "_clipped",
-            ((v < F.col("_lo")) | (v > F.col("_hi"))).cast("int"),
+            # coalesce: a NULL value (or NULL bounds on the left path)
+            # makes the comparison NULL — the documented contract is
+            # "1 if the row was clipped, else 0", and a NULL row was
+            # not clipped; without this, sum(_clipped) audits undercount
+            # silently
+            F.coalesce(
+                ((v < F.col("_lo")) | (v > F.col("_hi"))).cast("int"),
+                F.lit(0),
+            ),
         )
         .drop("_lo", "_hi")
     )

@@ -40,8 +40,15 @@ from duckdb_nats_jetstream_spark.errors import BindError
 
 _TS_CONF = "spark.sql.parquet.outputTimestampType"
 _TS_LOCK = threading.Lock()
-_TS_DEPTH = 0
-_TS_PREV: str | None = None
+#: per-session pin bookkeeping: id(session) -> [depth, saved_value].
+#: Per-SESSION, not process-global: structured streaming runs foreachBatch
+#: on a CLONED session with its own conf, so a global depth counter would
+#: let a micro-batch ride a pin held on a DIFFERENT session and silently
+#: write INT96 (the exact defect this module exists to prevent), and the
+#: last writer out would restore the other session's saved value onto its
+#: own. Entries are deleted at depth 0, so id() reuse cannot alias: a live
+#: entry pins its session alive through the writer's reference.
+_TS_STATE: dict[int, list] = {}
 
 
 @contextmanager
@@ -50,14 +57,15 @@ def _prunable_timestamps(spark):
     caller's session conf after — see the module docstring for why INT96
     (the Spark default) silently disables row-group pruning downstream.
 
-    Session conf is process-global per session, so overlapping sink writes
-    (e.g. two streaming ``foreachBatch`` micro-batches) must not each
-    save/restore independently — a naive save would capture the OTHER
-    writer's pinned value as "previous" and leave the session clobbered.
-    A depth counter serializes the bookkeeping: the outermost entry saves
-    the caller's value, the outermost exit restores it; every overlapping
-    writer wants the same pinned value in between. (Assumes one
-    SparkSession per process, as everywhere in this repo.)
+    Overlapping sink writes ON THE SAME SESSION (e.g. two threads sharing
+    one session) must not each save/restore independently — a naive save
+    would capture the OTHER writer's pinned value as "previous" and leave
+    the session clobbered. A PER-SESSION depth counter serializes the
+    bookkeeping: the outermost entry saves the caller's value, the
+    outermost exit restores it. Sessions are tracked individually because
+    streaming ``foreachBatch`` hands each query a CLONED session with its
+    own conf — a process-global counter would let a micro-batch ride a
+    pin held on a different session and write INT96 unpinned.
 
     Cross-writer effect (r07 ADVICE, accepted as documented): the conf is
     session-global, so an unrelated THIRD-PARTY parquet write issued from
@@ -67,25 +75,30 @@ def _prunable_timestamps(spark):
     it is observable in the written footers. Deployments that need INT96
     for a legacy reader should serialize such writes around these sinks —
     or pin the conf at session build, which makes the window moot."""
-    global _TS_DEPTH, _TS_PREV
+    key = id(spark)
     with _TS_LOCK:
-        if _TS_DEPTH == 0:
+        state = _TS_STATE.get(key)
+        if state is None:
             try:
-                _TS_PREV = spark.conf.get(_TS_CONF)
+                prev = spark.conf.get(_TS_CONF)
             except Exception:
-                _TS_PREV = None
+                prev = None
             spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
-        _TS_DEPTH += 1
+            _TS_STATE[key] = [1, prev]
+        else:
+            state[0] += 1
     try:
         yield
     finally:
         with _TS_LOCK:
-            _TS_DEPTH -= 1
-            if _TS_DEPTH == 0:
-                if _TS_PREV is None:
+            state = _TS_STATE[key]
+            state[0] -= 1
+            if state[0] == 0:
+                del _TS_STATE[key]
+                if state[1] is None:
                     spark.conf.unset(_TS_CONF)
                 else:
-                    spark.conf.set(_TS_CONF, _TS_PREV)
+                    spark.conf.set(_TS_CONF, state[1])
 
 
 def write_partitioned_parquet(
@@ -106,8 +119,16 @@ def write_partitioned_parquet(
         from pyspark.sql import functions as F
 
         # salt the repartition key to fan one huge partition value out over
-        # several tasks/files (skew defense) while keeping values co-located
-        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        # several tasks/files (skew defense) while keeping values co-located.
+        # Content hash, NOT rand(): a nondeterministic shuffle key loses or
+        # duplicates rows when a task retries after a fetch failure
+        # (SPARK-23207 class) — unacceptable in a sink that advertises
+        # replay safety. Caveat: byte-identical duplicate rows share a salt,
+        # so a partition of EXACT duplicates still writes few files.
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
         out = df.repartition(*partition_cols, salt.alias("__salt")).drop("__salt")
     with _prunable_timestamps(df.sparkSession):
         out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
@@ -242,8 +263,17 @@ def write_ann_index(
         nearest_centroid_udf,
     )
 
+    # totality: a NULL or wrong-dimension embedding row cannot be assigned
+    # a centroid (or train one) — np.stack inside the Arrow kernels would
+    # throw an opaque shape error and kill the whole index build. Such rows
+    # are excluded from BOTH the fit sample and the index EXPLICITLY (same
+    # policy as zero-norm embeddings in the query-side ANN operators:
+    # never a crash, never a bogus neighbor).
+    indexable = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
     c_list = fit_codebook(
-        df, n_clusters, seed, vec_col, id_col, fit_sample_size
+        indexable, n_clusters, seed, vec_col, id_col, fit_sample_size
     )
     if any(len(c) != dim for c in c_list):
         from duckdb_nats_jetstream_spark.errors import BindError
@@ -252,7 +282,7 @@ def write_ann_index(
             f"embedding dimension mismatch: expected {dim}, "
             f"codebook fit produced {len(c_list[0])}"
         )
-    assigned = df.withColumn(
+    assigned = indexable.withColumn(
         "cluster", nearest_centroid_udf(c_list)(F.col(vec_col).cast("array<double>"))
     )
     write_partitioned_parquet(assigned, path, ["cluster"], mode=mode)

@@ -39,9 +39,24 @@ def read_csv(
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(_with_corrupt_col(schema, mode))
-    else:
-        reader = reader.option("inferSchema", "true")
-    return reader.csv(path)
+        return reader.csv(path)
+    # inferred-schema path: Spark only materializes the corrupt-record
+    # column when the schema DECLARES it, and an inferred schema never
+    # does — malformed rows would silently become all-NULL rows, voiding
+    # the module's quarantine contract. Infer first (a pass Spark makes
+    # anyway), then re-read with the inferred schema + corrupt column.
+    from pyspark.sql import types as T
+
+    inferred = (
+        spark.read.options(**options)
+        .option("header", str(header).lower())
+        .option("inferSchema", "true")
+        .csv(path)
+        .schema
+    )
+    if mode.upper() == "PERMISSIVE" and CORRUPT_COL not in inferred.fieldNames():
+        inferred = inferred.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+    return reader.schema(inferred).csv(path)
 
 
 def read_json(
@@ -84,7 +99,17 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def _with_corrupt_col(schema: str, mode: str) -> str:
     """PERMISSIVE mode only materializes _corrupt_record if the schema
-    declares it; add it so malformed rows are observable."""
-    if mode.upper() == "PERMISSIVE" and CORRUPT_COL not in schema:
+    declares it; add it so malformed rows are observable.
+
+    Presence is checked against the PARSED field names — substring
+    matching would let any column merely containing '_corrupt_record'
+    (e.g. ``my_corrupt_record_flag``) suppress the real column and
+    silently void the quarantine contract."""
+    if mode.upper() != "PERMISSIVE":
+        return schema
+    from pyspark.sql import types as T
+
+    fields = T.StructType.fromDDL(schema).fieldNames()
+    if CORRUPT_COL not in fields:
         return f"{schema}, {CORRUPT_COL} string"
     return schema

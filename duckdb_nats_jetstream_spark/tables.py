@@ -89,6 +89,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
       Spark 4; with the session time zone pinned to UTC the cast to
       TimestampType is value-identical, and downstream ``unix_micros``/
       watermark/window code sees one type everywhere.
+
+    DELIBERATE session-wide effect: ``nanosAsLong`` stays set for the
+    session's lifetime once a ns-flavored table has been read. It cannot
+    be save/restored around this call — the conf is consulted at EXECUTION
+    time, and the returned DataFrame is lazy — so scoping it would make the
+    plan's behavior depend on when an action runs. Consequence for callers
+    mixing in their own reads: a plain ``spark.read.parquet`` of some other
+    ns-timestamp file on the same session returns raw int64 nanos (instead
+    of Spark 4's loud PARQUET_TYPE_ILLEGAL error); route such reads through
+    this helper, which converts them.
     """
     from pyspark.sql import functions as F, types as T
 

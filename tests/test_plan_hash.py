@@ -223,3 +223,37 @@ def test_identity_checkpoints_restore(spark, sf_dir):
         assert plan_hash(df.localCheckpoint())["clearable"]
     out = df.localCheckpoint(eager=True)
     assert out is not df
+
+
+def test_hash_sensitive_to_eval_mode(spark, sf_dir):
+    """Scheme 8: try_divide renders IDENTICALLY to `/` in the plan string
+    AND its JSON (evalContext null), so a LEGACY->TRY semantics change was
+    hash-invisible — the modes must come off the live Catalyst tree."""
+    li = read_table(spark, sf_dir, "lineitem")
+    plain = li.select(
+        (F.col("l_quantity") / F.col("l_linenumber")).alias("r")
+    )
+    tried = li.select(F.try_divide("l_quantity", "l_linenumber").alias("r"))
+    hp, ht = plan_hash(plain), plan_hash(tried)
+    # precondition of the scheme: the strings really are identical
+    from tools.plan_hash import normalized_plan
+
+    assert normalized_plan(plain) == normalized_plan(tried)
+    assert hp["hash"] != ht["hash"]
+    assert hp["clearable"] and ht["clearable"]
+
+
+def test_eval_mode_walk_reaches_subqueries(spark, sf_dir):
+    """A TRY-mode division hidden inside a scalar subquery must still
+    change the hash (the walk recurses through SubqueryExpression.plan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_emode")
+    q1 = spark.sql(
+        "SELECT l_orderkey FROM li_emode "
+        "WHERE l_quantity > (SELECT avg(l_quantity / l_linenumber) FROM li_emode)"
+    )
+    q2 = spark.sql(
+        "SELECT l_orderkey FROM li_emode "
+        "WHERE l_quantity > (SELECT avg(try_divide(l_quantity, l_linenumber)) FROM li_emode)"
+    )
+    assert plan_hash(q1)["hash"] != plan_hash(q2)["hash"]

@@ -111,7 +111,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #:    shared seen-set made the sorted sub-digests depend on iteration
 #:    order for sets whose elements reference a common object — caught
 #:    by the same-round review before any baseline shipped a round)
-PLAN_HASH_SCHEME = 7
+#: 8: expression evalModes fold into the hash. ``try_divide`` renders
+#:    IDENTICALLY to ``/`` in both the optimized-plan string and its
+#:    JSON serialization (``evalContext`` is null in the JSON too), so a
+#:    LEGACY→TRY semantics change was hash-invisible — scheme 7 cleared
+#:    queries whose divide-by-zero behavior changed from crash to NULL
+#:    (caught live when the r10 try_divide totality fixes cleared
+#:    instead of re-queueing; values were parity-verified so no wrong
+#:    green shipped, but the evidence claim was unsound). The modes are
+#:    read off the live Catalyst tree via a reflective walk
+#:    (``_eval_modes``); a truncated walk refuses clearing.
+PLAN_HASH_SCHEME = 8
 
 #: default snapshot data — plan SHAPE only matters, so the smallest SF
 DEFAULT_SF = "/root/testdata/sf0.001"
@@ -559,6 +569,79 @@ def _python_plan_nodes(plan_json: str) -> tuple[set[str], list[str]]:
     return names, uncovered
 
 
+#: bound on the reflective expression walk — far above any real plan
+#: (the widest registry plan is ~2k expression nodes); hitting it refuses
+#: clearing rather than hashing a truncated mode list
+_EVAL_MODE_NODE_CAP = 50_000
+
+
+def _eval_modes(jplan) -> tuple[list[str], bool]:
+    """Collect ``ClassSimpleName:EVALMODE`` for every expression node that
+    carries an ``evalMode`` (Divide/Cast/Add/… LEGACY|ANSI|TRY), in tree
+    order, by reflecting over the LIVE Catalyst tree — neither the plan
+    string nor ``toJSON`` renders the mode (scheme-8 rationale above).
+
+    Returns (modes, truncated). Subquery expressions' inner plans are
+    walked too (reflected ``plan()``).
+    """
+    out: list[str] = []
+    #: class name -> does it expose evalMode()/plan()? py4j invokes by
+    #: name (java.lang.reflect.getMethod is a varargs call py4j can't
+    #: make); the cache keeps the absent-method exception to once per
+    #: class, not once per node
+    has_mode: dict[str, bool] = {}
+    has_plan: dict[str, bool] = {}
+    budget = [_EVAL_MODE_NODE_CAP]
+
+    def walk_expr(e) -> bool:
+        if budget[0] <= 0:
+            return False
+        budget[0] -= 1
+        cls = e.getClass().getName()
+        if has_mode.get(cls, True):
+            try:
+                out.append(
+                    cls.rsplit(".", 1)[-1] + ":" + str(e.evalMode())
+                )
+                has_mode[cls] = True
+            except Exception:
+                has_mode[cls] = False
+        if has_plan.get(cls, True):  # SubqueryExpression carries a sub-plan
+            try:
+                sub = e.plan()
+                has_plan[cls] = True
+            except Exception:
+                has_plan[cls] = False
+                sub = None
+            if sub is not None and not walk_plan(sub):
+                return False
+        ch = e.children()
+        for i in range(ch.size()):
+            if not walk_expr(ch.apply(i)):
+                return False
+        return True
+
+    def walk_plan(p) -> bool:
+        if budget[0] <= 0:
+            return False
+        budget[0] -= 1
+        try:
+            exprs = p.expressions()
+        except Exception:
+            return True  # a plan()-shaped object that isn't a LogicalPlan
+        for i in range(exprs.size()):
+            if not walk_expr(exprs.apply(i)):
+                return False
+        ch = p.children()
+        for i in range(ch.size()):
+            if not walk_plan(ch.apply(i)):
+                return False
+        return True
+
+    complete = walk_plan(jplan)
+    return out, not complete
+
+
 def normalized_plan(df) -> str:
     """Optimized-plan string with session-counter artifacts normalized —
     deterministic across sessions for equal plans (verified: identical
@@ -649,6 +732,15 @@ def plan_hash(df, captured=None) -> dict:
                 reasons.append(
                     "python_closure_opaque:" + ",".join(fp_reasons[:3])
                 )
+    # scheme 8: evalModes are invisible to both the plan string and the
+    # JSON — read them off the live tree; an incomplete walk is unsound
+    try:
+        modes, truncated = _eval_modes(df._jdf.queryExecution().optimizedPlan())
+        if truncated:
+            reasons.append("evalmode_walk_truncated")
+    except Exception:
+        modes = ["evalmode_walk_failed"]
+        reasons.append("evalmode_walk_failed")
     rdd_free = not any(
         r in reasons
         for r in ("rdd_leaf", "tostring_truncated", "input_files_failed",
@@ -658,6 +750,8 @@ def plan_hash(df, captured=None) -> dict:
     h.update(plan.encode())
     h.update(b"\0")
     h.update("\n".join(files).encode())
+    h.update(b"\0evalmodes\0")
+    h.update("\n".join(modes).encode())
     if closure is not None:
         h.update(b"\0closure\0")
         h.update(closure.encode())
