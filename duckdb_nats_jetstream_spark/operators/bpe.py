@@ -216,13 +216,19 @@ enc0 AS (
     for r in range(1, rounds + 1):
         prev = f"enc{r - 1}"
         parts.append(
+            # LEFT JOIN ON TRUE, not a cross join: when the corpus exhausts
+            # its merge pairs before `rounds` (every word fully merged),
+            # b{r} is EMPTY — a cross join would wipe enc{r} and cascade an
+            # empty vocabulary through every later round, while the Spark
+            # twin breaks out of the loop keeping the encoding intact. A
+            # NULL pair makes the round a no-op, matching that break.
             f"p{r} AS ({pair_cte.replace('ENC', prev)}),\n"
             f"b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),\n"
             f"enc{r} AS (\n"
-            f"  SELECT w, cnt, replace(seq,\n"
+            f"  SELECT w, cnt, CASE WHEN b{r}.pair IS NULL THEN seq ELSE replace(seq,\n"
             f"    '<' || string_split(b{r}.pair, ' ')[1] || '><' || string_split(b{r}.pair, ' ')[2] || '>',\n"
-            f"    '<' || string_split(b{r}.pair, ' ')[1] || string_split(b{r}.pair, ' ')[2] || '>') AS seq\n"
-            f"  FROM {prev}, b{r}\n"
+            f"    '<' || string_split(b{r}.pair, ' ')[1] || string_split(b{r}.pair, ' ')[2] || '>') END AS seq\n"
+            f"  FROM {prev} LEFT JOIN b{r} ON TRUE\n"
             f")"
         )
     return ",".join(parts), f"enc{rounds}"

@@ -48,6 +48,15 @@ def pack_sequences(
 
     def pack_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        if len(pdf) > chunk_size:
+            # duplicate ids (an upstream join fan-out) would push bin ids
+            # past chunk_size, colliding seq_ids with the NEXT chunk and
+            # silently packing unrelated documents over budget — fail loud
+            raise ValueError(
+                f"pack_sequences: chunk {int(pdf['__chunk'].iloc[0])} has "
+                f"{len(pdf)} rows > chunk_size={chunk_size}; ids must be "
+                "unique (derive a dense rank first)"
+            )
         bins = []
         bin_id, fill = 0, 0
         for i, n in enumerate(pdf[size_col]):

@@ -66,6 +66,11 @@ _EPOCH = _dt.datetime(1970, 1, 1)
 
 
 def _micros(t: _dt.datetime) -> int:
+    # 'Z'/offset-aware values normalize to UTC (naive IS UTC here):
+    # aware - naive raises TypeError, and Z-suffixed ISO strings are the
+    # natural format next to NATS' RFC3339 timestamps
+    if t.tzinfo is not None:
+        t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return (t - _EPOCH) // _dt.timedelta(microseconds=1)
 
 

@@ -53,12 +53,76 @@ from duckdb_nats_jetstream_spark.schema import message_schema
 _EPOCH = _dt.datetime(1970, 1, 1)
 
 
+def _opt_ts_us(s: str | None) -> int | None:
+    """ISO timestamp option → epoch µs. 'Z'/offset-aware values normalize
+    to UTC (a naive value IS UTC by the engine's convention) — a bare
+    ``t - _EPOCH`` raises TypeError on aware datetimes, and 'Z' is the
+    natural format next to NATS' RFC3339 headers."""
+    if not s:
+        return None
+    t = _dt.datetime.fromisoformat(s)
+    if t.tzinfo is not None:
+        t = t.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (t - _EPOCH) // _dt.timedelta(microseconds=1)
+
+
+def _resolve_time_bounds(
+    transport, start: int, end: int, lo_us: int | None, hi_us: int | None
+) -> tuple[int, int]:
+    """Time bounds → a SUPERSET sequence range via binary search on the
+    nondecreasing (seq → ts) map (JetStream receive times are monotone in
+    seq — the property the reference's broker search relies on). Probes
+    gap-skip forward in growing windows starting at width 1, so the live
+    transport usually pays ONE round-trip per probe; messages without a
+    timestamp are invisible to the search (read()'s exact filter excludes
+    them whenever a bound is set)."""
+
+    def first_ts_at_or_after(s: int):
+        step = 1
+        cur = s
+        while cur <= end:
+            for seq, _subj, ts_ns, _p in transport.fetch(
+                cur, min(cur + step - 1, end)
+            ):
+                if ts_ns is not None:
+                    return seq, ts_ns // 1000
+            cur += step
+            step = min(step * 8, 1 << 16)
+        return None
+
+    def lower_bound(target_us: int) -> int:
+        # smallest sequence position s in [start, end+1] such that every
+        # timestamped message at seq >= s has ts >= target_us
+        lo_s, hi_s = start, end + 1
+        while lo_s < hi_s:
+            mid = (lo_s + hi_s) // 2
+            nxt = first_ts_at_or_after(mid)
+            if nxt is None or nxt[1] >= target_us:
+                hi_s = mid
+            else:
+                lo_s = nxt[0] + 1  # nxt exists and is below target
+        return lo_s
+
+    s0, s1 = start, end
+    if lo_us is not None:
+        s0 = lower_bound(lo_us)
+    if hi_us is not None:
+        s1 = lower_bound(hi_us + 1) - 1
+    return s0, s1
+
+
 # --- transports ---------------------------------------------------------------
 
 
-#: per-worker decoded-log cache — Spark reuses Python workers across tasks,
-#: so the replay log decodes once per worker, not once per partition
+#: per-worker decoded-slice cache, keyed by (path, stream, start, end) —
+#: Spark reuses Python workers across tasks, so a REPEATED slice decodes
+#: once per worker (distinct slices decode separately). BOUNDED: a
+#: streaming query produces a new (start, end) per micro-batch, and an
+#: unbounded dict would accumulate the whole decoded log over hours and
+#: OOM the worker — evict FIFO past the cap (dicts preserve insertion
+#: order; a batch touches each slice once, so FIFO ≈ LRU here).
 _REPLAY_CACHE: dict = {}
+_REPLAY_CACHE_CAP = 8
 
 
 class ParquetReplayTransport:
@@ -116,17 +180,35 @@ class ParquetReplayTransport:
                 # string props encode like any NATS text payload
                 props if isinstance(props, (bytes, bytearray)) else props.encode("utf-8"),
             )
+        while len(_REPLAY_CACHE) >= _REPLAY_CACHE_CAP:
+            _REPLAY_CACHE.pop(next(iter(_REPLAY_CACHE)))
         _REPLAY_CACHE[key] = rows
         return rows
 
     def stream_info(self) -> tuple[int, int]:
         import pyarrow.parquet as pq
 
-        # min/max from parquet row-group statistics — no data read
+        # min/max from parquet row-group statistics — no data read. The
+        # event_id column is located BY NAME in the file schema: physical
+        # column 0 is whatever the writer put first (a ts-first layout
+        # would silently yield ~1e18 "sequences" here, and fetch()'s range
+        # loop would hang on them).
         pf = pq.ParquetFile(self.path)
+        # physical leaf order via path_in_schema, not arrow schema order
+        idx = None
+        if pf.metadata.num_row_groups:
+            rg0 = pf.metadata.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == "event_id":
+                    idx = i
+                    break
+        if idx is None and pf.metadata.num_row_groups:
+            raise BindError(
+                f"replay log {self.path!r} has no 'event_id' column"
+            )
         lo, hi = None, None
         for rg in range(pf.metadata.num_row_groups):
-            col = pf.metadata.row_group(rg).column(0)
+            col = pf.metadata.row_group(rg).column(idx)
             if col.statistics is not None:
                 s = col.statistics
                 lo = s.min if lo is None else min(lo, s.min)
@@ -330,7 +412,8 @@ class NatsLiveTransport:
                         ) from e
                     hdr = msg.headers.get("Nats-Time-Stamp") if msg.headers else None
                     try:
-                        ts_ns = _parse_rfc3339_ns(hdr) if hdr else 0
+                        # no header → NULL ts_nats, never epoch zero
+                        ts_ns = _parse_rfc3339_ns(hdr) if hdr else None
                     except ValueError as e:
                         raise BindError(
                             f"seq {seq}: malformed Nats-Time-Stamp "
@@ -449,6 +532,25 @@ def _parse_options(options: dict):
     json_fields = [
         f.strip() for f in options.get("json_extract", "").split(",") if f.strip()
     ]
+    if json_fields:
+        # bind-time collision checks, mirroring ProtoConfig's: a field
+        # whose output name (dots → underscores) shadows a base column
+        # would emit two same-named columns and fail far from here with
+        # an ambiguous-reference error
+        base = {"stream", "subject", "seq", "ts_nats", "payload"}
+        out_names = [f.replace(".", "_") for f in json_fields]
+        bad = [f for f, o in zip(json_fields, out_names) if o in base]
+        if bad:
+            raise BindError(
+                f"json_extract field(s) {bad} collide with the base "
+                "message columns"
+            )
+        if len(set(out_names)) != len(out_names):
+            dupes = sorted({o for o in out_names if out_names.count(o) > 1})
+            raise BindError(
+                f"json_extract fields produce duplicate column(s) {dupes} "
+                "(dots map to underscores)"
+            )
     proto_fields = [
         f.strip() for f in options.get("proto_extract", "").split(",") if f.strip()
     ]
@@ -500,22 +602,17 @@ class NatsScanBatchReader(DataSourceReader):
         start = int(self.options.get("start_seq", first or 1))
         end = int(self.options.get("end_seq", last))
         if "start_time" in self.options or "end_time" in self.options:
-            # resolve time bounds to sequence bounds driver-side — the
-            # distributed stand-in for the reference's broker binary search
-            # (ref:src/nats_scan.cpp:546-595)
-            t0 = self.options.get("start_time")
-            t1 = self.options.get("end_time")
-            lo = _dt.datetime.fromisoformat(t0) if t0 else None
-            hi = _dt.datetime.fromisoformat(t1) if t1 else None
-            seqs = [
-                seq
-                for seq, _s, ts_ns, _p in transport.fetch(start, end)
-                if (lo is None or ts_ns // 1000 >= (lo - _EPOCH) // _dt.timedelta(microseconds=1))
-                and (hi is None or ts_ns // 1000 <= (hi - _EPOCH) // _dt.timedelta(microseconds=1))
-            ]
-            if not seqs:
-                return []
-            start, end = min(seqs), max(seqs)
+            # resolve time bounds to sequence bounds driver-side with a
+            # BINARY SEARCH over (seq → ts) — the stand-in for the
+            # reference's broker binary search (ref:src/nats_scan.cpp:
+            # 546-595). O(log N) probe fetches, NOT a full-stream fetch:
+            # on the live transport a full fetch is one Direct-Get
+            # round-trip per message — hours of driver time on a 10M-msg
+            # stream before a single task launches. The bounds only need
+            # to be a superset: read() re-applies the exact µs filter.
+            lo_us = _opt_ts_us(self.options.get("start_time"))
+            hi_us = _opt_ts_us(self.options.get("end_time"))
+            start, end = _resolve_time_bounds(transport, start, end, lo_us, hi_us)
         if end < start:
             return []
         n = max(1, min(self.n_partitions, end - start + 1))
@@ -532,18 +629,8 @@ class NatsScanBatchReader(DataSourceReader):
         import pyarrow as pa
 
         transport = _make_transport(self.options)
-        t0 = self.options.get("start_time")
-        t1 = self.options.get("end_time")
-        lo_us = (
-            (_dt.datetime.fromisoformat(t0) - _EPOCH) // _dt.timedelta(microseconds=1)
-            if t0
-            else None
-        )
-        hi_us = (
-            (_dt.datetime.fromisoformat(t1) - _EPOCH) // _dt.timedelta(microseconds=1)
-            if t1
-            else None
-        )
+        lo_us = _opt_ts_us(self.options.get("start_time"))
+        hi_us = _opt_ts_us(self.options.get("end_time"))
         json_mode = bool(self.json_fields)
 
         seqs: list[int] = []
@@ -555,7 +642,12 @@ class NatsScanBatchReader(DataSourceReader):
         ):
             if self.subject and self.subject not in subject:
                 continue  # substring filter (ref:src/nats_scan.cpp:741-746)
-            ts_us = ts_ns // 1000
+            # a message without a timestamp header carries ts_nats NULL —
+            # never epoch zero, which a start_time filter would silently
+            # drop while unbounded scans showed a bogus 1970 timestamp
+            ts_us = None if ts_ns is None else ts_ns // 1000
+            if (lo_us is not None or hi_us is not None) and ts_us is None:
+                continue  # SQL comparison-with-NULL semantics: excluded
             if lo_us is not None and ts_us < lo_us:
                 continue
             if hi_us is not None and ts_us > hi_us:
@@ -618,6 +710,7 @@ class NatsScanStreamReader(DataSourceStreamReader):
         self.stream, self.json_fields, self.proto_cfg = _parse_options(self.options)
         self.batch_size = int(self.options.get("batch_size", "2048"))
         self._transport = None
+        self._initial: dict | None = None
         # Build the batch reader ONCE, driver-side: it runs _parse_options,
         # which reads options['proto_file'] from local disk. This object is
         # pickled to executors with the .proto text already inlined in
@@ -631,9 +724,13 @@ class NatsScanStreamReader(DataSourceStreamReader):
         return self._transport
 
     def initialOffset(self):
-        first, _last = self._t().stream_info()
-        start = int(self.options.get("start_seq", first or 1))
-        return {"seq": start}
+        # memoized: the configured start is static, and recomputing it in
+        # every latestOffset() doubled the per-micro-batch stream_info
+        # round-trips (each with its own timeout window) for nothing
+        if self._initial is None:
+            first, _last = self._t().stream_info()
+            self._initial = {"seq": int(self.options.get("start_seq", first or 1))}
+        return dict(self._initial)
 
     def latestOffset(self):
         _first, last = self._t().stream_info()

@@ -148,3 +148,14 @@ def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     df = message_scan(spark, sf_dir, start_seq=100, end_seq=200)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "event_id" in plan
+
+
+def test_time_range_accepts_aware_timestamps(spark, sf_dir):
+    """'Z'-suffixed ISO bounds (aware datetimes) must match their naive-UTC
+    twins instead of raising TypeError on aware-minus-naive (r10 sweep)."""
+    naive = message_scan(spark, sf_dir, start_time="2024-01-04T00:00:00").count()
+    aware = message_scan(spark, sf_dir, start_time="2024-01-04T00:00:00Z").count()
+    offset = message_scan(
+        spark, sf_dir, start_time="2024-01-04T01:00:00+01:00"
+    ).count()
+    assert naive == aware == offset > 0

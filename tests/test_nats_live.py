@@ -147,8 +147,10 @@ def test_fetch_yields_rows_and_gap_skips(broker):
         1705314645123456789,
         b'{"k":"1"}',
     )
-    # missing Nats-Time-Stamp header → ts_ns 0, payload passes through raw
-    assert rows[2] == (4, "events.click.u3", 0, b"\x00binary")
+    # missing Nats-Time-Stamp header → ts_ns NULL (never epoch zero: a
+    # start_time filter would silently drop an epoch-0 row while unbounded
+    # scans showed a bogus 1970 timestamp); payload passes through raw
+    assert rows[2] == (4, "events.click.u3", None, b"\x00binary")
     # +02:00 offset: 10:30:47.5+02:00 == 08:30:47.5Z
     assert rows[3][2] == 1705307447500000000
     assert broker.closed == 1

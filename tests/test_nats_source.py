@@ -261,3 +261,113 @@ def test_proto_options_bind_matrix(spark, sf_dir, tmp_path):
             {**base, "proto_extract": "seq", "proto_file": str(collide),
              "proto_message": "M"}
         )
+
+
+# --- r10 sweep-5 regressions ---------------------------------------------------
+
+
+def test_stream_info_locates_event_id_by_name(spark, sf_dir, tmp_path):
+    """A ts-first column layout must not be misread as sequence stats —
+    stream_info resolves event_id via path_in_schema, not column 0."""
+    import duckdb
+
+    from duckdb_nats_jetstream_spark.sources.nats_source import (
+        ParquetReplayTransport,
+    )
+
+    reordered = str(tmp_path / "events_tsfirst.parquet")
+    duckdb.sql(
+        f"COPY (SELECT ts, event_type, user_id, props, event_id "
+        f"FROM '{_events(sf_dir)}') TO '{reordered}' (FORMAT PARQUET)"
+    )
+    a = ParquetReplayTransport(_events(sf_dir), "events").stream_info()
+    b = ParquetReplayTransport(reordered, "events").stream_info()
+    assert a == b
+    assert b[1] < 10_000_000  # sequences, not nanosecond timestamps
+
+
+def test_replay_cache_is_bounded():
+    from duckdb_nats_jetstream_spark.sources import nats_source as NS
+
+    NS._REPLAY_CACHE.clear()
+    t = NS.ParquetReplayTransport("/root/testdata/sf0.001/events.parquet", "events")
+    for i in range(1, 40):
+        t._read(i, i + 1)
+    assert len(NS._REPLAY_CACHE) <= NS._REPLAY_CACHE_CAP
+
+
+def test_time_bounds_accept_z_suffix_and_match_naive(spark, sf_dir):
+    rows = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .option("start_time", "2024-01-01T00:00:00")
+        .load()
+        .count()
+    )
+    rows_z = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .option("start_time", "2024-01-01T00:00:00Z")
+        .load()
+        .count()
+    )
+    assert rows == rows_z > 0
+
+
+def test_time_resolution_binary_search_matches_full_filter(spark, sf_dir):
+    """The superset sequence bounds from the binary search + read()'s exact
+    filter must equal message_scan's time-range semantics."""
+    ms = message_scan(
+        spark, sf_dir, start_time="2024-01-04T00:00:00", end_time="2024-01-09T00:00:00"
+    ).select("seq")
+    src = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", _events(sf_dir))
+        .option("start_time", "2024-01-04T00:00:00")
+        .option("end_time", "2024-01-09T00:00:00")
+        .load()
+        .select("seq")
+    )
+    assert sorted(r.seq for r in ms.collect()) == sorted(r.seq for r in src.collect())
+
+
+def test_resolve_time_bounds_probe_count_is_logarithmic(sf_dir):
+    """The driver-side resolution must probe O(log N) slices, never fetch
+    the stream (one round-trip per message on the live transport)."""
+    from duckdb_nats_jetstream_spark.sources.nats_source import (
+        ParquetReplayTransport,
+        _opt_ts_us,
+        _resolve_time_bounds,
+    )
+
+    inner = ParquetReplayTransport(_events(sf_dir), "events")
+    first, last = inner.stream_info()
+    calls = []
+
+    class Counting:
+        def fetch(self, s, e):
+            calls.append((s, e))
+            return inner.fetch(s, e)
+
+    lo = _opt_ts_us("2024-01-04T00:00:00")
+    hi = _opt_ts_us("2024-01-09T00:00:00")
+    s0, s1 = _resolve_time_bounds(Counting(), first, last, lo, hi)
+    n = last - first + 1
+    assert first <= s0 <= s1 <= last
+    assert len(calls) <= 4 * (n.bit_length() + 1)  # 2 binary searches, small probes
+    assert all(e - s < 1 << 17 for s, e in calls)  # never a full-stream fetch
+
+
+def test_json_extract_base_column_collision_is_bind_error(spark, sf_dir):
+    with pytest.raises(Exception, match="collide|duplicate"):
+        (
+            spark.read.format("nats_jetstream")
+            .option("stream", "events")
+            .option("replay_path", _events(sf_dir))
+            .option("json_extract", "seq")
+            .load()
+            .collect()
+        )

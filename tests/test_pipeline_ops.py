@@ -906,3 +906,15 @@ def test_stratified_topn_reserved_columns_rejected(spark):
     df = spark.createDataFrame([Row(doc_id=1, grp="a", __gk="boom")])
     with pytest.raises(ValueError, match="reserved"):
         stratified_hash_topn(df, "grp", 5)
+
+
+def test_pack_sequences_duplicate_ids_fail_loud(spark):
+    """Duplicate ids overflow a chunk's bin space and would silently
+    cross-assign documents between chunks — must raise (r10 sweep)."""
+    from duckdb_nats_jetstream_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=10)] * 9, "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="chunk_size"):
+        pack_sequences(df, budget=512, chunk_size=4).collect()

@@ -306,3 +306,27 @@ def test_prefix_containment_reference(data):
                 ):
                     got.add((a, b))
     assert got == expected
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """When the corpus runs out of merge pairs before `rounds`, the Spark
+    trainer breaks out of its loop keeping the encoding; the unrolled SQL
+    mirror's per-round CTE must be a NO-OP then, not a vocabulary-wiping
+    empty cross join (r10 sweep)."""
+    import duckdb
+
+    from duckdb_nats_jetstream_spark.operators.bpe import (
+        bpe_token_counts,
+        sql_bpe_token_counts,
+    )
+
+    rows = [(0, "ab ab"), (1, "ab")]  # one merge possible, then exhausted
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, bpe_token_counts(df, rounds=5).collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(sql_bpe_token_counts(rounds=5)).fetchall()))
+    assert got == want and len(got) > 0
