@@ -300,7 +300,6 @@ def dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_nats_jetstream_spark.operators.components import (
         connected_components,
     )
-    from duckdb_nats_jetstream_spark.queries.pipeline import _minhash_lsh_sql  # noqa: F401
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, k=8, band_size=2, threshold=0.2)

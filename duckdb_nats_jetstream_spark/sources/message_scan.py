@@ -56,6 +56,28 @@ EVENTS_ORACLE_SCAN_SQL = (
 )
 
 
+def message_projection(stream: str, ts_nats):
+    """The Spark half of the events→message mapping (subject scheme,
+    ``seq = event_id + 1``, ``props``→payload) — shared by the batch scan
+    below AND the streaming scan (``streaming/stream_scan.message_stream``)
+    so the two can never drift from each other or from the oracle CTE
+    above: the mapping IS the cross-engine contract, and a change applied
+    to one copy but not the other would make batch and streaming operators
+    disagree on the same log while each path's own tests stay green."""
+    return [
+        F.lit(stream).alias("stream"),
+        F.concat(
+            F.lit(f"{stream}."),
+            F.col("event_type"),
+            F.lit(".u"),
+            F.col("user_id").cast("string"),
+        ).alias("subject"),
+        (F.col("event_id") + F.lit(1)).cast("long").alias("seq"),
+        ts_nats.alias("ts_nats"),
+        F.col("props").alias("payload"),
+    ]
+
+
 def _as_timestamp(v) -> _dt.datetime:
     if isinstance(v, str):
         return _dt.datetime.fromisoformat(v)
@@ -237,18 +259,7 @@ def message_scan(
     elif ts_ntz:
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
-    df = ev.select(
-        F.lit(stream).alias("stream"),
-        F.concat(
-            F.lit(f"{stream}."),
-            F.col("event_type"),
-            F.lit(".u"),
-            F.col("user_id").cast("string"),
-        ).alias("subject"),
-        (F.col("event_id") + F.lit(1)).cast("long").alias("seq"),
-        F.col("ts").alias("ts_nats"),
-        F.col("props").alias("payload"),
-    )
+    df = ev.select(*message_projection(stream, F.col("ts")))
     if subject is not None:
         # substring containment, evaluated post-scan exactly like the
         # reference's post-fetch filter (ref:src/nats_scan.cpp:741-746).

@@ -43,9 +43,10 @@ def stream_interval_join(
         ("right", right, right_ts, {"r_ts", "__rk"}),
     ):
         pref = "l_" if side == "left" else "r_"
-        produced = {
-            f"{pref}{c}" for c in df_.columns if c not in (on, ts_c)
-        } | set(df_.columns)
+        # only PREFIXED names survive the select below (a raw input name
+        # like 'l_ts' becomes 'l_l_ts'), so only they can clash — unioning
+        # the raw names in rejected joinable inputs on false positives
+        produced = {f"{pref}{c}" for c in df_.columns if c not in (on, ts_c)}
         clash = produced & reserved
         if clash:
             raise ValueError(

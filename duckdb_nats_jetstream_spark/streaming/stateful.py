@@ -57,10 +57,18 @@ def _sessionize_fn(gap_minutes: int):
         cols = ["user_id", "session_no", "n_msgs", "first_seq", "last_ts"]
 
         if state.hasTimedOut:
-            # watermark passed last_ts + gap: flush the open session and
-            # drop the state — do NOT re-arm, or availableNow never drains
+            # watermark passed last_ts + gap: flush the open session but
+            # KEEP the session counter (an empty-session state row with no
+            # timeout armed — arming would keep availableNow's cleanup
+            # loop alive forever). Dropping the whole state here reset
+            # session_no to 1 after every timeout-closed session, emitting
+            # DUPLICATE (user_id, session_no) keys where the batch twin
+            # numbers sessions monotonically (r10 review). Cost: one
+            # 4-long state row per ever-seen user persists — the price of
+            # exact batch-equal numbering, same order as any per-user
+            # lifetime state.
             session_no, n_msgs, first_seq, last_ts_us = state.get
-            state.remove()
+            state.update((session_no, 0, None, None))
             if n_msgs:
                 yield pd.DataFrame(
                     [(user_id, session_no, n_msgs, first_seq, _us_to_ts(last_ts_us))],
@@ -111,10 +119,25 @@ def _sessionize_fn(gap_minutes: int):
     return fn
 
 
-def streaming_sessionize(stream_df: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Per-user gap sessions over a streaming message scan."""
+def streaming_sessionize(
+    stream_df: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-user gap sessions over a streaming message scan.
+
+    ``watermark_delay`` is the allowed CROSS-BATCH event-time disorder:
+    under EventTimeTimeout Spark drops any input row older than the
+    watermark before the state function sees it, so with the default
+    ``"0 seconds"`` an event that arrives a micro-batch later than a
+    newer event is silently excluded — fine for seq-ordered message-log
+    replays (ts monotone with seq), wrong for disordered feeds. Closed
+    sessions equal the batch twin exactly WHEN disorder ≤ the delay; set
+    e.g. ``f"{gap_minutes} minutes"`` for gap-bounded disorder, at the
+    cost of sessions closing that much later.
+    """
     return (
-        stream_df.withWatermark("ts_nats", "0 seconds")
+        stream_df.withWatermark("ts_nats", watermark_delay)
         .selectExpr(
             "CAST(regexp_extract(subject, '\\\\.u(\\\\d+)$', 1) AS BIGINT) AS user_id",
             "seq",

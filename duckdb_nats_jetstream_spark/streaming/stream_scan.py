@@ -100,18 +100,13 @@ def message_stream(
         ts_nats = F.timestamp_micros(F.expr("ts div 1000"))
     else:
         ts_nats = F.col("ts").cast("timestamp")
-    df = raw.select(
-        F.lit(stream).alias("stream"),
-        F.concat(
-            F.lit(f"{stream}."),
-            F.col("event_type"),
-            F.lit(".u"),
-            F.col("user_id").cast("string"),
-        ).alias("subject"),
-        (F.col("event_id") + F.lit(1)).cast("long").alias("seq"),
-        ts_nats.alias("ts_nats"),
-        F.col("props").alias("payload"),
+    # the shared events→message mapping — ONE definition with the batch
+    # scan and the oracle CTE (see message_scan.message_projection)
+    from duckdb_nats_jetstream_spark.sources.message_scan import (
+        message_projection,
     )
+
+    df = raw.select(*message_projection(stream, ts_nats))
     if subject is not None:
         df = df.filter(F.col("subject").contains(subject))
     if json_fields:
@@ -185,14 +180,23 @@ def continuous_rollup_sink(
     rewrite.
     """
 
+    if "__p" in windowed_df.columns:
+        # withColumn would silently REPLACE the user's column with the
+        # derived partition key and read_rollup would then drop it — the
+        # one collision the reserved internal name can't dodge fails loud
+        raise ValueError(
+            "continuous_rollup_sink: '__p' is a reserved internal column; "
+            "alias it before sinking"
+        )
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         (
-            batch_df.withColumn("p", F.col(partition_col).cast("long"))
+            batch_df.withColumn("__p", F.col(partition_col).cast("long"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("p", *key_cols)
+            .partitionBy("__p", *key_cols)
             .parquet(out_dir)
         )
 
@@ -206,9 +210,9 @@ def continuous_rollup_sink(
 
 
 def read_rollup(spark, out_dir: str) -> DataFrame:
-    """Read a :func:`continuous_rollup_sink` table (the derived ``p``
+    """Read a :func:`continuous_rollup_sink` table (the derived ``__p``
     partition key dropped; ``key_cols`` read back from partition dirs)."""
-    return spark.read.parquet(out_dir).drop("p")
+    return spark.read.parquet(out_dir).drop("__p")
 
 
 def parquet_sink(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):

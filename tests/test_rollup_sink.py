@@ -96,3 +96,17 @@ def test_partial_update_keeps_other_keys_in_window(spark, tmp_path):
         (win, "events.click.u1"): (2, 3),
         (win, "events.view.u2"): (1, 2),
     }
+
+
+def test_rollup_sink_reserved_partition_name_rejected(spark):
+    """The derived partition key is the internal '__p'; an input column of
+    that name would be silently clobbered and then dropped on read — the
+    sink refuses it at definition time (r10 review; a user column named
+    plain 'p' now survives the roundtrip instead)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.col("id").alias("__p"))
+    with pytest.raises(ValueError, match="__p"):
+        continuous_rollup_sink(df, "/tmp/x", "/tmp/ck")

@@ -96,3 +96,64 @@ def test_streaming_sessions_match_batch(spark, sf_dir, log_dir, tmp_path):
     # and most sessions should have closed (one open per user at most)
     n_users = len({u for u, _ in batch})
     assert len(got) >= len(batch) - n_users
+
+
+def test_session_numbering_survives_timeout_flush(spark, tmp_path):
+    """A timeout-closed session must NOT reset the per-user counter: the
+    next session is session_no 2, not a duplicate (user, 1) key (r10
+    review — the flush used state.remove(), discarding the counter)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1704067200 * 10**9
+    H = 3600 * 10**9
+    d = tmp_path / "log"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        eids, tss, uids = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(eids, pa.int64()),
+                    "ts": pa.array(tss, pa.timestamp("ns")),
+                    "user_id": pa.array(uids, pa.int64()),
+                    "event_type": pa.array(["a"] * len(rows), pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            d / name,
+        )
+        os.utime(d / name, (mtime, mtime))
+
+    # batch 1: user 7 session 1; batch 2: user 8 pushes the watermark past
+    # 7's gap (timeout flush); batch 3: 7's SECOND session + user 8 far
+    # ahead so session 2 also closes
+    write("a.parquet", [(1, base, 7), (2, base + 60 * 10**9, 7), (3, base, 8)], 1_700_000_001)
+    write("b.parquet", [(4, base + 3 * H, 8)], 1_700_000_002)
+    write(
+        "c.parquet",
+        [(5, base + 4 * H, 7), (6, base + 4 * H + 60 * 10**9, 7), (7, base + 10 * H, 8)],
+        1_700_000_003,
+    )
+
+    stream = message_stream(spark, str(d), max_files_per_trigger=1)
+    sessions = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("timeout_numbering")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_no, r.n_msgs)
+        for r in spark.sql("SELECT * FROM timeout_numbering").collect()
+        if r.user_id == 7
+    )
+    assert got == [(7, 1, 2), (7, 2, 2)]

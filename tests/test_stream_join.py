@@ -124,3 +124,21 @@ def test_stream_static_enrich_broadcasts(spark, sf_dir, tmp_path):
     n = message_scan(spark, sf_dir).count()
     assert len(rows) == n  # left join keeps every stream row
     assert all(r.subject_total == batch[r.subject] for r in rows)
+
+
+def test_stream_join_raw_reserved_names_are_joinable(spark, tmp_path):
+    """An input column LITERALLY named 'l_ts' (or '__k') prefixes into
+    'l_l_ts' — no collision is produced, so the guard must not reject it
+    (r10 review: the guard unioned unprefixed names, a pure false
+    positive)."""
+    log = tmp_path / "log"
+    log.mkdir()
+    _write_events(str(log / "a.parquet"), [(1, BASE, 1, "signup", 0.0, "{}")])
+    s = message_stream(spark, str(log)).select(
+        F.lit(1).alias("user_id"),
+        "ts_nats",
+        F.lit(0).alias("l_ts"),
+        F.lit(0).alias("__k"),
+    )
+    joined = stream_interval_join(s, s, on="user_id", within="1 hour")
+    assert {"l_l_ts", "r_l_ts", "l___k", "r___k"} <= set(joined.columns)
