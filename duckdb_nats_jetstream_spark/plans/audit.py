@@ -132,10 +132,23 @@ def audit_row(plan: str) -> dict[str, int | bool]:
         "py": sum(
             plan.count(m)
             for m in (
+                # every Python-eval physical node Spark 4 can plan — a
+                # name missing here lets a future query's Python stage
+                # audit as py=0 and sail past the hidden-stage hunt this
+                # column exists for (r10 review; the nodes beyond the
+                # first four are unused today, verified by grep)
                 "ArrowEvalPython",
                 "MapInPandas",
-                "FlatMapGroupsInPandas",
+                "FlatMapGroupsInPandas",  # also matches ...WithState
                 "BatchEvalPython",
+                "MapInArrow",  # matches PythonMapInArrow renderings too
+                "FlatMapCoGroupsInPandas",
+                "WindowInPandas",
+                "AggregateInPandas",
+                # NB deliberately NO "...PythonUDTF" entries: both UDTF
+                # nodes render with a BatchEvalPython/ArrowEvalPython
+                # prefix, so substring counting already covers them —
+                # adding the suffix form would double-count
             )
         ),
         "row_py": plan.count("BatchEvalPython"),

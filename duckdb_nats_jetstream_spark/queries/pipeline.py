@@ -683,13 +683,20 @@ o AS (
   FROM tok
 ),
 pack(chunk, idx, doc_id, n_tokens, bin, fill) AS (
-  SELECT chunk, idx, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  -- coalesce: the operator packs a NULL token count ZERO-WIDTH (commit
+  -- a4908ec); without the same totality here one NULL n_tokens makes the
+  -- seed fill NULL, every later comparison NULL, and the whole chunk
+  -- freezes in bin 0 — a silent oracle divergence on any NULL text
+  SELECT chunk, idx, doc_id, n_tokens, CAST(0 AS BIGINT),
+         coalesce(n_tokens, 0)
   FROM o WHERE idx = 1
   UNION ALL
   SELECT o.chunk, o.idx, o.doc_id, o.n_tokens,
-         CASE WHEN p.fill + o.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
-         CASE WHEN p.fill + o.n_tokens > 256
-              THEN o.n_tokens ELSE p.fill + o.n_tokens END
+         CASE WHEN p.fill + coalesce(o.n_tokens, 0) > 256
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + coalesce(o.n_tokens, 0) > 256
+              THEN coalesce(o.n_tokens, 0)
+              ELSE p.fill + coalesce(o.n_tokens, 0) END
   FROM pack p JOIN o ON o.chunk = p.chunk AND o.idx = p.idx + 1
 )
 SELECT doc_id, n_tokens, chunk * 100 + bin AS seq_id FROM pack

@@ -717,10 +717,21 @@ def scan_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_nats_jetstream_spark.sources.message_scan import message_scan
 
     df = message_scan(spark, sf_dir)
-    acts = df.select(
-        F.regexp_extract("subject", r"\.u(\d+)$", 1).cast("long").alias("user_id"),
-        F.expr("unix_micros(ts_nats) div 21600000000").alias("b"),
-    ).distinct()
+    acts = (
+        df.select(
+            F.regexp_extract("subject", r"\.u(\d+)$", 1)
+            .cast("long")
+            .alias("user_id"),
+            F.expr("unix_micros(ts_nats) div 21600000000").alias("b"),
+        )
+        # a NULL user (unparseable subject) is not a cohort member — and
+        # the oracle's `JOIN cohorts USING (user_id)` drops NULL keys while
+        # Spark's window would keep the NULL partition and emit phantom
+        # (cohort, offset, n_users=0) rows (r10 review; the sibling
+        # user-keyed queries guard both sides the same way)
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
     cohort = F.min("b").over(W.partitionBy("user_id"))
     return (
         acts.withColumn("cohort", cohort)
@@ -1083,6 +1094,8 @@ def scan_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
         right_cols={"event_id": "click_id", "value": "click_value"},
+        # deterministic tie-break — see scan_asof_join (r10 review)
+        tie_col="event_id",
         tolerance_us=6 * 3600 * 1_000_000,
     )
 

@@ -62,6 +62,33 @@ from duckdb_nats_jetstream_spark.tables import read_table
 # --- unigram LM surprisal ----------------------------------------------------
 
 
+def _unigram_bit_scores(tok: DataFrame) -> DataFrame:
+    """(doc_id, token) rows → per-doc ``(doc_id, n_tokens, bits_total)``
+    via the integer bit-surprisal chain — ONE definition shared by
+    ``text_unigram_bits`` and the ``docs_curation_v3`` capstone, so an
+    edit to the surprisal formula can never land in one and silently
+    break the other's "re-score with unigram-bit surprisal" claim while
+    both queries' own parity rows stay green (r10 review).
+
+    floor(log2(total/n)) with integer division: ``bin()`` of a positive
+    int64 has no leading zeros in either engine, so its length − 1 IS the
+    floor log2 — no floating point anywhere in the surprisal."""
+    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    bits = F.length(F.bin(F.expr("total div n"))) - 1
+    return (
+        dtc.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "c", bits.cast("long").alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("bits")).cast("long").alias("bits_total"),
+        )
+    )
+
+
 def text_unigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram surprisal in whole bits.
 
@@ -73,32 +100,13 @@ def text_unigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
-    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
-    total = vocab.agg(F.sum("n").alias("total"))
-    # floor(log2(total/n)) with integer division: bin() of a positive int64
-    # has no leading zeros in either engine, so its length - 1 IS the floor
-    # log2 — no floating point anywhere in the surprisal.
-    bits = F.length(F.bin(F.expr("total div n"))) - 1
-    scored = (
-        dtc.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", "c", bits.cast("long").alias("bits"))
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.sum(F.col("c") * F.col("bits")).alias("bits_total"),
-        )
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("bits_total").cast("long").alias("bits_total"),
-            (F.col("bits_total").cast("double") / F.col("n_tokens").cast("double")).alias(
-                "mean_bits"
-            ),
-        )
+    return _unigram_bit_scores(tok).select(
+        "doc_id",
+        "n_tokens",
+        "bits_total",
+        (
+            F.col("bits_total").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("mean_bits"),
     )
 
 
@@ -476,30 +484,31 @@ def docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("scrubbed") != ""
     )
     tok = scrub.select(
-        "doc_id", "scrubbed", F.explode(TX.tokens(F.col("scrubbed"))).alias("token")
+        "doc_id", F.explode(TX.tokens(F.col("scrubbed"))).alias("token")
     )
-    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
-    total = vocab.agg(F.sum("n").alias("total"))
-    bits = F.length(F.bin(F.expr("total div n"))) - 1
-    scored = (
-        dtc.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", "c", bits.cast("long").alias("bits"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            (
-                F.sum(F.col("c") * F.col("bits")).cast("double")
-                / F.sum("c").cast("double")
-            ).alias("mean_bits"),
-        )
+    # shared surprisal chain — see _unigram_bit_scores (one definition
+    # with text_unigram_bits; the capstone rebuilds the vocabulary over
+    # the SCRUBBED text by feeding scrubbed tokens in)
+    scored = _unigram_bit_scores(tok).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("bits_total").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("mean_bits"),
     )
     return (
         scored.filter((F.col("mean_bits") >= 1.5) & (F.col("mean_bits") <= 9.0))
         .join(scrub.select("doc_id", F.md5("scrubbed").alias("content_md5")), "doc_id")
         .select("doc_id", "n_tokens", "mean_bits", "content_md5")
     )
+
+
+def _span_scrub_sql() -> str:
+    # the same oracle-builder shape as every sibling entry (an inline
+    # __import__ expression here evaded grep and refactoring tools)
+    from duckdb_nats_jetstream_spark.operators.dedup import sql_span_scrub
+
+    return sql_span_scrub(13)
 
 
 def _curation_v3_sql() -> str:
@@ -1136,7 +1145,7 @@ QUERIES = {
     "scan_daily_dashboard": (scan_daily_dashboard, _daily_dashboard_sql()),
     "docs_curation_v3": (docs_curation_v3, _curation_v3_sql()),
     "multimodal_phash": (multimodal_phash, None),
-    "docs_span_scrub": (docs_span_scrub, __import__("duckdb_nats_jetstream_spark.operators.dedup", fromlist=["sql_span_scrub"]).sql_span_scrub(13)),
+    "docs_span_scrub": (docs_span_scrub, _span_scrub_sql()),
     "scan_cumulative_uniques": (scan_cumulative_uniques, _cumulative_uniques_sql()),
     "dedup_graph_triangles": (dedup_graph_triangles, _triangles_sql()),
 }

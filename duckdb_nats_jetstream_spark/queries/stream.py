@@ -510,6 +510,11 @@ def scan_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
         right_cols={"event_id": "click_id", "value": "click_value"},
+        # (user_id, ts) is NOT structurally unique for clicks: two clicks
+        # in the same microsecond would make the matched payload
+        # partition-order-dependent without a deterministic tie-break
+        # (r10 review; the operator docstring requires this)
+        tie_col="event_id",
     )
 
 

@@ -38,6 +38,13 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("stage_reached", T.IntegerType()),
         T.StructField("t_last", T.LongType()),
+        # µs of the user's last USABLE (timestamped) event — the TTL
+        # anchor. Stored in state because GroupState does NOT carry a
+        # previously-armed timeout across invocations: every invocation
+        # must re-arm, and re-arming from the current WATERMARK on a
+        # null-ts-only batch slid the deadline forward forever (r10
+        # review) — re-arming from stored t_act keeps it fixed.
+        T.StructField("t_act", T.LongType()),
     ]
 )
 
@@ -57,7 +64,9 @@ def _funnel_fn(stages: Sequence[str], idle_timeout_ms: int | None = None):
             # availableNow's state-cleanup loop never terminates.
             state.remove()
             return
-        stage_reached, t_last = state.get if state.exists else (0, -1)
+        stage_reached, t_last, t_act = (
+            state.get if state.exists else (0, -1, -1)
+        )
 
         events: list[tuple[int, str]] = []
         for pdf in pdfs:
@@ -83,17 +92,22 @@ def _funnel_fn(stages: Sequence[str], idle_timeout_ms: int | None = None):
                 stage_reached += 1
                 t_last = t_us
                 rows.append((user_id, stage_reached, want, t_us))
-        state.update((stage_reached, t_last))
+        if events:
+            t_act = max(t_act, events[-1][0])  # sorted: last IS the max
+        state.update((stage_reached, t_last, t_act))
         if idle_timeout_ms is not None:
             # evict when the WATERMARK passes the user's last activity +
             # TTL. Spark requires the timeout timestamp to sit strictly
             # past the current watermark, so a user whose deadline already
             # expired gets the minimum legal value (next batch times out).
-            deadline = (
-                max(t_last, max(t for t, _ in events)) // 1000
-                if events
-                else state.getCurrentWatermarkMs()
-            ) + idle_timeout_ms
+            #
+            # Re-armed EVERY invocation from the STORED t_act (GroupState
+            # does not carry a timeout across invocations): a null-ts-only
+            # batch re-arms the same fixed deadline instead of sliding it
+            # forward from the current watermark forever — the unbounded
+            # state growth the TTL exists to prevent (r10 review;
+            # regression-pinned with a null-only-batches eviction test).
+            deadline = t_act // 1000 + idle_timeout_ms
             state.setTimeoutTimestamp(
                 max(deadline, state.getCurrentWatermarkMs() + 1)
             )

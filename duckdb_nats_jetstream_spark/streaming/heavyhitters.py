@@ -70,10 +70,17 @@ def _hh_fn(k: int):
             counters, n_seen = {}, 0
 
         for pdf in pdfs:
-            # batch-local pre-aggregation: one _mg_merge per distinct token
-            for token, c in pdf["token"].value_counts().items():
-                _mg_merge(counters, token, int(c), k)
+            # batch-local pre-aggregation: one _mg_merge per distinct token.
+            # dropna=False so a NULL token is COUNTED into n_seen (the
+            # guarantee bound is asserted against n_seen — silently
+            # excluding processed rows under-counts it; r10 review) but
+            # never becomes a candidate: NULL is not a reportable key, and
+            # the batch verification twin's NULL group is filtered the
+            # same way in the tests.
+            for token, c in pdf["token"].value_counts(dropna=False).items():
                 n_seen += int(c)
+                if not pd.isna(token):
+                    _mg_merge(counters, token, int(c), k)
 
         state.update((list(counters), [counters[t] for t in counters], n_seen))
         yield pd.DataFrame(
