@@ -50,77 +50,23 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: cut get no row at all, and rows-only queries inside the prefix burn a slot
 #: on a "no_oracle" non-verdict).
 #:
-#: Round-10 allocation — the ENV-GATED registration freeze continues
+#: Round-11 allocation — the ENV-GATED registration freeze continues
 #: (spark-protobuf jar, google.protobuf, and nats-py re-checked ABSENT at
-#: the r10 open): no proto/NATS queries. Late in the round the retrieval
-#: family landed (queries/pipeline6.py): ``text_bm25_topk`` +
-#: ``sim_hybrid_rrf`` — never-green, so they sit right after the 5 honest
-#: re-queues, displacing the two youngest rotation-tail entries
-#: (text_char_diversity, sim_quantize_int8 — both r07-green with valid
-#: ledger evidence). The prefix below is MACHINE-GENERATED by
-#: ``python tools/registry_status.py --plan-check`` under PLAN_HASH
-#: SCHEME 8 (schemes 6/7 landed r09 verdict ask #3, scheme 8 this
-#: session — see the sweep-4 paragraph): Arrow-stage plans are clearable —
-#: the hash folds a recursive closure fingerprint (bytecode, consts,
-#: defaults, cells, referenced-global values) of every captured UDF
-#: matched to the plan's named Python expressions (scheme 6; scheme 7
-#: isolates set-element states, a same-round review fix). 156/159 of
-#: the registry is clearable, vs 133 under scheme 5; still honestly
-#: unclearable: text_bpe_merges + docs_quality_quantiles (genuine
-#: RDD-backed iterative/selection materialization) and nats_source_scan
-#: (Python data source, no scan files). The round-close check re-cleared
-#: 113/116 edited candidates (the similarity.py knn fix re-queued the
-#: sim_* family; plan+closure equality cleared all but the genuinely
-#: changed query), every clearing stamped with the PARITY_EVIDENCE.json
-#: artifact (159/159 green on this exact tree). The 5 honest re-queues
-#: head the prefix: nats_source_scan (never clearable), sim_knn_join
-#: (the r10 sweep's scale fix — blocking + vectorized top-k — changed
-#: its plan AND closure), docs_pack_sequences (the r10 review's
-#: null-size totality fix changed its UDF closure), and
-#: scan_asof_join/scan_asof_tolerance (the r10 review's null-timestamp
-#: ASOF fix adds a filter to their plans). The funnel queries' plans
-#: were untouched by the funnel_summary try_divide fix and re-cleared
-#: on plan equality. profile_events hit its documented
-#: RewriteDistinctAggregates gid flap mid-round (failed to clear on one
-#: check, cleared on the round-close re-hash — the safe direction both
-#: times) and rotates normally on its valid evidence.
-#: The session's two further review sweeps re-queued the rest of the
-#: head honestly. Sweep 3 (gapfill, cdc, sampling, quantiles, profile,
-#: skew, interval_join, hll/histsketch): docs_stratified_sample
-#: (NULL-stratum joins null-safe via a struct key), docs_snapshot_diff
-#: (presence markers + null-safe digest compare), scan_salted_agg
-#: (content-deterministic pmod/xxhash64 salt), profile_events
-#: (positional stack aliases), docs_quality_quantiles (ps validation;
-#: never clearable anyway), scan_gapfill (null-safe spine join +
-#: explicit null-ts drop), scan_interval_join (inverted-interval
-#: prefilter). Sweep 4 (sinks, file formats, scalar functions,
-#: winsorize, imagecodec) changed text.jaccard/dup_ngram_fraction to
-#: try_divide (0/0: DuckDB NULL, default-ANSI crash) — and exposed a
-#: ledger soundness hole: try_divide renders IDENTICALLY to `/` in both
-#: the plan string and its JSON, so scheme 7 CLEARED those queries.
-#: PLAN_HASH SCHEME 8 folds expression evalModes (reflected off the
-#: live Catalyst tree, subquery plans included) into the hash, with
-#: pinned divide-vs-try_divide and subquery tests; under it the whole
-#: try_divide family re-queued honestly (text_gopher_filters,
-#: docs_curation_v2, dedup_incremental, docs_winsorize,
-#: dedup_components, text_repetition, dedup_minhash_lsh,
-#: dedup_ngram_jaccard, dedup_prune, docs_leakage_safe_split,
-#: text_bpe_merges, dedup_graph_triangles, rel_udaf_cents) — no wrong
-#: green shipped (every scheme-7 clearing also carried the
-#: PARITY_EVIDENCE stamp of a full 161/161 oracle run on this tree).
-#: Sweeps 5–7 added three more honest head re-queues:
-#: scan_cohort_retention (NULL users filtered to match the oracle's
-#: USING-join semantics), text_unigram_bits + docs_curation_v3 (the
-#: duplicated surprisal chain factored into one _unigram_bit_scores —
-#: value-identical, but the refactor touches their own source segments,
-#: which plan evidence never vouches for). scan_asof_join/tolerance
-#: gained a deterministic tie_col (already at the head). The
-#: message_scan projection refactor (one shared events→message mapping
-#: for batch + streaming) cleared every dependent scan_* green on
-#: byte-identical scheme-8 plans.
-#: The remaining ~20 slots rotate: all 6 r05 greens and the oldest r06
-#: greens. The head growth pushes the youngest rotation entries past
-#: the cut; they rotate first in r11.
+#: the r11 open): no proto/NATS queries. The r10 verdict's rotation ask
+#: (#3) is paid IN FULL here: the 45-query stale tail (10 r06 greens +
+#: 35 r07 greens — the oldest evidence in the ledger) fits the 50-slot
+#: budget exactly once, so this prefix is pure rotation: the 45 tail
+#: entries head it in oldest-first order, followed by the 5 oldest r08
+#: greens. Post-r11 the histogram should contain nothing older than
+#: r08-green. There are no never-green oracle entries (the two
+#: multimodal rows-only queries stay in _ROWS_ONLY_LAST by design) and
+#: no honest re-queues at the r11 open — the r10 snapshot tree is the
+#: code every entry's evidence vouches for. Mid-round edits re-derive
+#: this list via ``python tools/registry_status.py --plan-check``
+#: (PLAN_HASH SCHEME 8: closure-fingerprinted Arrow stages, evalModes
+#: folded — see tools/README.md for the scheme history); new
+#: registrations and unclearable re-queues displace the YOUNGEST tail
+#: entries first, which then rotate in r12.
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
 #: ``tests/test_registry_freshness.py::test_prefix_matches_recommendation``
@@ -129,57 +75,57 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: (fingerprint-at-clear, hash equality, own-segment guard) on each run.
 #: Rows-only (no-oracle) queries sit at the VERY END of the registry
 #: (_ROWS_ONLY_LAST): a "no_oracle" row is a wasted slot.
-_PREFIX_R10 = [
-    "nats_source_scan",
-    "sim_knn_join",
-    "docs_pack_sequences",
-    "scan_asof_tolerance",
-    "scan_asof_join",
-    "text_bm25_topk",
-    "sim_hybrid_rrf",
-    "docs_stratified_sample",
-    "docs_snapshot_diff",
-    "scan_salted_agg",
-    "profile_events",
-    "docs_quality_quantiles",
-    "scan_gapfill",
-    "scan_interval_join",
-    "text_gopher_filters",
-    "docs_curation_v2",
-    "dedup_incremental",
-    "docs_winsorize",
-    "dedup_components",
-    "text_repetition",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prune",
-    "docs_leakage_safe_split",
-    "text_bpe_merges",
-    "dedup_graph_triangles",
-    "rel_udaf_cents",
-    "scan_cohort_retention",
-    "text_unigram_bits",
-    "docs_curation_v3",
-    "rel_scalar_functions",
-    "rel_semi_anti_customers",
-    "rel_count_distinct",
-    "rel_conditional_agg",
-    "rel_first_order_per_customer",
-    "rel_order_date_gaps",
-    "docs_weighted_mix",
-    "scan_scd2_intervals",
-    "text_pii_redact",
-    "docs_boilerplate",
-    "dedup_prefix_containment",
-    "docs_mixture_plan",
-    "scan_ewma_trend",
-    "rel_zorder_layout",
-    "scan_fuzzy_subjects",
-    "docs_quality_percentile",
-    "dedup_span_fraction",
-    "text_bpe_apply",
-    "text_countmin_topk",
-    "rel_hll_counts",
+_PREFIX_R11 = [
+    "rel_hist_quantiles",
+    "scan_daily_dashboard",
+    "scan_sessionization",
+    "rel_trailing_spend",
+    "rel_distinct_segments",
+    "rel_union_entities",
+    "rel_balance_ratio",
+    "rel_top_parts",
+    "rel_above_avg_customers",
+    "rel_parts_like",
+    "docs_domain_shift",
+    "docs_chunk_sequences",
+    "text_char_diversity",
+    "sim_quantize_int8",
+    "rel_forecast_revenue",
+    "docs_chunk_dedup",
+    "decon_bloom",
+    "docs_train_order",
+    "scan_funnel",
+    "scan_funnel_windowed",
+    "rel_mad_outliers",
+    "text_pmi_topk",
+    "scan_path_mining",
+    "scan_hopping_rollup",
+    "rel_kmv_intersection",
+    "docs_span_scrub",
+    "rel_grouping_sets",
+    "rel_min_cost_supplier",
+    "rel_excess_volume_suppliers",
+    "scan_session_window",
+    "scan_windowed_rollup",
+    "scan_base",
+    "scan_seq_range",
+    "scan_time_range",
+    "scan_subject_filter",
+    "scan_json_extract",
+    "scan_json_cast_agg",
+    "scan_subject_wildcard",
+    "scan_variant_extract",
+    "scan_payload_sizes",
+    "scan_gap_detection",
+    "rel_disjunctive_join",
+    "rel_waiting_suppliers",
+    "rel_array_hof",
+    "rel_array_agg",
+    "corpus_clean",
+    "text_stats",
+    "text_token_frequency",
+    "text_tfidf_topk",
+    "docs_hash_sample",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.
@@ -217,7 +163,7 @@ def full_registry() -> Registry:
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = (fn, _resolve_oracle(sql))
 
-    prefix = _PREFIX_R10
+    prefix = _PREFIX_R11
     out: Registry = {}
     for name in prefix:
         out[name] = merged[name]

@@ -73,6 +73,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     7: "3351f68^",
     8: "49b7369^",
     9: "972bd7f^",
+    10: "866ec97^",
 }
 
 
