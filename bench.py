@@ -140,22 +140,28 @@ def main() -> None:
     # is an *error* only when NO attempt succeeded; a success-then-flake is
     # a timing, not an error (it must not be double-reported in both maps).
     timings: dict[str, float] = {}
+    attempts_map: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry):
         fn, _sql = registry[name]
-        best = float("inf")
+        attempts: list[float] = []
         last_err: str | None = None
         for _ in range(3):
             try:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
+                attempts.append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # noqa: BLE001 — isolation is the point
                 last_err = f"{type(e).__name__}: {e}"[:500]
                 break
-        if best != float("inf"):
-            timings[name] = round(best, 3)
+        if attempts:
+            timings[name] = min(attempts)
+            # all attempts, in order: a future driver-shot inflation then
+            # classifies itself (uniform-slow ⇒ sustained host load;
+            # first-slow-then-fast ⇒ per-session warm-up the min absorbs)
+            # — the r10 +37% adjudication needed exactly this (PERF.md r11)
+            attempts_map[name] = attempts
         elif last_err is not None:
             errors[name] = last_err
 
@@ -218,6 +224,8 @@ def main() -> None:
 
     def _qentry(name: str, t: float) -> dict:
         e: dict = {"spark_s": t}
+        if name in attempts_map:
+            e["attempts"] = attempts_map[name]
         if name in duckdb_s:
             e["duckdb_s"] = duckdb_s[name]
         if name in prev_s:
