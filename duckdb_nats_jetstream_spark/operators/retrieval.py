@@ -38,16 +38,24 @@ LLM-pipeline operator family (SURVEY §2 north-star block).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from duckdb_nats_jetstream_spark.errors import BindError
 from duckdb_nats_jetstream_spark.functions import text as TX
 from duckdb_nats_jetstream_spark.operators.similarity import sql_lit_f64
 
 __all__ = [
+    "bm25_phrase_scored",
+    "bm25_phrase_topk",
     "bm25_scored",
     "bm25_topk",
     "rrf_fuse",
+    "rrf_fuse_many",
+    "sql_bm25_phrase_scored",
+    "sql_bm25_phrase_topk",
     "sql_bm25_scored",
     "sql_bm25_topk",
 ]
@@ -67,6 +75,46 @@ def _tf(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
 
+def _require_terms(terms: Sequence[str], what: str) -> None:
+    # bind-time: an empty term set previously emitted syntactically
+    # invalid oracle SQL (dangling comma + trailing '+') while the Spark
+    # twin silently scored constant 0.0 — fail both sides consistently
+    # and early (r10 ADVICE)
+    if not terms:
+        raise BindError(f"{what} requires at least one term")
+
+
+def _bm25_from_base(
+    base: DataFrame, n_terms: int, k1: float, b: float, id_col: str
+) -> DataFrame:
+    """Shared BM25 assembly over a ``(id_col, dl, tf_0..tf_n-1)`` base:
+    ONE single-row stats aggregate broadcast back, fixed left-to-right
+    term-sum order (every IEEE rounding step mirrors the oracle SQL)."""
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(n_terms)
+        ],
+    ).withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+
+    score: Column = F.lit(0.0)
+    for i in range(n_terms):
+        tf = F.col(f"tf_{i}")
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (
+            F.col(f"df_{i}") + F.lit(0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+
+    return base.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), score.alias("score")
+    )
+
+
 def bm25_scored(
     docs: DataFrame,
     terms: list[str],
@@ -83,35 +131,14 @@ def bm25_scored(
     denominator), so no per-term conditional is needed and the fixed
     left-to-right sum order matches the oracle SQL term-for-term.
     """
+    _require_terms(terms, "bm25_scored")
     toks = TX.tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
         *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
     )
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
-    ).withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-
-    score: Column = F.lit(0.0)
-    for i in range(len(terms)):
-        tf = F.col(f"tf_{i}")
-        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (
-            F.col(f"df_{i}") + F.lit(0.5)
-        )
-        denom = tf + F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
-        )
-        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
-
-    return base.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), score.alias("score")
-    )
+    return _bm25_from_base(base, len(terms), k1, b, id_col)
 
 
 def bm25_topk(
@@ -140,6 +167,135 @@ def bm25_topk(
     )
 
 
+def _phrase_ngrams(n: int) -> Column:
+    """Row-local n-gram array over a column named ``toks`` — a zero-shuffle
+    higher-order transform (the same shape as pipeline2's bigram LM stats).
+    Guarded: Spark's ``sequence(0, size-n)`` runs BACKWARD when size < n
+    (step defaults to -1), so short docs take the empty branch."""
+    positions = f"sequence(0, size(toks) - {n})"
+    gram = "concat_ws(' ', " + ", ".join(f"toks[i + {j}]" for j in range(n)) + ")"
+    return F.when(
+        F.size("toks") >= n,
+        F.expr(f"transform({positions}, i -> {gram})"),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bm25_phrase_scored(
+    docs: DataFrame,
+    phrases: list[str],
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over PHRASE terms: each phrase's tf counts its exact
+    consecutive-token occurrences (an n-gram match, n = the phrase's word
+    count), then enters the standard BM25 saturation with the document
+    length in TOKENS — the usual convention when mixing phrase and word
+    features (and it keeps avgdl > 0 unconditionally; an n-gram dl would
+    be 0 on a corpus of short docs and poison dl/avgdl on both engines).
+
+    Same scale shape as :func:`bm25_scored`: the n-gram arrays are
+    row-local transforms (no explode), so scoring stays map-only + one
+    single-row broadcast stats aggregate."""
+    _require_terms(phrases, "bm25_phrase_scored")
+    widths = {len(p.split()) for p in phrases}
+    toked = docs.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
+    )
+    grams = {n: _phrase_ngrams(n) for n in widths}
+    base = toked.select(
+        F.col(id_col),
+        F.size("toks").alias("dl"),
+        *[
+            _tf(grams[len(p.split())], p).alias(f"tf_{i}")
+            for i, p in enumerate(phrases)
+        ],
+    )
+    return _bm25_from_base(base, len(phrases), k1, b, id_col)
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    phrases: list[str],
+    topk: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``topk`` documents by phrase BM25 → ``(id_col, rnk, score)``
+    (TakeOrderedAndProject + a window over the k survivors, like
+    :func:`bm25_topk`)."""
+    scored = bm25_phrase_scored(
+        docs, phrases, k1=k1, b=b, text_col=text_col, id_col=id_col
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
+    w = W.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.col("score"),
+    )
+
+
+def rrf_fuse_many(
+    lists: Sequence[tuple[DataFrame, str, str, str]],
+    rrf_k: int = DEFAULT_RRF_K,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ≥ 2 ranked candidate lists →
+    ``(doc_id, <out_rank_1>, ..., <out_rank_n>, rrf_r)``.
+
+    ``lists``: one ``(ranked_df, id_col, rnk_col, out_rank_name)`` per
+    signal, fused in order (the rrf_r sum is evaluated left-to-right, so
+    list order pins the IEEE rounding order — keep the oracle SQL's term
+    order identical). Classic RRF (Cormack et al., SIGIR 2009): an item
+    absent from one list contributes 0 from that list (``coalesce``),
+    present items contribute ``1/(rrf_k + rank)``.
+
+    Every input is a bounded top-k list, so the chain of full-outer
+    joins — each on the running coalesced id — is trivially small at any
+    corpus scale; the heavy lifting stays in the candidate generators.
+    """
+    if len(lists) < 2:
+        raise BindError("rrf_fuse_many requires at least two ranked lists")
+    outs = [out for _df, _i, _r, out in lists]
+    reserved = {"doc_id", "rrf_r"} | {f"_id{i}" for i in range(len(lists))}
+    if len(set(outs)) != len(outs) or set(outs) & reserved:
+        raise BindError(
+            f"rank output names must be distinct and avoid {sorted(reserved)}; "
+            f"got {outs}"
+        )
+    renamed = [
+        df.select(
+            F.col(id_c).alias(f"_id{i}"), F.col(rnk_c).cast("long").alias(out)
+        )
+        for i, (df, id_c, rnk_c, out) in enumerate(lists)
+    ]
+    cur = renamed[0].withColumn("_cid", F.col("_id0")).drop("_id0")
+    for i in range(1, len(renamed)):
+        nxt = renamed[i]
+        cur = (
+            cur.join(nxt, cur["_cid"] == nxt[f"_id{i}"], "full_outer")
+            .withColumn("_cid2", F.coalesce(F.col("_cid"), F.col(f"_id{i}")))
+            .drop("_cid", f"_id{i}")
+            .withColumnRenamed("_cid2", "_cid")
+        )
+    score: Column = F.lit(None).cast("double")
+    for j, out in enumerate(outs):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(out)), F.lit(0.0)
+        )
+        score = term if j == 0 else score + term
+    fused = cur.select(
+        F.col("_cid").alias("doc_id"),
+        *[F.col(out) for out in outs],
+        score.alias("rrf_r"),
+    )
+    return fused.orderBy(F.col("rrf_r").desc(), F.col("doc_id")).limit(topk)
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,
@@ -150,33 +306,50 @@ def rrf_fuse(
     rrf_k: int = DEFAULT_RRF_K,
     topk: int = 10,
 ) -> DataFrame:
-    """Reciprocal-rank fusion of two ranked candidate lists →
-    ``(doc_id, lex_rnk, vec_rnk, rrf_r)``.
-
-    Classic RRF: an item absent from one list contributes 0 from that
-    list (``coalesce``), present items contribute ``1/(rrf_k + rank)``.
-    Both inputs are top-k lists (bounded by construction), so the full
-    outer join is trivially small at any corpus scale.
-    """
-    a = ranked_a.select(
-        F.col(id_a).alias("_ida"), F.col(rnk_a).cast("long").alias("lex_rnk")
+    """Two-list RRF → ``(doc_id, lex_rnk, vec_rnk, rrf_r)`` — the common
+    lexical+vector hybrid, delegated to :func:`rrf_fuse_many`."""
+    return rrf_fuse_many(
+        [
+            (ranked_a, id_a, rnk_a, "lex_rnk"),
+            (ranked_b, id_b, rnk_b, "vec_rnk"),
+        ],
+        rrf_k=rrf_k,
+        topk=topk,
     )
-    bd = ranked_b.select(
-        F.col(id_b).alias("_idb"), F.col(rnk_b).cast("long").alias("vec_rnk")
-    )
-    fused = a.join(bd, a["_ida"] == bd["_idb"], "full_outer").select(
-        F.coalesce(F.col("_ida"), F.col("_idb")).alias("doc_id"),
-        F.col("lex_rnk"),
-        F.col("vec_rnk"),
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rnk")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rnk")), F.lit(0.0))
-        ).alias("rrf_r"),
-    )
-    return fused.orderBy(F.col("rrf_r").desc(), F.col("doc_id")).limit(topk)
 
 
 # --- DuckDB oracle builders ---------------------------------------------------
+
+
+def _sql_bm25_query(
+    base_select: str, n_terms: int, k1: float, b: float, id_col: str
+) -> str:
+    """Shared oracle assembly over a base SELECT producing
+    ``(id_col, dl, tf_0..tf_n-1)`` — mirrors :func:`_bm25_from_base`
+    expression-for-expression (same operand order, so every IEEE rounding
+    step matches)."""
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(n_terms)
+    )
+    half = sql_lit_f64(0.5)
+    terms_sql = " + ".join(
+        f"((n_docs - df_{i} + {half}) / (df_{i} + {half}))"
+        f" * (tf_{i} * {sql_lit_f64(k1 + 1.0)})"
+        f" / (tf_{i} + {sql_lit_f64(k1)} * ({sql_lit_f64(1.0 - b)}"
+        f" + {sql_lit_f64(b)} * (dl / avgdl)))"
+        for i in range(n_terms)
+    )
+    return f"""
+WITH bm25_base AS ({base_select}),
+bm25_stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols},
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM bm25_base
+)
+SELECT {id_col}, {sql_lit_f64(0.0)} + {terms_sql} AS score
+FROM bm25_base CROSS JOIN bm25_stats
+"""
 
 
 def sql_bm25_scored(
@@ -188,37 +361,78 @@ def sql_bm25_scored(
     id_col: str = "doc_id",
     where: str = "TRUE",
 ) -> str:
-    """DuckDB SELECT mirroring :func:`bm25_scored` expression-for-expression
-    (same operand order, so every IEEE rounding step matches)."""
+    """DuckDB SELECT mirroring :func:`bm25_scored`."""
+    _require_terms(terms, "sql_bm25_scored")
     toks = TX.sql_tokens(text_col)
     tf_cols = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
         for i, t in enumerate(terms)
     )
-    df_cols = ", ".join(
-        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(terms))
+    base = (
+        f"\n  SELECT {id_col}, len(toks) AS dl, {tf_cols}"
+        f"\n  FROM (SELECT {id_col}, {toks} AS toks FROM {table} WHERE {where})\n"
     )
-    half = sql_lit_f64(0.5)
-    terms_sql = " + ".join(
-        f"((n_docs - df_{i} + {half}) / (df_{i} + {half}))"
-        f" * (tf_{i} * {sql_lit_f64(k1 + 1.0)})"
-        f" / (tf_{i} + {sql_lit_f64(k1)} * ({sql_lit_f64(1.0 - b)}"
-        f" + {sql_lit_f64(b)} * (dl / avgdl)))"
-        for i in range(len(terms))
+    return _sql_bm25_query(base, len(terms), k1, b, id_col)
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB n-gram list over a 1-indexed ``toks`` list column — mirrors
+    :func:`_phrase_ngrams` (empty below n tokens; ``range`` is
+    end-exclusive, so positions run 1..len-n+1)."""
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n - 2}), i -> {gram}) "
+        f"ELSE [] END"
+    )
+
+
+def sql_bm25_phrase_scored(
+    phrases: list[str],
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB SELECT mirroring :func:`bm25_phrase_scored` (phrase tf over
+    n-gram lists, document length in TOKENS)."""
+    _require_terms(phrases, "sql_bm25_phrase_scored")
+    toks = TX.sql_tokens(text_col)
+    tf_cols = ", ".join(
+        f"len(list_filter({_sql_ngrams(len(p.split()))}, x -> x = '{p}'))"
+        f" AS tf_{i}"
+        for i, p in enumerate(phrases)
+    )
+    base = (
+        f"\n  SELECT {id_col}, len(toks) AS dl, {tf_cols}"
+        f"\n  FROM (SELECT {id_col}, {toks} AS toks FROM {table} WHERE {where})\n"
+    )
+    return _sql_bm25_query(base, len(phrases), k1, b, id_col)
+
+
+def sql_bm25_phrase_topk(
+    phrases: list[str],
+    topk: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where: str = "TRUE",
+) -> str:
+    scored = sql_bm25_phrase_scored(
+        phrases, k1=k1, b=b, table=table, text_col=text_col,
+        id_col=id_col, where=where,
     )
     return f"""
-WITH bm25_base AS (
-  SELECT {id_col}, len(toks) AS dl, {tf_cols}
-  FROM (SELECT {id_col}, {toks} AS toks FROM {table} WHERE {where})
-),
-bm25_stats AS (
-  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols},
-         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-  FROM bm25_base
-)
-SELECT {id_col}, {sql_lit_f64(0.0)} + {terms_sql} AS score
-FROM bm25_base CROSS JOIN bm25_stats
+SELECT {id_col},
+       CAST(row_number() OVER (ORDER BY score DESC, {id_col}) AS BIGINT) AS rnk,
+       score
+FROM ({scored}) bm25_phrase_scored
+ORDER BY score DESC, {id_col}
+LIMIT {topk}
 """
 
 

@@ -60,13 +60,21 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: greens. Post-r11 the histogram should contain nothing older than
 #: r08-green. There are no never-green oracle entries (the two
 #: multimodal rows-only queries stay in _ROWS_ONLY_LAST by design) and
-#: no honest re-queues at the r11 open — the r10 snapshot tree is the
-#: code every entry's evidence vouches for. Mid-round edits re-derive
-#: this list via ``python tools/registry_status.py --plan-check``
-#: (PLAN_HASH SCHEME 8: closure-fingerprinted Arrow stages, evalModes
-#: folded — see tools/README.md for the scheme history); new
-#: registrations and unclearable re-queues displace the YOUNGEST tail
-#: entries first, which then rotate in r12.
+#: no honest re-queues at the r11 OPEN (the r10 snapshot tree is the
+#: code every entry's evidence vouched for). The r11 session's edits
+#: re-derived this list via ``python tools/registry_status.py
+#: --plan-check`` (PLAN_HASH SCHEME 8 — see tools/README.md): three
+#: entries now head the tail — ``sim_hybrid_rrf`` (the rrf_fuse →
+#: rrf_fuse_many generalization changed its fold plan; honest re-queue),
+#: ``sim_hybrid_rrf3`` (NEW: three-signal fusion with the phrase-BM25
+#: generator), and ``nats_source_scan`` (the replay transport's
+#: stats-based time-bound resolution; never clearable — Python data
+#: source). ``text_bm25_topk`` CLEARED on scheme-8 plan+closure equality
+#: (the _bm25_from_base factoring is expression-identical), with the
+#: regenerated 162/162 PARITY_EVIDENCE stamp. The three head entries
+#: displace the three youngest r08 greens (text_token_frequency,
+#: text_tfidf_topk, docs_hash_sample), so the post-r11 histogram still
+#: contains nothing older than r08-green.
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
 #: ``tests/test_registry_freshness.py::test_prefix_matches_recommendation``
@@ -76,6 +84,9 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: Rows-only (no-oracle) queries sit at the VERY END of the registry
 #: (_ROWS_ONLY_LAST): a "no_oracle" row is a wasted slot.
 _PREFIX_R11 = [
+    "sim_hybrid_rrf",
+    "sim_hybrid_rrf3",
+    "nats_source_scan",
     "rel_hist_quantiles",
     "scan_daily_dashboard",
     "scan_sessionization",
@@ -123,9 +134,6 @@ _PREFIX_R11 = [
     "rel_array_agg",
     "corpus_clean",
     "text_stats",
-    "text_token_frequency",
-    "text_tfidf_topk",
-    "docs_hash_sample",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

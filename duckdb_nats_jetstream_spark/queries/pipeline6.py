@@ -87,7 +87,79 @@ FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10
 """
 
 
+#: Phrase (bigram) query set spanning the idf range like _QUERY_TERMS does:
+#: 'dup dup' occurs in exactly ONE document at sf0.01 (the duplicate-marker
+#: run), 'hash join' / 'vector join' are common collocations.
+_QUERY_PHRASES = ["dup dup", "hash join", "vector join"]
+
+
+def sim_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-signal hybrid retrieval: RRF-fuse the BM25 unigram top-100,
+    the exact cosine top-100 of vector 0, and the PHRASE-BM25 top-100
+    (exact consecutive-bigram matches — the positional signal unigram
+    BM25 cannot see), keep the fused top-10. Exercises
+    :func:`operators.retrieval.rrf_fuse_many`'s n-ary generalization;
+    each candidate generator stays map-only + one-row broadcast stats +
+    TakeOrderedAndProject, and the fusion joins three bounded 100-row
+    lists."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = R.bm25_topk(docs, _QUERY_TERMS, topk=100)
+    vec = S.cosine_topk(emb, query_max_id=1, k=100)
+    phr = R.bm25_phrase_topk(docs, _QUERY_PHRASES, topk=100)
+    return R.rrf_fuse_many(
+        [
+            (lex, "doc_id", "rnk", "lex_rnk"),
+            (vec, "neighbor_id", "rnk", "vec_rnk"),
+            (phr, "doc_id", "rnk", "phr_rnk"),
+        ],
+        topk=10,
+    )
+
+
+HYBRID_RRF3_SQL = f"""
+WITH lex AS ({R.sql_bm25_topk(_QUERY_TERMS, topk=100, where="doc_id != 0")}),
+phr AS ({R.sql_bm25_phrase_topk(_QUERY_PHRASES, topk=100, where="doc_id != 0")}),
+vbase AS (
+  SELECT vec_id, embedding AS v, sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+vq AS (SELECT * FROM vbase WHERE vec_id < 1),
+vs AS (
+  SELECT c.vec_id AS neighbor_id,
+         {sql_dot('vq.v', 'c.v')} / (vq.nrm * c.nrm) AS cos
+  FROM vq JOIN vbase c ON vq.vec_id != c.vec_id
+),
+vr AS (
+  SELECT neighbor_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id) AS BIGINT)
+           AS vec_rnk
+  FROM vs
+),
+vec AS (SELECT * FROM vr WHERE vec_rnk <= 100),
+fused2 AS (
+  SELECT coalesce(lex.doc_id, vec.neighbor_id) AS cid,
+         lex.rnk AS lex_rnk, vec.vec_rnk
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.neighbor_id
+),
+fused AS (
+  SELECT coalesce(fused2.cid, phr.doc_id) AS doc_id,
+         fused2.lex_rnk, fused2.vec_rnk, phr.rnk AS phr_rnk,
+         coalesce(CAST(1 AS DOUBLE) / ({_RRF} + fused2.lex_rnk),
+                  CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / ({_RRF} + fused2.vec_rnk),
+                      CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / ({_RRF} + phr.rnk),
+                      CAST(0 AS DOUBLE)) AS rrf_r
+  FROM fused2 FULL OUTER JOIN phr ON fused2.cid = phr.doc_id
+)
+SELECT doc_id, lex_rnk, vec_rnk, phr_rnk, rrf_r
+FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "text_bm25_topk": (text_bm25_topk, BM25_TOPK_SQL),
     "sim_hybrid_rrf": (sim_hybrid_rrf, HYBRID_RRF_SQL),
+    "sim_hybrid_rrf3": (sim_hybrid_rrf3, HYBRID_RRF3_SQL),
 }

@@ -70,8 +70,15 @@ def _resolve_time_bounds(
     transport, start: int, end: int, lo_us: int | None, hi_us: int | None
 ) -> tuple[int, int]:
     """Time bounds → a SUPERSET sequence range via binary search on the
-    nondecreasing (seq → ts) map (JetStream receive times are monotone in
-    seq — the property the reference's broker search relies on). Probes
+    nondecreasing (seq → ts) map. **LIVE TRANSPORT ONLY**: JetStream
+    RECEIVE timestamps are monotone in seq — a broker guarantee, and the
+    property the reference's own broker search relies on
+    (ref:src/nats_scan.cpp:546-595). A replayed EVENT-time log has no
+    such guarantee (event_id order need not be event-time order), so on
+    out-of-order data this search can return a non-superset range and
+    read()'s exact filter would then silently drop in-range messages —
+    ``ParquetReplayTransport.resolve_time_bounds`` therefore resolves
+    from row-group statistics instead (r10 ADVICE, medium). Probes
     gap-skip forward in growing windows starting at width 1, so the live
     transport usually pays ONE round-trip per probe; messages without a
     timestamp are invisible to the search (read()'s exact filter excludes
@@ -230,6 +237,66 @@ class ParquetReplayTransport:
                 continue  # gap-skip (ref:src/nats_scan.cpp:725-729)
             yield (seq, msg[0], msg[1], msg[2])
 
+    def resolve_time_bounds(
+        self, start: int, end: int, lo_us: int | None, hi_us: int | None
+    ) -> tuple[int, int]:
+        """Time bounds → a superset sequence range from parquet ROW-GROUP
+        STATISTICS, order-insensitively: an event-time replay log is NOT
+        monotone in event_id, so the live transport's binary search could
+        return a non-superset range here and silently drop in-range
+        messages (r10 ADVICE, medium). A row group MAY hold qualifying
+        rows iff its [ts_min, ts_max] intersects [lo, hi]; the union of
+        the intersecting groups' event_id ranges is a superset by
+        construction at ANY row order. One footer read, zero data pages,
+        zero probe fetches (the binary search's distinct-slice probes
+        also thrashed the FIFO slice cache — r10 ADVICE #4). Comparisons
+        floor sub-µs precision exactly like read()'s ``ts_ns // 1000``,
+        and a group missing statistics is conservatively included."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            return (start, end)
+        ts_i = eid_i = None
+        rg0 = md.row_group(0)
+        for i in range(rg0.num_columns):
+            p = rg0.column(i).path_in_schema
+            if p == "ts":
+                ts_i = i
+            elif p == "event_id":
+                eid_i = i
+        if ts_i is None or eid_i is None:
+            return (start, end)
+
+        def _us(v) -> int:
+            # stats value → epoch µs, flooring like read()'s ns // 1000.
+            # pyarrow yields datetime for timestamp logical types (already
+            # truncated to µs) and int only for raw int64 ns columns.
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return (v - _EPOCH) // _dt.timedelta(microseconds=1)
+            return int(v) // 1000
+
+        s0 = s1 = None
+        for rg in range(md.num_row_groups):
+            ts_s = md.row_group(rg).column(ts_i).statistics
+            eid_s = md.row_group(rg).column(eid_i).statistics
+            if ts_s is not None and ts_s.has_min_max:
+                if lo_us is not None and _us(ts_s.max) < lo_us:
+                    continue
+                if hi_us is not None and _us(ts_s.min) > hi_us:
+                    continue
+            if eid_s is None or not eid_s.has_min_max:
+                return (start, end)  # can't bound this group — widen fully
+            g0, g1 = int(eid_s.min) + 1, int(eid_s.max) + 1  # seq = eid + 1
+            s0 = g0 if s0 is None else min(s0, g0)
+            s1 = g1 if s1 is None else max(s1, g1)
+        if s0 is None:
+            return (start, start - 1)  # no group can qualify: empty range
+        return (max(s0, start), min(s1, end))
+
 
 _RFC3339_RE = re.compile(
     r"^(\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2})"
@@ -359,6 +426,15 @@ class NatsLiveTransport:
                 await _close_bounded(nc, self.timeout)
 
         return self._run(_info(), f"stream_info('{self.stream}')")
+
+    def resolve_time_bounds(
+        self, start: int, end: int, lo_us: int | None, hi_us: int | None
+    ) -> tuple[int, int]:
+        """Binary search on the (seq → receive-ts) map — monotone BY BROKER
+        GUARANTEE on the live stream (the reference's own assumption,
+        ref:src/nats_scan.cpp:546-595). O(log N) probe round-trips, never
+        a full-stream fetch."""
+        return _resolve_time_bounds(self, start, end, lo_us, hi_us)
 
     def fetch(self, start_seq: int, end_seq: int):
         asyncio = self._client()
@@ -602,17 +678,18 @@ class NatsScanBatchReader(DataSourceReader):
         start = int(self.options.get("start_seq", first or 1))
         end = int(self.options.get("end_seq", last))
         if "start_time" in self.options or "end_time" in self.options:
-            # resolve time bounds to sequence bounds driver-side with a
-            # BINARY SEARCH over (seq → ts) — the stand-in for the
-            # reference's broker binary search (ref:src/nats_scan.cpp:
-            # 546-595). O(log N) probe fetches, NOT a full-stream fetch:
-            # on the live transport a full fetch is one Direct-Get
-            # round-trip per message — hours of driver time on a 10M-msg
-            # stream before a single task launches. The bounds only need
-            # to be a superset: read() re-applies the exact µs filter.
+            # resolve time bounds to sequence bounds driver-side, PER
+            # TRANSPORT: the live transport binary-searches the monotone
+            # (seq → receive-ts) map — the stand-in for the reference's
+            # broker binary search (ref:src/nats_scan.cpp:546-595),
+            # O(log N) probe round-trips, never a full-stream fetch; the
+            # replay transport resolves from parquet row-group statistics
+            # because an event-time log is not monotone in seq (r10
+            # ADVICE). The bounds only need to be a superset: read()
+            # re-applies the exact µs filter.
             lo_us = _opt_ts_us(self.options.get("start_time"))
             hi_us = _opt_ts_us(self.options.get("end_time"))
-            start, end = _resolve_time_bounds(transport, start, end, lo_us, hi_us)
+            start, end = transport.resolve_time_bounds(start, end, lo_us, hi_us)
         if end < start:
             return []
         n = max(1, min(self.n_partitions, end - start + 1))

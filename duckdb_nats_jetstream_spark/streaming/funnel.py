@@ -34,6 +34,9 @@ FUNNEL_SCHEMA = T.StructType(
     ]
 )
 
+# CHECKPOINT COMPATIBILITY: t_act (below) widened this schema in the r10
+# review — checkpoints written by earlier versions must be discarded (see
+# the module note in streaming/stateful.py).
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("stage_reached", T.IntegerType()),

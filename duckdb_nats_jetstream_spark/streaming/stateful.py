@@ -11,7 +11,19 @@ session per user remains unemitted when input ends.
 
 Gotcha (cost a debugging loop): re-arming a timeout on every invocation
 keeps availableNow's "cleaning up state" phase alive forever. The timeout
-branch must flush + ``state.remove()``, never re-arm.
+branch must flush WITHOUT re-arming — here it keeps a counter-only state
+row (``state.update((session_no, 0, None, None))``, no timeout armed) so
+session numbering stays monotone across timeout-closed sessions; an
+operator with no cross-session state (e.g. streaming dedup) should
+``state.remove()`` instead. Either way: never re-arm.
+
+CHECKPOINT COMPATIBILITY: the r10 review changed this module's state
+semantics (the sessionizer's keep-counter row above) and widened
+``streaming/funnel.py``'s ``_STATE_SCHEMA`` with ``t_act`` — streaming
+checkpoints written by pre-r10 versions of these operators must be
+DISCARDED (a restarted query would fail on the schema change or misread
+old state rows). Spark's state store does not migrate custom
+applyInPandasWithState schemas.
 """
 
 from __future__ import annotations

@@ -371,3 +371,114 @@ def test_json_extract_base_column_collision_is_bind_error(spark, sf_dir):
             .load()
             .collect()
         )
+
+
+def _write_shuffled_log(path: str, n: int = 400, rows_per_group: int = 50):
+    """An event-TIME log where ts is deliberately NOT monotone in event_id
+    (a bit-reversal permutation — maximally disordered), multiple row
+    groups so statistics-based resolution actually prunes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_704_067_200 * 10**9
+    bits = (n - 1).bit_length()
+    perm = [int(format(i, f"0{bits}b")[::-1], 2) % n for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base_ns + perm[i] * 60 * 10**9 for i in range(n)],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["click"] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        path,
+        row_group_size=rows_per_group,
+    )
+
+
+def test_time_bounds_on_non_monotone_replay_log(spark, tmp_path):
+    """r10 ADVICE (medium): the binary search assumes ts monotone in seq,
+    which holds for live receive timestamps but NOT for replayed event-time
+    logs — on out-of-order data it could return a non-superset range and
+    read()'s exact filter then silently dropped in-range messages. The
+    replay transport now resolves from row-group statistics (order-
+    insensitive superset); this pins the end-to-end count against a
+    brute-force expectation on a maximally disordered log."""
+    import duckdb
+
+    path = str(tmp_path / "shuffled.parquet")
+    _write_shuffled_log(path)
+    lo, hi = "2024-01-01T01:00:00", "2024-01-01T04:00:00"
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM '{path}' "
+        f"WHERE ts >= TIMESTAMP '{lo.replace('T', ' ')}' "
+        f"AND ts <= TIMESTAMP '{hi.replace('T', ' ')}'"
+    ).fetchone()[0]
+    assert expected > 0
+    got = (
+        spark.read.format("nats_jetstream")
+        .option("stream", "events")
+        .option("replay_path", path)
+        .option("start_time", lo)
+        .option("end_time", hi)
+        .load()
+        .count()
+    )
+    assert got == expected
+
+
+def test_replay_time_resolution_is_probe_free_and_prunes(tmp_path, sf_dir):
+    """The replay transport's resolution must read ONLY the footer (the
+    binary search's distinct-slice probes thrashed the FIFO decode cache —
+    r10 ADVICE #4) and must prune row groups on a time-SORTED log."""
+    from duckdb_nats_jetstream_spark.sources.nats_source import (
+        ParquetReplayTransport,
+        _opt_ts_us,
+    )
+
+    t = ParquetReplayTransport(_events(sf_dir), "events")
+    first, last = t.stream_info()
+    t.fetch = None  # any probe fetch would now raise; the footer path won't
+    lo = _opt_ts_us("2024-01-04T00:00:00")
+    hi = _opt_ts_us("2024-01-09T00:00:00")
+    s0, s1 = t.resolve_time_bounds(first, last, lo, hi)
+    assert first <= s0 <= s1 <= last
+
+    # multi-row-group sorted log: bounds must exclude far-away groups
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, base_ns = 1000, 1_704_067_200 * 10**9
+    path = str(tmp_path / "sorted.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base_ns + i * 60 * 10**9 for i in range(n)],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([0] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        path,
+        row_group_size=100,
+    )
+    ts = ParquetReplayTransport(path, "events")
+    f2, l2 = ts.stream_info()
+    # minutes 100..199 live entirely inside the second row group
+    s0, s1 = ts.resolve_time_bounds(
+        f2,
+        l2,
+        _opt_ts_us("2024-01-01T01:40:00"),
+        _opt_ts_us("2024-01-01T03:19:00"),
+    )
+    assert s0 >= 101 and s1 <= 300  # pruned to the covering groups
+    assert s0 <= 101 and s1 >= 200  # still a superset of the true range

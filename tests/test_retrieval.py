@@ -128,3 +128,120 @@ def test_hybrid_rrf_query_shape(spark, sf_dir):
     assert vals == sorted(vals, reverse=True)
     # every fused row carries at least one source rank
     assert all(r.lex_rnk is not None or r.vec_rnk is not None for r in out)
+
+
+def test_empty_terms_is_bind_error_both_sides():
+    """r10 ADVICE: an empty term set used to emit syntactically invalid
+    oracle SQL while the Spark twin silently scored 0.0 — the two sides
+    must fail consistently at bind time."""
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+
+    for fn in (
+        lambda: R.sql_bm25_scored([]),
+        lambda: R.sql_bm25_phrase_scored([]),
+    ):
+        with pytest.raises(BindError, match="at least one term"):
+            fn()
+    with pytest.raises(BindError, match="at least one term"):
+        R.bm25_scored(None, [])  # raises before touching the DataFrame
+    with pytest.raises(BindError, match="at least one term"):
+        R.bm25_phrase_scored(None, [])
+
+
+def test_phrase_tf_counts_consecutive_occurrences_only(spark):
+    """'fast scan' must match consecutive tokens (twice in doc 0 via
+    overlap-free restarts), never the unordered co-occurrence in doc 1;
+    docs shorter than the phrase take the empty-ngram branch."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="fast scan fast scan join"),
+            Row(doc_id=1, text="scan somewhere fast"),
+            Row(doc_id=2, text="fast"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    scored = {
+        r.doc_id: r.score
+        for r in R.bm25_phrase_scored(docs, ["fast scan"]).collect()
+    }
+    assert scored[0] > 0.0
+    assert scored[1] == 0.0 and scored[2] == 0.0 and scored[3] == 0.0
+
+
+def test_phrase_scored_matches_duckdb_mirror_bit_exact(spark):
+    import duckdb
+
+    rows = [
+        (0, "fast scan fast scan join"),
+        (1, "fast join table scan"),
+        (2, "hash join hash join hash join"),
+        (3, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.score)
+        for r in R.bm25_phrase_scored(docs, ["fast scan", "hash join"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = sorted(
+        con.execute(R.sql_bm25_phrase_scored(["fast scan", "hash join"])).fetchall()
+    )
+    assert got == want  # bit-exact, not approx
+
+
+def test_rrf_fuse_many_three_way_exact(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rnk long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rnk long")
+    c = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rnk long")
+    out = R.rrf_fuse_many(
+        [
+            (a, "doc_id", "rnk", "lex_rnk"),
+            (b, "doc_id", "rnk", "vec_rnk"),
+            (c, "doc_id", "rnk", "phr_rnk"),
+        ],
+        rrf_k=60,
+        topk=3,
+    ).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]  # equal scores → id tiebreak
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].lex_rnk == 1 and by_id[1].vec_rnk is None and by_id[1].phr_rnk == 2
+    # every doc appears in exactly two lists at ranks {1,2} → identical sums
+    expect = 1.0 / 61 + 1.0 / 62
+    assert all(r.rrf_r == expect for r in out)
+
+
+def test_rrf_fuse_many_validates_names_and_arity(spark):
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rnk long")
+    with pytest.raises(BindError, match="at least two"):
+        R.rrf_fuse_many([(a, "doc_id", "rnk", "lex_rnk")])
+    with pytest.raises(BindError, match="distinct"):
+        R.rrf_fuse_many(
+            [(a, "doc_id", "rnk", "r1"), (a, "doc_id", "rnk", "r1")]
+        )
+    with pytest.raises(BindError, match="distinct"):
+        R.rrf_fuse_many(
+            [(a, "doc_id", "rnk", "doc_id"), (a, "doc_id", "rnk", "r2")]
+        )
+
+
+def test_rrf_fuse_wrapper_unchanged_shape(spark):
+    """rrf_fuse now delegates to rrf_fuse_many — same columns, same values
+    as the r10 contract (lex_rnk, vec_rnk names, coalesced 0 contribution)."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rnk long")
+    b = spark.createDataFrame([(2, 1), (9, 2)], "nid long, rnk long")
+    out = R.rrf_fuse(a, b, id_b="nid", topk=3)
+    assert out.columns == ["doc_id", "lex_rnk", "vec_rnk", "rrf_r"]
+    by_id = {r.doc_id: r for r in out.collect()}
+    assert by_id[2].rrf_r == 1.0 / 62 + 1.0 / 61
+    assert by_id[1].rrf_r == 1.0 / 61 and by_id[1].vec_rnk is None

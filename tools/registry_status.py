@@ -55,6 +55,7 @@ import ast
 import hashlib
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -92,8 +93,36 @@ def _module_relpath(module: str) -> str:
     return module.replace(".", "/") + ".py"
 
 
+#: machine-generated driver-prefix block in queries/__init__.py — see
+#: _normalize_for_fingerprint.
+_PREFIX_BLOCK_RE = re.compile(rb"_PREFIX_R\d+\s*=\s*\[[^\]]*\]")
+
+
+def _normalize_for_fingerprint(relpath: str, data: bytes) -> bytes:
+    """Canonicalize ``queries/__init__.py`` before hashing: the round-close
+    workflow is necessarily *oracle run → plan-check → paste the derived
+    prefix*, so the prefix block (and its ``#:`` allocation ledger
+    comments) always changes AFTER the last oracle run — under a byte
+    fingerprint the parity artifact could never vouch for a committed
+    tree (the r11 guard test caught exactly this on its first round).
+    Excluding them is sound: the prefix affects only driver slot ORDER
+    (`driver_sim all` runs the full registry order-insensitively, and
+    prefix==derivation is enforced by test_prefix_matches_recommendation),
+    and ``#:`` lines are comments. Everything semantic in the module —
+    imports, _resolve_oracle, _ROWS_ONLY_LAST, full_registry — still
+    hashes byte-for-byte."""
+    if relpath.replace(os.sep, "/").endswith("queries/__init__.py"):
+        data = _PREFIX_BLOCK_RE.sub(b"_PREFIX_RN = []", data)
+        data = b"\n".join(
+            ln for ln in data.split(b"\n") if not ln.lstrip().startswith(b"#:")
+        )
+    return data
+
+
 def package_tree_fingerprint(repo: str = REPO) -> str:
-    """sha256 over every package source file (relpath + bytes, sorted).
+    """sha256 over every package source file (relpath + bytes, sorted;
+    the machine-generated prefix block normalized out — see
+    ``_normalize_for_fingerprint``).
 
     Ties an independent-evidence artifact (``PARITY_EVIDENCE.json``,
     written by ``tools/driver_sim.py`` on a full all-green oracle run) to
@@ -109,10 +138,11 @@ def package_tree_fingerprint(repo: str = REPO) -> str:
             if not f.endswith(".py"):
                 continue
             p = os.path.join(root, f)
-            h.update(os.path.relpath(p, repo).encode())
+            rel = os.path.relpath(p, repo)
+            h.update(rel.encode())
             h.update(b"\0")
             with open(p, "rb") as fh:
-                h.update(fh.read())
+                h.update(_normalize_for_fingerprint(rel, fh.read()))
             h.update(b"\0")
     return h.hexdigest()
 
