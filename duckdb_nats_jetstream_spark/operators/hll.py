@@ -152,7 +152,8 @@ def hll_estimate(registers: DataFrame, *group_cols: str) -> DataFrame:
 def sql_register_rank_exprs(value_expr: str, salt: str = "hll:") -> tuple[str, str]:
     """DuckDB mirrors of :func:`register_rank_cols` — the two row-local
     expressions, for composing grouped/windowed register builds."""
-    h = f"md5('{salt}' || CAST({value_expr} AS VARCHAR))"
+    # '' escaping: a salt with a quote must quote, not break, the SQL
+    h = f"md5('{salt.replace(chr(39), chr(39) * 2)}' || CAST({value_expr} AS VARCHAR))"
     nib = "strpos('{hex}', {c}) - 1".format
     reg = (
         f"(({nib(hex=_HEX, c=f'substr({h}, 1, 1)')}) * 16 + "

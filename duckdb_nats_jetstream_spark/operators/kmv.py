@@ -86,7 +86,7 @@ def kmv_estimate(sketch: DataFrame) -> DataFrame:
 def sql_kmv_sketch(value_expr: str, table_expr: str, salt: str = "kmv:") -> str:
     """DuckDB mirror of :func:`kmv_sketch` (CTE body)."""
     return f"""
-  SELECT DISTINCT md5('{salt}' || CAST({value_expr} AS VARCHAR)) AS h
+  SELECT DISTINCT md5('{salt.replace(chr(39), chr(39) * 2)}' || CAST({value_expr} AS VARCHAR)) AS h
   FROM {table_expr}
   WHERE {value_expr} IS NOT NULL
   ORDER BY h LIMIT {K}

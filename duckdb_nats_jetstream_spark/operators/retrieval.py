@@ -84,6 +84,22 @@ def _require_terms(terms: Sequence[str], what: str) -> None:
         raise BindError(f"{what} requires at least one term")
 
 
+def _guard_id_col(id_col: str, n_terms: int, what: str) -> None:
+    # the scored base projects (id_col, dl, tf_0..): an id column named
+    # like an internal would silently shadow it (the r10 sweeps' reserved
+    # -name defect class — fail loudly at bind time instead)
+    internal = {"dl", "toks", "score"} | {f"tf_{i}" for i in range(n_terms)}
+    if id_col in internal:
+        raise BindError(f"{what}: id_col {id_col!r} collides with an internal name")
+
+
+def _sql_str(s: str) -> str:
+    # SQL single-quoted literal: '' escaping (a term containing a quote is
+    # matchable on the Spark side — normalized text keeps apostrophes — so
+    # the oracle must quote it, not break on it)
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _bm25_from_base(
     base: DataFrame, n_terms: int, k1: float, b: float, id_col: str
 ) -> DataFrame:
@@ -130,8 +146,13 @@ def bm25_scored(
     contributes an exact ``0.0`` (zero numerator over a positive
     denominator), so no per-term conditional is needed and the fixed
     left-to-right sum order matches the oracle SQL term-for-term.
+
+    Terms match NORMALIZED tokens (``functions.text.tokens``: lowercased,
+    whitespace-split) — pass lowercase terms; an uppercase term matches
+    nothing, by the same contract as every text operator here.
     """
     _require_terms(terms, "bm25_scored")
+    _guard_id_col(id_col, len(terms), "bm25_scored")
     toks = TX.tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col),
@@ -199,6 +220,7 @@ def bm25_phrase_scored(
     row-local transforms (no explode), so scoring stays map-only + one
     single-row broadcast stats aggregate."""
     _require_terms(phrases, "bm25_phrase_scored")
+    _guard_id_col(id_col, len(phrases), "bm25_phrase_scored")
     widths = {len(p.split()) for p in phrases}
     toked = docs.select(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
@@ -282,12 +304,12 @@ def rrf_fuse_many(
             .drop("_cid", f"_id{i}")
             .withColumnRenamed("_cid2", "_cid")
         )
-    score: Column = F.lit(None).cast("double")
-    for j, out in enumerate(outs):
+    score: Column | None = None
+    for out in outs:
         term = F.coalesce(
             F.lit(1.0) / (F.lit(rrf_k) + F.col(out)), F.lit(0.0)
         )
-        score = term if j == 0 else score + term
+        score = term if score is None else score + term
     fused = cur.select(
         F.col("_cid").alias("doc_id"),
         *[F.col(out) for out in outs],
@@ -365,7 +387,7 @@ def sql_bm25_scored(
     _require_terms(terms, "sql_bm25_scored")
     toks = TX.sql_tokens(text_col)
     tf_cols = ", ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        f"len(list_filter(toks, x -> x = {_sql_str(t)})) AS tf_{i}"
         for i, t in enumerate(terms)
     )
     base = (
@@ -401,7 +423,7 @@ def sql_bm25_phrase_scored(
     _require_terms(phrases, "sql_bm25_phrase_scored")
     toks = TX.sql_tokens(text_col)
     tf_cols = ", ".join(
-        f"len(list_filter({_sql_ngrams(len(p.split()))}, x -> x = '{p}'))"
+        f"len(list_filter({_sql_ngrams(len(p.split()))}, x -> x = {_sql_str(p)}))"
         f" AS tf_{i}"
         for i, p in enumerate(phrases)
     )

@@ -102,15 +102,22 @@ def sql_weighted_mixture(
     """DuckDB mirror of :func:`weighted_mixture_sample`'s filter predicate."""
     if not rates:
         raise ValueError("sql_weighted_mixture requires at least one rate")
-    h8 = f"substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, {_PFX})"
+
+    def q(s: str) -> str:
+        # '' escaping: a group name (or salt) containing a quote is a
+        # legal value the Spark twin handles — the oracle must quote it,
+        # not emit broken SQL (same class as retrieval._sql_str, r11)
+        return "'" + s.replace("'", "''") + "'"
+
+    h8 = f"substr(md5({q(salt + ':')} || CAST({id_col} AS VARCHAR)), 1, {_PFX})"
     parts = []
     for g, rate in sorted(rates.items()):
         if rate >= 1.0:
-            parts.append(f"({group_col} = '{g}')")
+            parts.append(f"({group_col} = {q(g)})")
         else:
             t = format(max(int(rate * _PFX_SPACE), 0), f"0{_PFX}x")
-            parts.append(f"({group_col} = '{g}' AND {h8} < '{t}')")
-    in_list = ", ".join(f"'{g}'" for g in sorted(rates))
+            parts.append(f"({group_col} = {q(g)} AND {h8} < '{t}')")
+    in_list = ", ".join(q(g) for g in sorted(rates))
     not_listed = f"({group_col} NOT IN ({in_list}) OR {group_col} IS NULL)"
     if default_rate >= 1.0:
         parts.append(not_listed)

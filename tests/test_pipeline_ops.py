@@ -305,6 +305,28 @@ def test_weighted_mixture_null_stratum_takes_default(spark):
     assert con.execute(f"SELECT count(*) FROM docs WHERE {pred}").fetchone()[0] == 20
 
 
+def test_weighted_mixture_quoted_group_name_is_sql_safe(spark):
+    """A group name (or salt) containing a single quote is a legal value
+    the Spark twin samples normally — the oracle predicate must escape it
+    rather than emit broken SQL (r11; same class as retrieval's terms)."""
+    import duckdb
+
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        sql_weighted_mixture,
+        weighted_mixture_sample,
+    )
+
+    rows = [(i, "o'reilly" if i % 2 else "web") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = weighted_mixture_sample(df, {"o'reilly": 1.0}, default_rate=0.0)
+    assert kept.count() == 10
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    pred = sql_weighted_mixture({"o'reilly": 1.0}, default_rate=0.0)
+    assert con.execute(f"SELECT count(*) FROM docs WHERE {pred}").fetchone()[0] == 10
+
+
 # --- PII redaction ------------------------------------------------------------
 
 

@@ -245,3 +245,37 @@ def test_rrf_fuse_wrapper_unchanged_shape(spark):
     by_id = {r.doc_id: r for r in out.collect()}
     assert by_id[2].rrf_r == 1.0 / 62 + 1.0 / 61
     assert by_id[1].rrf_r == 1.0 / 61 and by_id[1].vec_rnk is None
+
+
+def test_quoted_term_is_sql_safe_and_parity_exact(spark):
+    """A term containing a single quote is matchable on the Spark side
+    (normalization keeps apostrophes), so the oracle must escape it, not
+    emit broken SQL."""
+    import duckdb
+
+    rows = [(0, "don't panic"), (1, "dont panic"), (2, "panic")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.score) for r in R.bm25_scored(docs, ["don't"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'don''t panic'), (1, 'dont panic'), (2, 'panic')"
+        ") t(doc_id, text)"
+    )
+    want = sorted(con.execute(R.sql_bm25_scored(["don't"])).fetchall())
+    assert got == want
+    assert got[0][1] > 0.0  # doc 0 actually matched
+
+
+def test_id_col_collision_with_internal_names_is_bind_error(spark):
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+
+    docs = spark.createDataFrame([(0, "a b")], "dl long, text string")
+    with pytest.raises(BindError, match="collides"):
+        R.bm25_scored(docs, ["a"], id_col="dl")
+    with pytest.raises(BindError, match="collides"):
+        R.bm25_phrase_scored(docs, ["a b"], id_col="tf_0")
