@@ -482,3 +482,46 @@ def test_replay_time_resolution_is_probe_free_and_prunes(tmp_path, sf_dir):
     )
     assert s0 >= 101 and s1 <= 300  # pruned to the covering groups
     assert s0 <= 101 and s1 >= 200  # still a superset of the true range
+
+
+def test_replay_time_resolution_includes_statless_groups(tmp_path):
+    """A row group whose ts column is ALL NULL carries no min/max
+    statistics — the resolver must include its event_id range
+    conservatively (its rows are excluded later by read()'s exact filter),
+    never prune it; and a file whose event_id stats are missing must widen
+    to the full range rather than guess."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_nats_jetstream_spark.sources.nats_source import (
+        ParquetReplayTransport,
+        _opt_ts_us,
+    )
+
+    base_ns = 1_704_067_200 * 10**9
+    n = 200
+    path = str(tmp_path / "nullgroup.parquet")
+    # rows 0..99: real ts; rows 100..199: all-NULL ts (second row group)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base_ns + i * 10**9 for i in range(100)] + [None] * 100,
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([0] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        path,
+        row_group_size=100,
+    )
+    t = ParquetReplayTransport(path, "events")
+    first, last = t.stream_info()
+    s0, s1 = t.resolve_time_bounds(
+        first, last, _opt_ts_us("2024-01-01T00:00:10"), _opt_ts_us("2024-01-01T00:00:20")
+    )
+    # superset must cover the qualifying rows AND the stats-less group
+    assert s0 <= 11 and s1 == last

@@ -330,3 +330,99 @@ def test_bpe_oracle_survives_merge_exhaustion(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     want = sorted(map(tuple, con.execute(sql_bpe_token_counts(rounds=5)).fetchall()))
     assert got == want and len(got) > 0
+
+
+# --- retrieval: n-gram builder + phrase BM25 (r11) -----------------------------
+
+_VOCAB = ["fast", "scan", "join", "a", "b", ""]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=12),
+    st.integers(1, 4),
+)
+def test_sql_ngrams_matches_python_sliding_window(toks, n):
+    """DuckDB `_sql_ngrams(n)` over a 1-indexed list column must equal the
+    Python sliding window (empty below n tokens) — including empty-string
+    tokens, which TX.tokens emits for empty text."""
+    import duckdb
+
+    from duckdb_nats_jetstream_spark.operators.retrieval import _sql_ngrams
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_sql_ngrams(n)} FROM (SELECT $1::VARCHAR[] AS toks)", [toks]
+    ).fetchone()[0]
+    want = (
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if len(toks) >= n
+        else []
+    )
+    assert got == want
+
+
+def _py_phrase_bm25(texts, phrases, k1=1.5, b=0.75):
+    """Pure-Python mirror of bm25_phrase_scored: phrase tf over the n-gram
+    window, document length in TOKENS, SAME operation order (bit-exact)."""
+    toks = [t.split(" ") for t in texts]
+    n = len(texts)
+    dls = [len(tk) for tk in toks]
+    avgdl = float(sum(dls)) / n
+
+    def tf_of(tk, phrase):
+        w = phrase.split(" ")
+        m = len(w)
+        if len(tk) < m:
+            return 0
+        return sum(1 for i in range(len(tk) - m + 1) if tk[i : i + m] == w)
+
+    dfs = [sum(1 for tk in toks if tf_of(tk, p) > 0) for p in phrases]
+    out = []
+    for tk, dl in zip(toks, dls):
+        score = 0.0
+        for p, df in zip(phrases, dfs):
+            tf = tf_of(tk, p)
+            idf = (n - df + 0.5) / (df + 0.5)
+            denom = tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+            score = score + idf * (tf * (k1 + 1.0)) / denom
+        out.append(score)
+    return out
+
+
+_WORDS = ["fast", "scan", "join", "hash", "x"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3).map(" ".join),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_sql_phrase_bm25_matches_python_reference(texts, phrases):
+    """The DuckDB phrase-BM25 oracle must match the Python reference
+    BIT-EXACTLY on arbitrary small corpora (same op order throughout) —
+    the same contract the driver's hash-compare enforces for the Spark
+    twin at sf0.01."""
+    import duckdb
+
+    from duckdb_nats_jetstream_spark.operators.retrieval import (
+        sql_bm25_phrase_scored,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = dict(con.execute(sql_bm25_phrase_scored(phrases)).fetchall())
+    want = {i: s for i, s in enumerate(_py_phrase_bm25(texts, phrases))}
+    assert got == want
