@@ -38,10 +38,11 @@ from duckdb_nats_jetstream_spark.operators.similarity import (
 def semantic_dedup_pruned(
     df: DataFrame,
     threshold: float = 0.4,
-    n_bits: int = 6,
+    n_bits: int | None = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Rows to PRUNE: any vector with a lower-id neighbor in the same SRP
     bucket at cosine ≥ ``threshold``. Keeping the lowest id per duplicate
@@ -52,12 +53,30 @@ def semantic_dedup_pruned(
     ``n_dups`` counts the lower-id near-duplicates that condemned the row
     (audit signal: heavily duplicated regions have n_dups ≫ 1).
 
+    ``n_bits=None`` AUTO-SIZES to the batch-23 recipe
+    ``ceil(log2(N / target_bucket_rows))`` (floor 1): expected bucket size
+    stays ~``target_bucket_rows`` as the corpus grows, so the bucket-local
+    O(c²) cosine work stays bounded per task. A PINNED bit count grows c
+    linearly with N and the work quadratically — the r11 two-decade sweep
+    measured exactly that (e2 = 1.79 at 100× under the pinned 6 bits vs
+    flat under auto; SCALING batch 35). The registry query keeps 6 pinned
+    because bits select bucket MEMBERSHIP — the oracle must compute the
+    same buckets — and the sf0.01 fixture sits near the recipe's own
+    output for that N anyway. Auto-sizing costs one ``count()`` job.
+
     Recall caveat (same as every blocked method, documented not hidden): a
     near-dup pair split across buckets is missed; at 1 − cos ≤ 0.6 and 6
     bits the per-pair collision probability is (1 − θ/π)^6 — raise recall
     with fewer bits (bigger buckets) or OR-amplification over bands, the
-    same dial as `dedup.minhash_lsh_pairs`.
+    same dial as `dedup.minhash_lsh_pairs`. Under auto-sizing, recall per
+    pair FALLS as the corpus grows (more bits) — the SemDeDup trade: pick
+    target_bucket_rows by the recall you need, then the cost is bounded.
     """
+    if n_bits is None:
+        import math
+
+        n = df.count()
+        n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket_rows)))
     b = with_srp_bucket(df, vec_col=vec_col, n_bits=n_bits, dim=dim).select(
         F.col(id_col),
         F.col("bucket"),
