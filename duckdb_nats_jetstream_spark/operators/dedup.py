@@ -468,7 +468,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.8,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """All-pairs cosine near-duplicates, fully distributed.
 
@@ -483,14 +484,23 @@ def embedding_near_dup_pairs(
     Scale shape: NO driver-side collect/broadcast of the corpus (the r01
     design's scale-killer — driver memory bounded the corpus). Shuffle
     volume is n_blocks × corpus; per-task memory is two blocks of
-    corpus/n_blocks vectors, so ``n_blocks`` is the knob that trades
-    replication for task memory: pick n_blocks ≈ corpus_bytes / (target
-    task block of a few hundred MB). The compute is intrinsically N²/2
-    dot products however executed — for corpora beyond a few million
-    vectors use the SRP-bucketed approximate path
+    corpus/n_blocks vectors PLUS their (corpus/n_blocks)² cosine matrix —
+    the matrix dominates, so ``n_blocks`` defaults to the SAME two-dial
+    AUTO-BLOCKING as :func:`similarity.knn_join` (r10's fix there; the
+    r11 two-decade sweep showed the fixed 8 here meant a ~5 GB per-task
+    matrix at the 100× replica — the identical defect): (a) memory —
+    ``ceil(N / target_block_rows)`` caps the matrix at
+    ~``target_block_rows``² doubles (134 MB at the 4096 default);
+    (b) parallelism — the smallest b with b(b+1)/2 ≥ 2×defaultParallelism.
+    Pass an int to pin (blocking is execution-only: any n_blocks gives
+    bit-identical results). The compute stays intrinsically N²/2 dot
+    products however executed — for corpora beyond a few million vectors
+    use the SRP-bucketed approximate path
     (``operators.similarity.with_srp_bucket``) instead of exact all-pairs.
     Returns (id_a, id_b, cos_r).
     """
+    import math
+
     import numpy as np
 
     from duckdb_nats_jetstream_spark.functions.vector_np import (
@@ -498,6 +508,12 @@ def embedding_near_dup_pairs(
         fold_norms,
     )
 
+    if n_blocks is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        b = 2
+        while b * (b + 1) // 2 < 2 * par:
+            b += 1
+        n_blocks = max(b, math.ceil(df.count() / target_block_rows))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rows = df.select(F.col(id_col), F.col(vec_col), blk.alias("blk"))
     # each row participates in every block pair containing its block:

@@ -183,10 +183,11 @@ def _prune_within_block(
 def semantic_dedup_pruned_kmeans(
     df: DataFrame,
     threshold: float = 0.4,
-    k: int = 8,
+    k: int | None = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """The paper-faithful SemDeDup blocking: k-means clusters (two
     distributed Lloyd iterations, `operators.kmeans`) instead of SRP
@@ -196,8 +197,24 @@ def semantic_dedup_pruned_kmeans(
     Trade vs the SRP variant: clusters adapt to the data distribution
     (better recall for the same block count on clustered corpora) at the
     cost of the clustering passes; SRP needs no training at all. Both are
-    one blocked self-join after assignment."""
+    one blocked self-join after assignment.
+
+    ``k=None`` AUTO-SIZES to ``ceil(N / target_bucket_rows)`` (floor 2) —
+    the same hold-the-expected-block-size recipe as the SRP variant's
+    ``n_bits=None`` (batch 23 / r11 batch 35): a pinned k lets the mean
+    cluster grow linearly with the corpus and the cluster-local O(c²)
+    cosine work quadratically. Unlike SRP buckets, k-means clusters are
+    NOT balanced — a dense region can still concentrate a cluster well
+    above the mean, so for skew-prone corpora pair the auto-k with the
+    SRP variant as a cap check. k changes cluster MEMBERSHIP (a recall
+    dial, like bits), which is why the registry query pins it for its
+    oracle."""
+    import math
+
     from duckdb_nats_jetstream_spark.operators.kmeans import kmeans_assignments
+
+    if k is None:
+        k = max(2, math.ceil(df.count() / target_bucket_rows))
 
     a = kmeans_assignments(df, k, vec_col, id_col, dim).select(
         id_col, F.col("cluster_iter2").alias("cluster")

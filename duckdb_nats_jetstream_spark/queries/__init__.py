@@ -69,11 +69,17 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: ``sim_hybrid_rrf3`` (NEW: three-signal fusion with the phrase-BM25
 #: generator), and ``nats_source_scan`` (the replay transport's
 #: stats-based time-bound resolution; never clearable — Python data
-#: source). ``text_bm25_topk`` CLEARED on scheme-8 plan+closure equality
-#: (the _bm25_from_base factoring is expression-identical), with the
-#: regenerated 162/162 PARITY_EVIDENCE stamp. The three head entries
-#: displace the three youngest r08 greens (text_token_frequency,
-#: text_tfidf_topk, docs_hash_sample), so the post-r11 histogram still
+#: source), and ``dedup_embedding_cosine`` (the r11 two-decade sweep's
+#: pinned-dial fix: n_blocks now auto-derives, which adds a count() job
+#: and changes the blocking constant — a REAL plan change, honest
+#: re-queue). Everything else the r11 session edited cleared on
+#: scheme-8 plan+closure equality with the regenerated 162/162
+#: PARITY_EVIDENCE stamp (the _bm25_from_base factoring, the retrieval/
+#: sampling/hll/kmv oracle quote-escaping — byte-identical SQL for
+#: quote-free inputs — and the semantic.py auto-dial signatures whose
+#: defaults pin the old behavior). The four head entries displace the
+#: four r08 greens (text_token_frequency, text_tfidf_topk,
+#: docs_hash_sample, text_stats), so the post-r11 histogram still
 #: contains nothing older than r08-green.
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
@@ -87,6 +93,7 @@ _PREFIX_R11 = [
     "sim_hybrid_rrf",
     "sim_hybrid_rrf3",
     "nats_source_scan",
+    "dedup_embedding_cosine",
     "rel_hist_quantiles",
     "scan_daily_dashboard",
     "scan_sessionization",
@@ -133,7 +140,6 @@ _PREFIX_R11 = [
     "rel_array_hof",
     "rel_array_agg",
     "corpus_clean",
-    "text_stats",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

@@ -445,3 +445,50 @@ def test_semantic_dedup_auto_bits_follows_recipe(spark, sf_dir):
         for r in SD.semantic_dedup_pruned(emb, n_bits=bits).collect()
     )
     assert auto == pinned and len(auto) > 0
+
+
+def test_near_dup_auto_blocking_is_execution_only(spark, sf_dir):
+    """n_blocks=None auto-derives blocking (r11: the fixed 8 meant a ~5 GB
+    per-task cosine matrix at the 100x replica — the same defect knn_join's
+    r10 fix removed). Blocking must never change results: auto, pinned-8,
+    and pinned-3 are bit-identical."""
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+    from duckdb_nats_jetstream_spark.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    runs = [
+        sorted(
+            tuple(r)
+            for r in D.embedding_near_dup_pairs(
+                emb, threshold=0.4, n_blocks=nb
+            ).collect()
+        )
+        for nb in (None, 8, 3)
+    ]
+    assert runs[0] == runs[1] == runs[2] and len(runs[0]) > 0
+
+
+def test_semantic_kmeans_auto_k_follows_recipe(spark, sf_dir):
+    """k=None auto-sizes to ceil(N / target_bucket_rows) (floor 2) and must
+    equal the explicitly pinned run exactly (k is a recall dial — the auto
+    path must be the recipe, nothing else)."""
+    import math
+
+    from duckdb_nats_jetstream_spark.operators import semantic as SD
+    from duckdb_nats_jetstream_spark.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    target = max(1, n // 4)
+    k = max(2, math.ceil(n / target))
+    auto = sorted(
+        (r.vec_id, r.cluster, r.n_dups)
+        for r in SD.semantic_dedup_pruned_kmeans(
+            emb, k=None, target_bucket_rows=target
+        ).collect()
+    )
+    pinned = sorted(
+        (r.vec_id, r.cluster, r.n_dups)
+        for r in SD.semantic_dedup_pruned_kmeans(emb, k=k).collect()
+    )
+    assert auto == pinned and len(auto) > 0
