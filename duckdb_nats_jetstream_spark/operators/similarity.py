@@ -171,6 +171,52 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (id < ``query_max_id``), the top-``k`` most-similar corpus
+    vectors with a DIFFERENT label — the maximally confusable non-matches
+    that make the strongest negatives in a triplet/InfoNCE batch.
+
+    Same plan as :func:`cosine_topk` (bounded query broadcast × one
+    corpus scan, per-query window over the scored pairs) with the label
+    anti-predicate pushed into the broadcast-join condition, so rejected
+    pairs never leave the join. A pair is a negative only when BOTH
+    labels are KNOWN and different — the training-safe definition: an
+    unlabeled candidate might be a positive, and mining it as a negative
+    poisons the contrastive loss, so NULL labels are excluded on either
+    side (a NULL-label query mines nothing; pre-filter or pseudo-label
+    first). The explicit isNotNull guards also keep the ``!=`` total.
+    Returns (query_id, neighbor_id, rnk, cos_r).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
+    )
+    queries = base.filter(F.col(id_col) < query_max_id)
+    scored = _scored_pairs(
+        queries,
+        base,
+        id_col,
+        extra_cond=(
+            F.col("q.lbl").isNotNull()
+            & F.col("c.lbl").isNotNull()
+            & (F.col("q.lbl") != F.col("c.lbl"))
+        ),
+        dim=dim,
+    )
+    return _rank_topk(scored, k)
+
+
 def _d2(X, C):
     """Squared euclidean distances, ||x||² - 2x·c + ||c||² matmul form —
     one BLAS gemm instead of an n×k×dim broadcast temp (the difference

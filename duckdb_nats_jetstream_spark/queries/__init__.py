@@ -78,9 +78,12 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: sampling/hll/kmv oracle quote-escaping — byte-identical SQL for
 #: quote-free inputs — and the semantic.py auto-dial signatures whose
 #: defaults pin the old behavior). The four head entries displace the
-#: four r08 greens (text_token_frequency, text_tfidf_topk,
-#: docs_hash_sample, text_stats), so the post-r11 histogram still
-#: contains nothing older than r08-green.
+#: five r08 greens (text_token_frequency, text_tfidf_topk,
+#: docs_hash_sample, text_stats, corpus_clean — the fifth displaced by
+#: ``sim_hard_negatives``, the round's second new registration:
+#: label-aware hard-negative mining, never-green so it heads the
+#: prefix), so the post-r11 histogram still contains nothing older
+#: than r08-green.
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
 #: ``tests/test_registry_freshness.py::test_prefix_matches_recommendation``
@@ -94,6 +97,7 @@ _PREFIX_R11 = [
     "sim_hybrid_rrf3",
     "nats_source_scan",
     "dedup_embedding_cosine",
+    "sim_hard_negatives",
     "rel_hist_quantiles",
     "scan_daily_dashboard",
     "scan_sessionization",
@@ -139,7 +143,6 @@ _PREFIX_R11 = [
     "rel_waiting_suppliers",
     "rel_array_hof",
     "rel_array_agg",
-    "corpus_clean",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

@@ -158,8 +158,42 @@ FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10
 """
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training data op): for each of
+    the first 10 query vectors, the top-5 most-similar vectors with a
+    KNOWN-DIFFERENT label (NULL labels excluded on both sides — an
+    unlabeled candidate might be a positive; see the operator docstring).
+    The anti-predicate lives inside the broadcast join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.hard_negative_topk(emb, query_max_id=10, k=5)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding AS v,
+         sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM base WHERE vec_id < 10),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos
+  FROM q JOIN base c
+    ON q.vec_id != c.vec_id
+   AND q.label IS NOT NULL AND c.label IS NOT NULL AND q.label != c.label
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, cos AS cos_r
+FROM r WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "text_bm25_topk": (text_bm25_topk, BM25_TOPK_SQL),
     "sim_hybrid_rrf": (sim_hybrid_rrf, HYBRID_RRF_SQL),
     "sim_hybrid_rrf3": (sim_hybrid_rrf3, HYBRID_RRF3_SQL),
+    "sim_hard_negatives": (sim_hard_negatives, HARD_NEGATIVES_SQL),
 }

@@ -279,3 +279,34 @@ def test_id_col_collision_with_internal_names_is_bind_error(spark):
         R.bm25_scored(docs, ["a"], id_col="dl")
     with pytest.raises(BindError, match="collides"):
         R.bm25_phrase_scored(docs, ["a b"], id_col="tf_0")
+
+
+def test_hard_negative_topk_excludes_same_label_and_handles_null(spark):
+    """Hard-negative mining: the nearest SAME-label vector must never
+    appear (even at cosine 1.0); NULL labels follow IS DISTINCT FROM —
+    NULL labels are excluded on BOTH sides (training-safe: an unlabeled
+    candidate might be a positive), so a NULL-label query mines nothing."""
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "a"),      # query
+        (1, [1.0, 0.0], "a"),      # identical but same label -> excluded
+        (2, [0.9, 0.1], "b"),      # best legal negative
+        (3, [0.0, 1.0], "b"),      # orthogonal negative
+        (4, [1.0, 0.0], None),     # NULL label: never a negative
+        (5, [0.5, 0.5], None),     # NULL-label query (id < query_max_id? no)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = hard_negative_topk(df, query_max_id=1, k=3, dim=2).collect()
+    got = [(r.query_id, r.neighbor_id) for r in out]
+    assert (0, 1) not in got and (0, 4) not in got
+    assert [n for _q, n in got] == [2, 3]  # ranked by cosine desc
+
+    # NULL-label query mines nothing; labeled queries never mine NULL rows
+    out2 = hard_negative_topk(df, query_max_id=6, k=10, dim=2).collect()
+    assert not [r for r in out2 if r.query_id in (4, 5)]
+    assert not [r for r in out2 if r.neighbor_id in (4, 5)]
