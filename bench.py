@@ -110,7 +110,36 @@ def warm_up(spark, sf_dir: str) -> None:
     ).write.mode("overwrite").format("noop").save()
 
 
+def _settle_gate(max_wait_s: float = 150.0, target_load1: float = 8.0) -> None:
+    """Wait (bounded) for the host to settle before timing starts.
+
+    The r11 session REPRODUCED the r10 driver-shot inflation on demand: a
+    fresh ``bench.py`` launched seconds after a 12-minute full-pytest JVM
+    exited measured 132.7 s with UNIFORM-slow per-attempt arrays on the
+    same Arrow-heavy mover family (sim_cosine_topk [2.99, 2.30, 2.52] vs
+    its 0.49 s steady state), while the identical binary minutes later
+    sat in the 106.8–110.8 s trio band — post-heavy-session host state
+    (memory reclaim / cache writeback / frequency recovery), not plan
+    cost. The 1-minute loadavg decays exponentially after the load is
+    gone, so waiting for it below ``target_load1`` approximates "time
+    since heavy load" and doubles as the cooldown; the wait is CAPPED so
+    a busy multi-tenant host degrades to today's behavior instead of
+    stalling, and what happened is printed for attribution."""
+    t0 = time.time()
+    waited = False
+    while time.time() - t0 < max_wait_s and os.getloadavg()[0] >= target_load1:
+        waited = True
+        time.sleep(5)
+    print(
+        f"settle gate: waited {time.time() - t0:.0f}s"
+        f" (load1={os.getloadavg()[0]:.1f}"
+        f"{', capped' if waited and os.getloadavg()[0] >= target_load1 else ''})",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
+    _settle_gate()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
