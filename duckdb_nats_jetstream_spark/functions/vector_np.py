@@ -27,11 +27,36 @@ def fold_norms(m: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
+#: Row-tile height for :func:`fold_gram`. 256 keeps the (tile × m)
+#: accumulator cache-resident across all dimension passes; the r11 sweep
+#: measured 256 → 1.47 s/block-pair vs 4.06 s for the untiled
+#: allocate-per-dim form on 4096²×64 (512 → 2.10, 1024 → 2.14, 2048 → 2.43).
+_GRAM_TILE = 256
+
+
 def fold_gram(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n, m) matrix of fold-ordered dot products between rows of a and b."""
-    acc = np.zeros((a.shape[0], b.shape[0]))
-    for i in range(a.shape[1]):
-        acc = acc + np.outer(a[:, i], b[:, i])
+    """(n, m) matrix of fold-ordered dot products between rows of a and b.
+
+    Row-tiled and in-place: per-cell the accumulation is still
+    ``for i in dims: acc[p, q] += a[p, i] * b[q, i]`` in dimension order —
+    identical IEEE op sequence to the untiled ``acc = acc + np.outer(...)``
+    form (row tiling never reorders any cell's fold) — but the working set
+    is one (tile × m) accumulator plus one scratch buffer instead of two
+    fresh (n × m) arrays per dimension (~17 GB of allocator traffic per
+    4096² block pair before this change)."""
+    n, m, d = a.shape[0], b.shape[0], a.shape[1]
+    acc = np.zeros((n, m))
+    if n == 0 or m == 0 or d == 0:
+        return acc
+    tmp = np.empty((min(_GRAM_TILE, n), m))
+    for r0 in range(0, n, _GRAM_TILE):
+        r1 = min(r0 + _GRAM_TILE, n)
+        at = a[r0:r1]
+        tile = acc[r0:r1]
+        t = tmp[: r1 - r0]
+        for i in range(d):
+            np.outer(at[:, i], b[:, i], out=t)
+            tile += t
     return acc
 
 

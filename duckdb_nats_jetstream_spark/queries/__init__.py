@@ -50,40 +50,23 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: cut get no row at all, and rows-only queries inside the prefix burn a slot
 #: on a "no_oracle" non-verdict).
 #:
-#: Round-11 allocation — the ENV-GATED registration freeze continues
+#: Round-12 allocation — the ENV-GATED registration freeze continues
 #: (spark-protobuf jar, google.protobuf, and nats-py re-checked ABSENT at
-#: the r11 open): no proto/NATS queries. The r10 verdict's rotation ask
-#: (#3) is paid IN FULL here: the 45-query stale tail (10 r06 greens +
-#: 35 r07 greens — the oldest evidence in the ledger) fits the 50-slot
-#: budget exactly once, so this prefix is pure rotation: the 45 tail
-#: entries head it in oldest-first order, followed by the 5 oldest r08
-#: greens. Post-r11 the histogram should contain nothing older than
-#: r08-green. There are no never-green oracle entries (the two
-#: multimodal rows-only queries stay in _ROWS_ONLY_LAST by design) and
-#: no honest re-queues at the r11 OPEN (the r10 snapshot tree is the
-#: code every entry's evidence vouched for). The r11 session's edits
-#: re-derived this list via ``python tools/registry_status.py
-#: --plan-check`` (PLAN_HASH SCHEME 8 — see tools/README.md): three
-#: entries now head the tail — ``sim_hybrid_rrf`` (the rrf_fuse →
-#: rrf_fuse_many generalization changed its fold plan; honest re-queue),
-#: ``sim_hybrid_rrf3`` (NEW: three-signal fusion with the phrase-BM25
-#: generator), and ``nats_source_scan`` (the replay transport's
-#: stats-based time-bound resolution; never clearable — Python data
-#: source), and ``dedup_embedding_cosine`` (the r11 two-decade sweep's
-#: pinned-dial fix: n_blocks now auto-derives, which adds a count() job
-#: and changes the blocking constant — a REAL plan change, honest
-#: re-queue). Everything else the r11 session edited cleared on
-#: scheme-8 plan+closure equality with the regenerated 162/162
-#: PARITY_EVIDENCE stamp (the _bm25_from_base factoring, the retrieval/
-#: sampling/hll/kmv oracle quote-escaping — byte-identical SQL for
-#: quote-free inputs — and the semantic.py auto-dial signatures whose
-#: defaults pin the old behavior). The four head entries displace the
-#: five r08 greens (text_token_frequency, text_tfidf_topk,
-#: docs_hash_sample, text_stats, corpus_clean — the fifth displaced by
-#: ``sim_hard_negatives``, the round's second new registration:
-#: label-aware hard-negative mining, never-green so it heads the
-#: prefix), so the post-r11 histogram still contains nothing older
-#: than r08-green.
+#: the r12 open): no proto/NATS queries. The r12 open landed the
+#: fold_gram row-tiled in-place kernel (docs/R12_PLAN.md §4; bit-equality
+#: vs the untiled form pinned in tests/test_vector_np.py), an
+#: execution-only edit to functions/vector_np.py. ``--plan-check``
+#: refused to clear exactly the TEN queries whose Arrow closures capture
+#: the kernel (the pickled UDF body is inside the plan hash):
+#: dedup_embedding_cosine, sim_ivf_topk, sim_srp_bucket_stats,
+#: sim_srp_topk, sim_knn_join, sim_bucket_centroids, dedup_semantic,
+#: sim_kmeans, dedup_semantic_kmeans, sim_pq_topk — those honest
+#: re-queues head this prefix. Every other fingerprint-touched query
+#: cleared on scheme-8 plan-hash equality backed by the regenerated
+#: 163/163 PARITY_EVIDENCE stamp on this exact tree. The remaining 40
+#: slots are pure rotation, oldest-green first (r08 greens then the
+#: oldest r09 greens), per the r11 verdict's ask #4 — post-r12 the
+#: histogram should contain nothing older than r09-green.
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
 #: ``tests/test_registry_freshness.py::test_prefix_matches_recommendation``
@@ -92,57 +75,57 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: (fingerprint-at-clear, hash equality, own-segment guard) on each run.
 #: Rows-only (no-oracle) queries sit at the VERY END of the registry
 #: (_ROWS_ONLY_LAST): a "no_oracle" row is a wasted slot.
-_PREFIX_R11 = [
-    "sim_hybrid_rrf",
-    "sim_hybrid_rrf3",
-    "nats_source_scan",
+_PREFIX_R12 = [
     "dedup_embedding_cosine",
-    "sim_hard_negatives",
-    "rel_hist_quantiles",
-    "scan_daily_dashboard",
-    "scan_sessionization",
-    "rel_trailing_spend",
-    "rel_distinct_segments",
-    "rel_union_entities",
-    "rel_balance_ratio",
-    "rel_top_parts",
-    "rel_above_avg_customers",
-    "rel_parts_like",
-    "docs_domain_shift",
-    "docs_chunk_sequences",
-    "text_char_diversity",
-    "sim_quantize_int8",
-    "rel_forecast_revenue",
-    "docs_chunk_dedup",
-    "decon_bloom",
-    "docs_train_order",
-    "scan_funnel",
-    "scan_funnel_windowed",
-    "rel_mad_outliers",
-    "text_pmi_topk",
-    "scan_path_mining",
-    "scan_hopping_rollup",
-    "rel_kmv_intersection",
-    "docs_span_scrub",
-    "rel_grouping_sets",
-    "rel_min_cost_supplier",
-    "rel_excess_volume_suppliers",
-    "scan_session_window",
-    "scan_windowed_rollup",
-    "scan_base",
-    "scan_seq_range",
-    "scan_time_range",
-    "scan_subject_filter",
-    "scan_json_extract",
-    "scan_json_cast_agg",
-    "scan_subject_wildcard",
-    "scan_variant_extract",
-    "scan_payload_sizes",
-    "scan_gap_detection",
-    "rel_disjunctive_join",
-    "rel_waiting_suppliers",
-    "rel_array_hof",
-    "rel_array_agg",
+    "sim_ivf_topk",
+    "sim_srp_bucket_stats",
+    "sim_srp_topk",
+    "sim_knn_join",
+    "sim_bucket_centroids",
+    "dedup_semantic",
+    "sim_kmeans",
+    "dedup_semantic_kmeans",
+    "sim_pq_topk",
+    "corpus_clean",
+    "text_stats",
+    "text_token_frequency",
+    "text_tfidf_topk",
+    "docs_hash_sample",
+    "decon_ngram_overlap",
+    "text_lang_confusion",
+    "text_quality",
+    "rel_customer_order_histogram",
+    "rel_small_qty_revenue",
+    "rel_large_orders",
+    "rel_top_supplier",
+    "rel_dormant_rich_customers",
+    "rel_market_share",
+    "rel_unpivot",
+    "rel_intersect_except",
+    "rel_approx_aggs",
+    "rel_rank_functions",
+    "rel_rollup",
+    "rel_cte_sql_api",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_nation_revenue",
+    "rel_filter_matrix",
+    "rel_cast_projection",
+    "dedup_exact_groups",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "docs_winnow_fingerprints",
+    "dedup_winnow",
+    "dedup_winnow_capped",
+    "text_udtf_tokens",
+    "multimodal_features",
+    "scan_latest_per_key",
+    "text_bigram_topk",
+    "multimodal_frame_sample",
+    "multimodal_audio_stats",
+    "scan_cumulative_uniques",
+    "rel_cube_segment_nation",
+    "rel_promo_revenue",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.
@@ -180,7 +163,7 @@ def full_registry() -> Registry:
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = (fn, _resolve_oracle(sql))
 
-    prefix = _PREFIX_R11
+    prefix = _PREFIX_R12
     out: Registry = {}
     for name in prefix:
         out[name] = merged[name]

@@ -75,6 +75,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     8: "49b7369^",
     9: "972bd7f^",
     10: "866ec97^",
+    11: "4ae1364^",
 }
 
 
