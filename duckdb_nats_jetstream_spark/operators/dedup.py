@@ -507,6 +507,9 @@ def embedding_near_dup_pairs(
         fold_gram,
         fold_norms,
     )
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        block_pair_memberships,
+    )
 
     if n_blocks is None:
         par = df.sparkSession.sparkContext.defaultParallelism
@@ -522,19 +525,7 @@ def embedding_near_dup_pairs(
         id_col,
         vec_col,
         "blk",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    *[
-                        F.struct(
-                            F.least(F.col("blk"), F.lit(j)).alias("p"),
-                            F.greatest(F.col("blk"), F.lit(j)).alias("q"),
-                        )
-                        for j in range(n_blocks)
-                    ]
-                )
-            )
-        ).alias("bp"),
+        F.explode(block_pair_memberships(n_blocks)).alias("bp"),
     )
 
     def _block_pair(key, pdf):

@@ -84,6 +84,27 @@ def _require_terms(terms: Sequence[str], what: str) -> None:
         raise BindError(f"{what} requires at least one term")
 
 
+def _require_phrases(phrases: Sequence[str], what: str) -> None:
+    # bind-time (r11 ADVICE): a blank/whitespace-only phrase passed
+    # _require_terms but then emitted malformed n-gram expressions
+    # (``concat_ws(' ', )``) — a parse error instead of a BindError; and
+    # a non-canonical phrase ('hash  join', ' hash join') silently scored
+    # 0 on BOTH engines because n-grams are joined with single spaces.
+    # Reject both here. Case follows the package-wide contract (terms
+    # match NORMALIZED tokens; an uppercase term matches nothing), but a
+    # spacing mismatch is never intentional, so it fails loudly.
+    _require_terms(phrases, what)
+    for p in phrases:
+        if not p.split():
+            raise BindError(f"{what}: blank phrase {p!r}")
+        if p != " ".join(p.split()):
+            raise BindError(
+                f"{what}: phrase {p!r} is not single-space canonical — "
+                f"n-grams join tokens with one space, so it could never "
+                f"match; pass {' '.join(p.split())!r}"
+            )
+
+
 def _guard_id_col(id_col: str, n_terms: int, what: str) -> None:
     # the scored base projects (id_col, dl, tf_0..): an id column named
     # like an internal would silently shadow it (the r10 sweeps' reserved
@@ -219,7 +240,7 @@ def bm25_phrase_scored(
     Same scale shape as :func:`bm25_scored`: the n-gram arrays are
     row-local transforms (no explode), so scoring stays map-only + one
     single-row broadcast stats aggregate."""
-    _require_terms(phrases, "bm25_phrase_scored")
+    _require_phrases(phrases, "bm25_phrase_scored")
     _guard_id_col(id_col, len(phrases), "bm25_phrase_scored")
     widths = {len(p.split()) for p in phrases}
     toked = docs.select(
@@ -283,7 +304,13 @@ def rrf_fuse_many(
     if len(lists) < 2:
         raise BindError("rrf_fuse_many requires at least two ranked lists")
     outs = [out for _df, _i, _r, out in lists]
-    reserved = {"doc_id", "rrf_r"} | {f"_id{i}" for i in range(len(lists))}
+    # _cid/_cid2 are the fold's working columns (r11 ADVICE: an out_rank
+    # name of "_cid" was silently overwritten mid-chain, dropping that
+    # list's contribution without error)
+    reserved = (
+        {"doc_id", "rrf_r", "_cid", "_cid2"}
+        | {f"_id{i}" for i in range(len(lists))}
+    )
     if len(set(outs)) != len(outs) or set(outs) & reserved:
         raise BindError(
             f"rank output names must be distinct and avoid {sorted(reserved)}; "
@@ -420,7 +447,7 @@ def sql_bm25_phrase_scored(
 ) -> str:
     """DuckDB SELECT mirroring :func:`bm25_phrase_scored` (phrase tf over
     n-gram lists, document length in TOKENS)."""
-    _require_terms(phrases, "sql_bm25_phrase_scored")
+    _require_phrases(phrases, "sql_bm25_phrase_scored")
     toks = TX.sql_tokens(text_col)
     tf_cols = ", ".join(
         f"len(list_filter({_sql_ngrams(len(p.split()))}, x -> x = {_sql_str(p)}))"

@@ -492,3 +492,56 @@ def test_semantic_kmeans_auto_k_follows_recipe(spark, sf_dir):
         for r in SD.semantic_dedup_pruned_kmeans(emb, k=k).collect()
     )
     assert auto == pinned and len(auto) > 0
+
+
+def test_block_pair_memberships_plan_size_constant_in_n_blocks(spark):
+    """r11 ADVICE: the old per-row literal F.array of n_blocks struct
+    expressions grew the Catalyst tree (and codegen) linearly with the
+    auto-derived block count. The transform(sequence(...)) form must (a)
+    produce the identical membership sets and (b) keep the analyzed-plan
+    string O(1) as n_blocks grows 100x."""
+    from pyspark.sql import functions as F
+
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        block_pair_memberships,
+    )
+
+    df = spark.range(40).select((F.col("id") % 7).cast("int").alias("blk"))
+
+    def old_literal(n_blocks):
+        return F.array_distinct(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("blk"), F.lit(j)).alias("p"),
+                        F.greatest(F.col("blk"), F.lit(j)).alias("q"),
+                    )
+                    for j in range(n_blocks)
+                ]
+            )
+        )
+
+    for nb in (3, 7, 49):
+        a = sorted(
+            map(
+                tuple,
+                df.select(
+                    "blk", F.explode(block_pair_memberships(nb)).alias("bp")
+                ).select("blk", "bp.p", "bp.q").collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                df.select("blk", F.explode(old_literal(nb)).alias("bp"))
+                .select("blk", "bp.p", "bp.q").collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+    small = df.select(F.explode(block_pair_memberships(4)).alias("bp"))
+    big = df.select(F.explode(block_pair_memberships(400)).alias("bp"))
+    ps, pb = (
+        x._jdf.queryExecution().analyzed().toString() for x in (small, big)
+    )
+    assert len(pb) < len(ps) + 50, (len(ps), len(pb))

@@ -310,3 +310,40 @@ def test_hard_negative_topk_excludes_same_label_and_handles_null(spark):
     out2 = hard_negative_topk(df, query_max_id=6, k=10, dim=2).collect()
     assert not [r for r in out2 if r.query_id in (4, 5)]
     assert not [r for r in out2 if r.neighbor_id in (4, 5)]
+
+
+def test_rrf_fuse_many_reserves_working_columns(spark):
+    """r11 ADVICE: an out_rank name of '_cid' was silently overwritten by
+    the fold's own withColumn, dropping that list's rank contribution
+    without error; '_cid2' collided mid-chain. Both now BindError."""
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rnk long")
+    for bad in ("_cid", "_cid2"):
+        with pytest.raises(BindError, match="distinct and avoid"):
+            R.rrf_fuse_many(
+                [(a, "doc_id", "rnk", bad), (a, "doc_id", "rnk", "r2")]
+            )
+
+
+def test_phrase_builders_reject_blank_and_noncanonical(spark):
+    """r11 ADVICE: a whitespace-only phrase passed the empty-list guard but
+    emitted malformed expressions (parse error, not BindError); 'hash  join'
+    (double space) silently scored 0 on both engines because n-grams join
+    tokens with single spaces. Both reject at bind time now, on BOTH the
+    Spark builder and the SQL mirror."""
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+
+    docs = spark.createDataFrame([(1, "hash join plans")], "doc_id long, text string")
+    for bad, why in [("  ", "blank"), ("hash  join", "canonical"),
+                     (" hash join", "canonical"), ("hash join ", "canonical")]:
+        with pytest.raises(BindError, match=why):
+            R.bm25_phrase_scored(docs, [bad])
+        with pytest.raises(BindError, match=why):
+            R.sql_bm25_phrase_scored([bad])
+    # canonical single-space phrases still bind and score
+    assert R.bm25_phrase_scored(docs, ["hash join"]).count() == 1

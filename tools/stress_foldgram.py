@@ -40,7 +40,9 @@ def main() -> None:
     emb = spark.read.parquet(os.path.join(SF10_DIR, "embeddings.parquet"))
     emb.count()  # warm the scan
     t0 = time.perf_counter()
-    n = embedding_near_dup_pairs(emb).count()
+    # threshold=0.4 replicates the batch-35 call exactly (the default 0.8
+    # admits only the 2000 x C(100,2) within-sibling pairs = 9,900,000)
+    n = embedding_near_dup_pairs(emb, threshold=0.4).count()
     wall = time.perf_counter() - t0
     ok = n == EXPECTED_PAIRS
     print(
