@@ -61,7 +61,9 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: dedup_embedding_cosine, sim_ivf_topk, sim_srp_bucket_stats,
 #: sim_srp_topk, sim_knn_join, sim_bucket_centroids, dedup_semantic,
 #: sim_kmeans, dedup_semantic_kmeans, sim_pq_topk — those honest
-#: re-queues head this prefix. Every other fingerprint-touched query
+#: re-queues head this prefix, followed by the round's one new
+#: registration (``sim_hybrid_rrf_ann``, the IVF-candidate hybrid —
+#: never-green, r11 verdict ask #6). Every other fingerprint-touched query
 #: cleared on scheme-8 plan-hash equality backed by the regenerated
 #: 163/163 PARITY_EVIDENCE stamp on this exact tree. The remaining 40
 #: slots are pure rotation, oldest-green first (r08 greens then the
@@ -86,6 +88,7 @@ _PREFIX_R12 = [
     "sim_kmeans",
     "dedup_semantic_kmeans",
     "sim_pq_topk",
+    "sim_hybrid_rrf_ann",
     "corpus_clean",
     "text_stats",
     "text_token_frequency",
@@ -125,7 +128,6 @@ _PREFIX_R12 = [
     "multimodal_audio_stats",
     "scan_cumulative_uniques",
     "rel_cube_segment_nation",
-    "rel_promo_revenue",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

@@ -158,6 +158,62 @@ FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10
 """
 
 
+def sim_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with an ANN candidate generator: RRF-fuse the BM25
+    unigram top-100 with the IVF top-100 neighbors of vector 0 (16
+    clusters, 4 probes), keep the fused top-10. This is the corpus-scale
+    variant of ``sim_hybrid_rrf`` — at 100 TB the exact ``cosine_topk``
+    generator scans every vector per query, while IVF touches the corpus
+    with ONE assignment map and then only the probed fraction
+    (n_probe/n_clusters) of the candidate join (see
+    :func:`operators.similarity.ivf_topk`); the fusion itself is the same
+    bounded-lists full-outer chain either way. Closes the gap between the
+    PIPELINE_GUIDE retrieval recipe (which prescribes IVF candidates at
+    corpus scale) and what the registry verifies end-to-end (r11 verdict
+    ask #6). Oracle: the IVF leg embeds the deterministically re-trained
+    codebook as literals (the ``sim_ivf_topk`` trick), so the whole fusion
+    stays hash-parity checkable."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = R.bm25_topk(docs, _QUERY_TERMS, topk=100)
+    ann = S.ivf_topk(emb, query_max_id=1, k=100, n_clusters=16, n_probe=4)
+    return R.rrf_fuse_many(
+        [
+            (lex, "doc_id", "rnk", "lex_rnk"),
+            (ann, "neighbor_id", "rnk", "ann_rnk"),
+        ],
+        topk=10,
+    )
+
+
+def _hybrid_rrf_ann_sql() -> str:
+    """Lazy oracle (the ``_ivf_sql`` pattern): the IVF leg's embedded
+    codebook must be trained on the SF the oracle runs against, so this
+    builds at registry-resolve time against ``SPARK_GRAFT_ORACLE_SF_DIR``.
+    Fusion term order matches ``rrf_fuse_many``'s left-to-right sum
+    (lex, then ann) so every IEEE rounding step agrees."""
+    import os
+
+    ivf = S.sql_ivf_topk(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        query_max_id=1, k=100, n_clusters=16, n_probe=4,
+    )
+    return f"""
+WITH lex AS ({R.sql_bm25_topk(_QUERY_TERMS, topk=100, where="doc_id != 0")}),
+ann AS (SELECT neighbor_id, rnk AS ann_rnk FROM ({ivf})),
+fused AS (
+  SELECT coalesce(lex.doc_id, ann.neighbor_id) AS doc_id,
+         lex.rnk AS lex_rnk, ann.ann_rnk,
+         coalesce(CAST(1 AS DOUBLE) / ({_RRF} + lex.rnk), CAST(0 AS DOUBLE))
+           + coalesce(CAST(1 AS DOUBLE) / ({_RRF} + ann.ann_rnk),
+                      CAST(0 AS DOUBLE)) AS rrf_r
+  FROM lex FULL OUTER JOIN ann ON lex.doc_id = ann.neighbor_id
+)
+SELECT doc_id, lex_rnk, ann_rnk, rrf_r
+FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10
+"""
+
+
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (contrastive-training data op): for each of
     the first 10 query vectors, the top-5 most-similar vectors with a
@@ -195,5 +251,6 @@ QUERIES = {
     "text_bm25_topk": (text_bm25_topk, BM25_TOPK_SQL),
     "sim_hybrid_rrf": (sim_hybrid_rrf, HYBRID_RRF_SQL),
     "sim_hybrid_rrf3": (sim_hybrid_rrf3, HYBRID_RRF3_SQL),
+    "sim_hybrid_rrf_ann": (sim_hybrid_rrf_ann, _hybrid_rrf_ann_sql),
     "sim_hard_negatives": (sim_hard_negatives, HARD_NEGATIVES_SQL),
 }

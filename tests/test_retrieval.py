@@ -347,3 +347,18 @@ def test_phrase_builders_reject_blank_and_noncanonical(spark):
             R.sql_bm25_phrase_scored([bad])
     # canonical single-space phrases still bind and score
     assert R.bm25_phrase_scored(docs, ["hash join"]).count() == 1
+
+
+def test_hybrid_rrf_ann_query_shape(spark, sf_dir):
+    """The ANN-backed hybrid (r11 verdict ask #6): same fused contract as
+    sim_hybrid_rrf but with IVF candidates — bounded output, descending
+    fused score, no self-retrieval, and ann ranks within the top-100 ask."""
+    from duckdb_nats_jetstream_spark.queries.pipeline6 import sim_hybrid_rrf_ann
+
+    out = sim_hybrid_rrf_ann(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    assert all(r.doc_id != 0 for r in out)
+    vals = [r.rrf_r for r in out]
+    assert vals == sorted(vals, reverse=True)
+    assert all(r.lex_rnk is not None or r.ann_rnk is not None for r in out)
+    assert all(r.ann_rnk is None or 1 <= r.ann_rnk <= 100 for r in out)
