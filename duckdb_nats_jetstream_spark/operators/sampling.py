@@ -233,3 +233,53 @@ def stratified_hash_topn(
     kept.unpersist(blocking=True)
     counts.unpersist(blocking=True)
     return out
+
+
+def quota_topk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    per_group: int,
+    topk: int,
+    id_col: str = "doc_id",
+    rank_col: str = "grp_rank",
+) -> DataFrame:
+    """Quota-capped top-k selection: the global top-``topk`` rows by
+    ``order_col`` (descending, ``id_col`` tie-break) under the constraint
+    that no single ``group_col`` value contributes more than
+    ``per_group`` rows — the curation shape that stops one domain/source
+    from monopolizing a quality-ranked training slice (the score-ordered
+    sibling of :func:`stratified_hash_topn`'s uniform quotas).
+
+    Plan: one window ranks rows within their group (shuffle keyed on the
+    group — the partitioning the cap is defined over), the cap filter
+    drops everything past ``per_group`` BEFORE the global selection, and
+    the final ``orderBy(...).limit(topk)`` plans TakeOrderedAndProject
+    (per-partition heaps + a k-row driver merge, never a full sort). At
+    most ``per_group × n_groups`` rows survive the window; the global
+    step reduces map-side to ``topk`` per partition. Skew caveat: a
+    single giant group funnels through one window task — the same
+    limitation stratified_hash_topn solves with its hash prefilter; a
+    score-ordered prefilter needs a score-distribution sketch instead
+    (per-group approx quantile threshold) and is not built here.
+
+    NULL policy: window partitioning keys treat NULL as a group, so
+    unattributed rows compete under their own cap (consistent with the
+    module's NULL-stratum policy). NULL scores sort LAST under the
+    descending order on both engines (Spark NULLS LAST default; the
+    oracle mirror must say ``NULLS LAST`` explicitly: DuckDB default is
+    NULLS FIRST on DESC). Returns the input columns plus ``rank_col``
+    (the within-group rank), ordered by the global selection order.
+    """
+    if rank_col in df.columns:
+        raise ValueError(
+            f"quota_topk: rank_col {rank_col!r} collides with an input column"
+        )
+    w = W.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    capped = (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= per_group)
+    )
+    return capped.orderBy(F.col(order_col).desc(), F.col(id_col)).limit(topk)

@@ -242,6 +242,74 @@ def hard_negative_topk(
     return _rank_topk(scored, k)
 
 
+def contrastive_triplets(
+    df: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Contrastive training triplets: for each anchor vector (id <
+    ``query_max_id``), the single best POSITIVE (same label, highest
+    cosine) paired with the top-``k`` HARD NEGATIVES (different label,
+    highest cosine) — the (anchor, positive, hard-negative) rows a
+    triplet/InfoNCE loss consumes directly.
+
+    One corpus scan serves both candidate classes: the bounded anchor set
+    broadcasts against the corpus once (labels known on both sides — the
+    same training-safe NULL policy as :func:`hard_negative_topk`), each
+    pair is classed positive/negative by label equality, and a single
+    window over (anchor, class) ranks both classes in one pass. The
+    positive top-1 and negative top-k are then joined per anchor — two
+    k-bounded lists, broadcast-trivial at any corpus size. An anchor with
+    no same-label candidate yields no rows (a triplet needs all three
+    legs). Returns (query_id, pos_id, pos_cos, neg_id, rnk, neg_cos).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)).alias("nrm"),
+    )
+    queries = base.filter(F.col(id_col) < query_max_id)
+    cond = (
+        F.col(f"q.{id_col}") != F.col(f"c.{id_col}")
+    ) & F.col("q.lbl").isNotNull() & F.col("c.lbl").isNotNull()
+    score = dot(F.col("q.v"), F.col("c.v"), dim) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    scored = (
+        F.broadcast(queries.alias("q"))
+        .join(base.alias("c"), cond)
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("cand_id"),
+            (F.col("q.lbl") == F.col("c.lbl")).alias("is_pos"),
+            score.alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id", "is_pos").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("is_pos") & (F.col("rn") == 1)).select(
+        "query_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = ranked.filter(~F.col("is_pos") & (F.col("rn") <= k)).select(
+        "query_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("rn").cast("long").alias("rnk"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "pos_id", "pos_cos", "neg_id", "rnk", "neg_cos"
+    )
+
+
 def _d2(X, C):
     """Squared euclidean distances, ||x||² - 2x·c + ||c||² matmul form —
     one BLAS gemm instead of an n×k×dim broadcast temp (the difference

@@ -62,8 +62,10 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: sim_srp_topk, sim_knn_join, sim_bucket_centroids, dedup_semantic,
 #: sim_kmeans, dedup_semantic_kmeans, sim_pq_topk — those honest
 #: re-queues head this prefix, followed by the round's one new
-#: registration (``sim_hybrid_rrf_ann``, the IVF-candidate hybrid —
-#: never-green, r11 verdict ask #6). Every other fingerprint-touched query
+#: registrations (never-green): ``sim_hybrid_rrf_ann`` (the
+#: IVF-candidate hybrid, r11 verdict ask #6), ``sim_contrastive_triplets``
+#: (anchor/positive/hard-negative rows for a triplet loss), and
+#: ``docs_quota_topk`` (per-language-capped quality top-k). Every other fingerprint-touched query
 #: cleared on scheme-8 plan-hash equality backed by the regenerated
 #: 163/163 PARITY_EVIDENCE stamp on this exact tree. The remaining 40
 #: slots are pure rotation, oldest-green first (r08 greens then the
@@ -89,6 +91,8 @@ _PREFIX_R12 = [
     "dedup_semantic_kmeans",
     "sim_pq_topk",
     "sim_hybrid_rrf_ann",
+    "sim_contrastive_triplets",
+    "docs_quota_topk",
     "corpus_clean",
     "text_stats",
     "text_token_frequency",
@@ -126,8 +130,6 @@ _PREFIX_R12 = [
     "text_bigram_topk",
     "multimodal_frame_sample",
     "multimodal_audio_stats",
-    "scan_cumulative_uniques",
-    "rel_cube_segment_nation",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

@@ -247,10 +247,84 @@ FROM r WHERE rn <= 5
 """
 
 
+def sim_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet generation: for each of the first 10 anchor
+    vectors, the best same-label positive joined with the top-5
+    different-label hard negatives — the rows a triplet/InfoNCE loss
+    consumes directly. One corpus scan serves both candidate classes
+    (see :func:`operators.similarity.contrastive_triplets`)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.contrastive_triplets(emb, query_max_id=10, k=5)
+
+
+CONTRASTIVE_TRIPLETS_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding AS v,
+         sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM base WHERE vec_id < 10),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         (q.label = c.label) AS is_pos,
+         {sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos
+  FROM q JOIN base c
+    ON q.vec_id != c.vec_id
+   AND q.label IS NOT NULL AND c.label IS NOT NULL
+), r AS (
+  SELECT query_id, cand_id, is_pos, cos,
+         row_number() OVER (PARTITION BY query_id, is_pos
+                            ORDER BY cos DESC, cand_id) AS rn
+  FROM s
+), pos AS (
+  SELECT query_id, cand_id AS pos_id, cos AS pos_cos
+  FROM r WHERE is_pos AND rn = 1
+), neg AS (
+  SELECT query_id, cand_id AS neg_id, CAST(rn AS BIGINT) AS rnk,
+         cos AS neg_cos
+  FROM r WHERE NOT is_pos AND rn <= 5
+)
+SELECT p.query_id, p.pos_id, p.pos_cos, n.neg_id, n.rnk, n.neg_cos
+FROM pos p JOIN neg n ON p.query_id = n.query_id
+"""
+
+
+def docs_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-capped quality selection: the global top-50 documents by
+    length (a stand-in quality score with deterministic ties) with no
+    single language contributing more than 20 — the curation shape that
+    stops one domain from monopolizing a ranked training slice (see
+    :func:`operators.sampling.quota_topk`)."""
+    from duckdb_nats_jetstream_spark.operators.sampling import quota_topk
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return quota_topk(docs, "lang", "n_chars", per_group=20, topk=50)
+
+
+QUOTA_TOPK_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC NULLS LAST, doc_id)
+              AS BIGINT) AS grp_rank
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, grp_rank
+FROM ranked WHERE grp_rank <= 20
+ORDER BY n_chars DESC NULLS LAST, doc_id LIMIT 50
+"""
+
+
 QUERIES = {
     "text_bm25_topk": (text_bm25_topk, BM25_TOPK_SQL),
     "sim_hybrid_rrf": (sim_hybrid_rrf, HYBRID_RRF_SQL),
     "sim_hybrid_rrf3": (sim_hybrid_rrf3, HYBRID_RRF3_SQL),
     "sim_hybrid_rrf_ann": (sim_hybrid_rrf_ann, _hybrid_rrf_ann_sql),
     "sim_hard_negatives": (sim_hard_negatives, HARD_NEGATIVES_SQL),
+    "sim_contrastive_triplets": (
+        sim_contrastive_triplets,
+        CONTRASTIVE_TRIPLETS_SQL,
+    ),
+    "docs_quota_topk": (docs_quota_topk, QUOTA_TOPK_SQL),
 }

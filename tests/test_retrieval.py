@@ -362,3 +362,67 @@ def test_hybrid_rrf_ann_query_shape(spark, sf_dir):
     assert vals == sorted(vals, reverse=True)
     assert all(r.lex_rnk is not None or r.ann_rnk is not None for r in out)
     assert all(r.ann_rnk is None or 1 <= r.ann_rnk <= 100 for r in out)
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Triplet generation: positive = best SAME-label neighbor (anchor
+    excluded), negatives = top-k different-label, NULL labels excluded on
+    both sides, and an anchor with no same-label candidate yields NO rows
+    (a triplet needs all three legs)."""
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "a"),   # anchor
+        (1, [0.9, 0.1], "a"),   # best positive
+        (2, [1.0, 0.0], "a"),   # identical positive BUT id 2 > 1? cos=1.0 wins
+        (3, [0.8, 0.2], "b"),   # negative rank 1
+        (4, [0.0, 1.0], "b"),   # negative rank 2
+        (5, [1.0, 0.0], None),  # NULL label: neither leg
+        (6, [1.0, 0.0], "c"),   # lone-label anchor: no positive -> no rows
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = contrastive_triplets(df, query_max_id=1, k=3, dim=2).collect()
+    assert out, "anchor 0 has positives and negatives"
+    # identical vector 2 has cos exactly 1.0 -> beats 1 (0.9...) as positive
+    assert all(r.pos_id == 2 and r.pos_cos == 1.0 for r in out)
+    negs = sorted((r.rnk, r.neg_id) for r in out)
+    assert [n for _rk, n in negs] == [6, 3, 4]  # c-label 6 is cos 1.0 neg
+    assert all(r.neg_id != 5 for r in out)
+
+    # lone-label anchor 6: negatives exist but no positive -> zero rows
+    out6 = contrastive_triplets(df, query_max_id=7, k=3, dim=2).collect()
+    assert not [r for r in out6 if r.query_id == 5]  # NULL-label anchor
+    assert not [r for r in out6 if r.query_id == 6]  # no-positive anchor
+
+
+def test_quota_topk_cap_and_global_selection(spark):
+    """quota_topk: no group exceeds its cap, the global list is the top-k
+    of the capped survivors under (score desc, id), and the rank column
+    reports the within-group position."""
+    from duckdb_nats_jetstream_spark.operators.sampling import quota_topk
+
+    rows = [(i, "big" if i < 10 else "small", 1000 - i) for i in range(14)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = quota_topk(df, "lang", "n_chars", per_group=3, topk=5).collect()
+    assert len(out) == 5
+    from collections import Counter
+
+    by_lang = Counter(r.lang for r in out)
+    assert by_lang["big"] == 3 and by_lang["small"] == 2
+    # global order: big's top-3 scores (1000, 999, 998) then small's
+    # (990, 989); grp_rank is the within-group position
+    assert [(r.doc_id, r.grp_rank) for r in out] == [
+        (0, 1), (1, 2), (2, 3), (10, 1), (11, 2),
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collides"):
+        quota_topk(
+            df.withColumnRenamed("n_chars", "grp_rank"),
+            "lang", "grp_rank", 3, 5,
+        )
