@@ -50,14 +50,18 @@ from duckdb_nats_jetstream_spark.operators.similarity import sql_lit_f64
 __all__ = [
     "bm25_phrase_scored",
     "bm25_phrase_topk",
+    "bm25_rm3_topk",
     "bm25_scored",
     "bm25_topk",
+    "rm3_expansion_terms",
     "rrf_fuse",
     "rrf_fuse_many",
     "sql_bm25_phrase_scored",
     "sql_bm25_phrase_topk",
+    "sql_bm25_rm3_topk",
     "sql_bm25_scored",
     "sql_bm25_topk",
+    "sql_rm3_expansion_terms",
 ]
 
 #: BM25 free parameters (Robertson et al.; the usual defaults rounded to
@@ -506,3 +510,151 @@ FROM ({scored}) bm25_scored
 ORDER BY score DESC, {id_col}
 LIMIT {topk}
 """
+
+
+def rm3_expansion_terms(
+    docs: DataFrame,
+    terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 3,
+    min_len: int = 4,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str]:
+    """RM3-style pseudo-relevance-feedback expansion terms (Lavrenko &
+    Croft relevance models, simplified to a deterministic df-vote): take
+    the BM25 top-``fb_docs`` feedback documents for ``terms``, and pick
+    the ``fb_terms`` tokens (length ≥ ``min_len``, not already a query
+    term) appearing in the MOST distinct feedback documents — feedback-df
+    desc, lexicographic tie-break, so selection is a pure deterministic
+    function of the corpus that an offline oracle re-derives exactly.
+
+    The driver-side materialization is ``fb_terms`` rows selected by
+    ``limit(fb_terms)`` — bounded by construction (the same class as the
+    pinned BPE-merge / quantile / codebook pulls; tests/test_lint.py
+    allowlist). Everything corpus-sized stays distributed: the feedback
+    list is a TakeOrderedAndProject, its text re-join is a ``fb_docs``-row
+    broadcast, and the candidate explode runs over those ≤ ``fb_docs``
+    documents only.
+    """
+    _require_terms(terms, "rm3_expansion_terms")
+    fb = bm25_topk(
+        docs, terms, topk=fb_docs, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col)
+    fb_text = docs.join(F.broadcast(fb), id_col)
+    cand = (
+        fb_text.select(
+            F.col(id_col),
+            F.explode(TX.tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.length("tok") >= min_len)
+        .filter(~F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count_distinct(F.col(id_col)).alias("fb_df"))
+        .orderBy(F.col("fb_df").desc(), F.col("tok"))
+        .limit(fb_terms)
+    )
+    return [r.tok for r in cand.collect()]
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 3,
+    min_len: int = 4,
+    topk: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 with RM3 pseudo-relevance feedback: score once, mine expansion
+    terms from the top-``fb_docs`` feedback documents
+    (:func:`rm3_expansion_terms`), then re-score the corpus with the
+    original terms followed by the expansion terms (that concatenation
+    order pins the left-to-right IEEE sum, so the oracle embedding the
+    same re-derived terms is bit-identical). Both passes are the map-only
+    + one-row-broadcast-stats BM25 plan — the corpus is scanned twice and
+    shuffled never."""
+    exp = rm3_expansion_terms(
+        docs, terms, fb_docs=fb_docs, fb_terms=fb_terms, min_len=min_len,
+        k1=k1, b=b, text_col=text_col, id_col=id_col,
+    )
+    return bm25_topk(
+        docs, terms + exp, topk=topk, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    )
+
+
+def sql_rm3_expansion_terms(
+    sf_dir: str,
+    terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 3,
+    min_len: int = 4,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str]:
+    """Offline re-derivation of :func:`rm3_expansion_terms` for the oracle
+    (the embedded-codebook pattern of ``similarity.sql_ivf_topk``): run
+    the identical deterministic selection in DuckDB against the parquet
+    directly and return the term list to embed as literals."""
+    import duckdb
+
+    _require_terms(terms, "sql_rm3_expansion_terms")
+    src = f"'{sf_dir}/{table}.parquet'"
+    fb = sql_bm25_topk(
+        terms, topk=fb_docs, k1=k1, b=b, table=src,
+        text_col=text_col, id_col=id_col,
+    )
+    not_in = ", ".join(_sql_str(t) for t in terms)
+    q = f"""
+WITH fb AS ({fb}),
+toks AS (
+  SELECT d.{id_col}, unnest({TX.sql_tokens(f'd.{text_col}')}) AS tok
+  FROM {src} d JOIN fb ON fb.{id_col} = d.{id_col}
+)
+SELECT tok FROM toks
+WHERE length(tok) >= {min_len} AND tok NOT IN ({not_in})
+GROUP BY tok
+ORDER BY count(DISTINCT {id_col}) DESC, tok
+LIMIT {fb_terms}
+"""
+    con = duckdb.connect()
+    try:
+        return [r[0] for r in con.execute(q).fetchall()]
+    finally:
+        con.close()
+
+
+def sql_bm25_rm3_topk(
+    sf_dir: str,
+    terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 3,
+    min_len: int = 4,
+    topk: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`bm25_rm3_topk`: re-derive the expansion
+    terms offline, then emit the standard fixed-term BM25 top-k SQL over
+    ``terms + expansion`` in the same concatenation order."""
+    exp = sql_rm3_expansion_terms(
+        sf_dir, terms, fb_docs=fb_docs, fb_terms=fb_terms, min_len=min_len,
+        k1=k1, b=b, table=table, text_col=text_col, id_col=id_col,
+    )
+    return sql_bm25_topk(
+        terms + exp, topk=topk, k1=k1, b=b, table=table,
+        text_col=text_col, id_col=id_col,
+    )

@@ -65,7 +65,10 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: registrations (never-green): ``sim_hybrid_rrf_ann`` (the
 #: IVF-candidate hybrid, r11 verdict ask #6), ``sim_contrastive_triplets``
 #: (anchor/positive/hard-negative rows for a triplet loss), and
-#: ``docs_quota_topk`` (per-language-capped quality top-k). Every other fingerprint-touched query
+#: ``docs_quota_topk`` (per-language-capped quality top-k), and
+#: ``text_bm25_rm3`` (RM3 pseudo-relevance-feedback expansion — the
+#: oracle re-derives the expansion terms offline and embeds them, the
+#: IVF-codebook pattern). Every other fingerprint-touched query
 #: cleared on scheme-8 plan-hash equality backed by the regenerated
 #: 163/163 PARITY_EVIDENCE stamp on this exact tree. The remaining 40
 #: slots are pure rotation, oldest-green first (r08 greens then the
@@ -93,6 +96,7 @@ _PREFIX_R12 = [
     "sim_hybrid_rrf_ann",
     "sim_contrastive_triplets",
     "docs_quota_topk",
+    "text_bm25_rm3",
     "corpus_clean",
     "text_stats",
     "text_token_frequency",
@@ -129,7 +133,6 @@ _PREFIX_R12 = [
     "scan_latest_per_key",
     "text_bigram_topk",
     "multimodal_frame_sample",
-    "multimodal_audio_stats",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

@@ -288,6 +288,28 @@ FROM pos p JOIN neg n ON p.query_id = n.query_id
 """
 
 
+def text_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with RM3 pseudo-relevance feedback: mine 3 expansion terms
+    from the top-10 feedback documents (feedback-df vote, deterministic),
+    re-score with originals + expansion. The expansion pull is 3 rows
+    (lint-pinned bounded collect); both scoring passes are the map-only
+    zero-shuffle BM25 plan. Oracle: re-derives the identical expansion
+    offline and embeds it (the codebook pattern)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return R.bm25_rm3_topk(docs, _QUERY_TERMS, fb_docs=10, fb_terms=3, topk=10)
+
+
+def _bm25_rm3_sql() -> str:
+    """Lazy oracle: expansion terms depend on the SF the oracle runs
+    against (``SPARK_GRAFT_ORACLE_SF_DIR``), like the IVF codebook."""
+    import os
+
+    return R.sql_bm25_rm3_topk(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        _QUERY_TERMS, fb_docs=10, fb_terms=3, topk=10,
+    )
+
+
 def docs_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota-capped quality selection: the global top-50 documents by
     length (a stand-in quality score with deterministic ties) with no
@@ -327,4 +349,5 @@ QUERIES = {
         CONTRASTIVE_TRIPLETS_SQL,
     ),
     "docs_quota_topk": (docs_quota_topk, QUOTA_TOPK_SQL),
+    "text_bm25_rm3": (text_bm25_rm3, _bm25_rm3_sql),
 }

@@ -124,6 +124,7 @@ _COLLECT_ALLOWLIST = {
     "operators/kmeans.py": 2,  # k·dim centroid partials per iteration
     "operators/pq.py": 2,  # codebook (k·m·dsub floats)
     "operators/quantiles.py": 2,  # one row per requested quantile
+    "operators/retrieval.py": 1,  # RM3 expansion terms (limit(fb_terms))
     "operators/similarity.py": 1,  # IVF codebook (nlist·dim)
     "queries/pipeline3.py": 1,  # mixture weights (one row per domain)
 }

@@ -426,3 +426,33 @@ def test_quota_topk_cap_and_global_selection(spark):
             df.withColumnRenamed("n_chars", "grp_rank"),
             "lang", "grp_rank", 3, 5,
         )
+
+
+def test_rm3_expansion_deterministic_and_excludes_query_terms(spark):
+    """RM3 expansion: feedback-df vote with lexicographic tie-break,
+    query terms and short tokens excluded; the Spark selection and the
+    offline oracle re-derivation agree exactly (the embedded-terms
+    pattern depends on it)."""
+    from duckdb_nats_jetstream_spark.errors import BindError
+    from duckdb_nats_jetstream_spark.operators.retrieval import (
+        bm25_rm3_topk,
+        rm3_expansion_terms,
+    )
+    import pytest
+
+    rows = [
+        (1, "alpha shared common wordy"),
+        (2, "alpha shared common wordy"),
+        (3, "alpha shared other wordy"),
+        (4, "beta nothing here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = rm3_expansion_terms(docs, ["alpha"], fb_docs=3, fb_terms=2)
+    # 'alpha' excluded (query term); df vote: shared=3, wordy=3, common=2;
+    # tie shared/wordy breaks lexicographically
+    assert exp == ["shared", "wordy"]
+    out = bm25_rm3_topk(docs, ["alpha"], fb_docs=3, fb_terms=2, topk=4)
+    assert out.columns == ["doc_id", "rnk", "bm25_r"]
+    assert [r.doc_id for r in out.collect()][:3] == [1, 2, 3]
+    with pytest.raises(BindError, match="at least one term"):
+        rm3_expansion_terms(docs, [])
