@@ -243,6 +243,7 @@ def quota_topk(
     topk: int,
     id_col: str = "doc_id",
     rank_col: str = "grp_rank",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Quota-capped top-k selection: the global top-``topk`` rows by
     ``order_col`` (descending, ``id_col`` tie-break) under the constraint
@@ -257,11 +258,23 @@ def quota_topk(
     the final ``orderBy(...).limit(topk)`` plans TakeOrderedAndProject
     (per-partition heaps + a k-row driver merge, never a full sort). At
     most ``per_group × n_groups`` rows survive the window; the global
-    step reduces map-side to ``topk`` per partition. Skew caveat: a
-    single giant group funnels through one window task — the same
-    limitation stratified_hash_topn solves with its hash prefilter; a
-    score-ordered prefilter needs a score-distribution sketch instead
-    (per-group approx quantile threshold) and is not built here.
+    step reduces map-side to ``topk`` per partition.
+
+    Skew: a single giant group funnels through one window task. Pass
+    ``n_salts`` to enable the salted two-stage cascade (the
+    :func:`operators.skew.salted_agg` discipline): stage 1 ranks within
+    ``(group, hash(id) % n_salts)`` shards and keeps each shard's top
+    ``per_group`` — the worst task shrinks from |group| to
+    |group|/n_salts rows — and stage 2 runs the exact window over the ≤
+    ``per_group × n_salts`` survivors per group. BIT-IDENTICAL to the
+    plain path: any row in the group's true top-``per_group`` is beaten
+    by fewer than ``per_group`` rows overall, hence by fewer than
+    ``per_group`` within its own shard, so it survives stage 1 — and
+    every row ranked above a surviving top row also survives, so the
+    stage-2 rank equals the full-group rank (pinned in
+    ``test_quota_topk_salted_path_bit_identical``). The salt is a
+    deterministic content hash, never a nondeterministic shuffle key
+    (SPARK-23207; the lint test's rule).
 
     NULL policy: window partitioning keys treat NULL as a group, so
     unattributed rows compete under their own cap (consistent with the
@@ -271,15 +284,30 @@ def quota_topk(
     NULLS FIRST on DESC). Returns the input columns plus ``rank_col``
     (the within-group rank), ordered by the global selection order.
     """
-    if rank_col in df.columns:
+    reserved = {rank_col} | ({"__salt", "__r1"} if n_salts is not None else set())
+    taken = reserved & set(df.columns)
+    if taken:
         raise ValueError(
-            f"quota_topk: rank_col {rank_col!r} collides with an input column"
+            f"quota_topk: column(s) {sorted(taken)} collide with internals"
+        )
+    src = df
+    if n_salts is not None:
+        w1 = W.partitionBy(group_col, "__salt").orderBy(
+            F.col(order_col).desc(), F.col(id_col)
+        )
+        src = (
+            df.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+            )
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= per_group)
+            .drop("__salt", "__r1")
         )
     w = W.partitionBy(group_col).orderBy(
         F.col(order_col).desc(), F.col(id_col)
     )
     capped = (
-        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        src.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= per_group)
     )
     return capped.orderBy(F.col(order_col).desc(), F.col(id_col)).limit(topk)

@@ -421,7 +421,7 @@ def test_quota_topk_cap_and_global_selection(spark):
 
     import pytest
 
-    with pytest.raises(ValueError, match="collides"):
+    with pytest.raises(ValueError, match="collide"):
         quota_topk(
             df.withColumnRenamed("n_chars", "grp_rank"),
             "lang", "grp_rank", 3, 5,
@@ -456,3 +456,28 @@ def test_rm3_expansion_deterministic_and_excludes_query_terms(spark):
     assert [r.doc_id for r in out.collect()][:3] == [1, 2, 3]
     with pytest.raises(BindError, match="at least one term"):
         rm3_expansion_terms(docs, [])
+
+
+def test_quota_topk_salted_path_bit_identical(spark):
+    """The n_salts cascade must equal the plain window exactly — same
+    rows, same grp_rank values — including under score ties (the (score
+    desc, id) total order makes shard survival deterministic)."""
+    from duckdb_nats_jetstream_spark.operators.sampling import quota_topk
+
+    rows = [
+        (i, "g" + str(i % 3), (i * 7) % 11)  # many score ties
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    plain = [
+        tuple(r)
+        for r in quota_topk(df, "lang", "n_chars", 8, 20).collect()
+    ]
+    for s in (2, 7, 64):
+        salted = [
+            tuple(r)
+            for r in quota_topk(
+                df, "lang", "n_chars", 8, 20, n_salts=s
+            ).collect()
+        ]
+        assert salted == plain, f"n_salts={s} diverged"
