@@ -281,7 +281,10 @@ def quota_topk(
     module's NULL-stratum policy). NULL scores sort LAST under the
     descending order on both engines (Spark NULLS LAST default; the
     oracle mirror must say ``NULLS LAST`` explicitly: DuckDB default is
-    NULLS FIRST on DESC). Returns the input columns plus ``rank_col``
+    NULLS FIRST on DESC). The id tie-break is explicitly
+    ``asc_nulls_last`` — Spark's bare ASC defaults NULLS FIRST while
+    DuckDB's defaults NULLS LAST, so a NULL id on a score tie would
+    otherwise rank differently across engines (r12 sweep). Returns the input columns plus ``rank_col``
     (the within-group rank), ordered by the global selection order.
     """
     reserved = {rank_col} | ({"__salt", "__r1"} if n_salts is not None else set())
@@ -293,7 +296,7 @@ def quota_topk(
     src = df
     if n_salts is not None:
         w1 = W.partitionBy(group_col, "__salt").orderBy(
-            F.col(order_col).desc(), F.col(id_col)
+            F.col(order_col).desc(), F.col(id_col).asc_nulls_last()
         )
         src = (
             df.withColumn(
@@ -304,10 +307,12 @@ def quota_topk(
             .drop("__salt", "__r1")
         )
     w = W.partitionBy(group_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col)
+        F.col(order_col).desc(), F.col(id_col).asc_nulls_last()
     )
     capped = (
         src.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= per_group)
     )
-    return capped.orderBy(F.col(order_col).desc(), F.col(id_col)).limit(topk)
+    return capped.orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc_nulls_last()
+    ).limit(topk)

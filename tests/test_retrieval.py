@@ -481,3 +481,35 @@ def test_quota_topk_salted_path_bit_identical(spark):
             ).collect()
         ]
         assert salted == plain, f"n_salts={s} diverged"
+
+
+def test_quota_topk_null_id_tiebreak_matches_duckdb(spark):
+    """r12 sweep finding: on a score tie involving a NULL id, Spark's bare
+    ASC (NULLS FIRST) and DuckDB's ASC (NULLS LAST) rank differently —
+    the operator now pins asc_nulls_last, matching the oracle mirror."""
+    import duckdb
+
+    from duckdb_nats_jetstream_spark.operators.sampling import quota_topk
+
+    rows = [(1, "g", 10), (None, "g", 10), (2, "g", 10), (3, "g", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = [
+        (r.doc_id, r.grp_rank)
+        for r in quota_topk(df, "lang", "n_chars", 2, 4).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute("""
+      WITH ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC NULLS LAST, doc_id) AS BIGINT)
+                 AS grp_rank
+        FROM t)
+      SELECT doc_id, grp_rank FROM ranked WHERE grp_rank <= 2
+      ORDER BY grp_rank
+    """).fetchall()
+    assert sorted(got, key=lambda x: x[1]) == [tuple(r) for r in want]
+    # NULL id loses every tie on both engines now
+    assert got and all(r[0] is not None for r in got)
