@@ -426,3 +426,33 @@ def test_sql_phrase_bm25_matches_python_reference(texts, phrases):
     got = dict(con.execute(sql_bm25_phrase_scored(phrases)).fetchall())
     want = {i: s for i, s in enumerate(_py_phrase_bm25(texts, phrases))}
     assert got == want
+
+
+# --- r12: the tiled fold_gram kernel must be bitwise-equal to the naive
+# fold on ARBITRARY shapes and magnitudes (the fixed-shape pins live in
+# tests/test_vector_np.py; this drives the tile-boundary space and wild
+# exponents, where a reordered accumulation would show up as ulp drift).
+
+import numpy as np
+
+from duckdb_nats_jetstream_spark.functions.vector_np import fold_gram
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 600),
+    st.integers(1, 40),
+    st.integers(0, 8),
+    st.integers(0, 2**32 - 1),
+    st.integers(-12, 12),
+)
+def test_fold_gram_tiled_bitwise_equals_naive_fold(n, m, d, seed, scale):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, d)) * (10.0 ** scale)
+    b = rng.standard_normal((m, d))
+    acc = np.zeros((n, m))
+    for i in range(d):
+        acc = acc + np.outer(a[:, i], b[:, i])
+    got = fold_gram(a, b)
+    assert got.shape == acc.shape
+    assert np.array_equal(got.view(np.uint64), acc.view(np.uint64))
