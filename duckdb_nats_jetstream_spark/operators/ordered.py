@@ -98,3 +98,86 @@ def sequence_gaps(
         ).alias("n_gaps"),
         (F.max(seq_col) - F.min(seq_col) + F.lit(1)).alias("span"),
     )
+
+
+def ranged_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum of an INTEGRAL column over a globally ordered
+    frame — ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    without the single-partition collapse.
+
+    Same two-level decomposition as :func:`chunked_lag`, but the ordering
+    key need not be an integral sequence: ``repartitionByRange`` carves the
+    order into ``num_chunks`` range chunks (ascending chunk id = ascending
+    key range), the running sum is a window PARTITIONED by chunk, and each
+    chunk adds the exclusive prefix of per-chunk totals — one row per
+    chunk, broadcast back. The result is INDEPENDENT of where the sampled
+    range boundaries land: long addition is associative and ``order_cols``
+    must be a TOTAL order (include a unique id tie-break), so any range
+    carve-up yields the identical prefix sum — boundary sampling
+    nondeterminism can move work between tasks, never change an answer.
+
+    ``value_col`` must be integral (it is summed as ``long``; doubles
+    would make the answer depend on grouping — refused at bind time).
+    NULL values contribute 0 (SUM skips them on both engines). Returns the
+    input columns plus ``out_col`` (inclusive running sum).
+    """
+    field = df.schema[value_col].dataType.simpleString()
+    if field not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"ranged_running_sum: {value_col!r} must be integral for an "
+            f"order-independent exact sum (got {field}); doubles would make "
+            "the result depend on chunk boundaries"
+        )
+    reserved = {"__rs_pid", "__rs_psum", "__rs_off", out_col}
+    taken = reserved & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"ranged_running_sum: column(s) {sorted(taken)} collide with "
+            "internals"
+        )
+    if num_chunks is None:
+        num_chunks = df.sparkSession.sparkContext.defaultParallelism * 2
+    r = df.repartitionByRange(num_chunks, *order_cols).withColumn(
+        "__rs_pid", F.spark_partition_id()
+    )
+    in_w = (
+        W.partitionBy("__rs_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # one row per non-empty chunk; the chunk-level window is the intended
+    # tiny fix-up table (num_chunks rows)
+    offsets = (
+        r.groupBy("__rs_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("__rs_psum"))
+        .withColumn(
+            "__rs_off",
+            F.coalesce(
+                F.sum("__rs_psum").over(
+                    W.orderBy("__rs_pid").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("__rs_pid", "__rs_off")
+    )
+    return (
+        r.join(F.broadcast(offsets), "__rs_pid")
+        .withColumn(
+            out_col,
+            F.col("__rs_off")
+            + F.coalesce(
+                F.sum(F.col(value_col).cast("long")).over(in_w),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .drop("__rs_pid", "__rs_off")
+    )

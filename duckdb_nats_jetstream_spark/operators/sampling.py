@@ -316,3 +316,41 @@ def quota_topk(
     return capped.orderBy(
         F.col(order_col).desc(), F.col(id_col).asc_nulls_last()
     ).limit(topk)
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    out_col: str = "cum_tokens",
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Token-budget-constrained corpus selection: walk the corpus in
+    quality order (``score_col`` desc, ``id_col`` tie-break) and keep
+    documents while the inclusive running token total stays ≤ ``budget``
+    — the "fill a 100 B-token training budget with the best documents"
+    step of a data pipeline, as a single declarative plan.
+
+    The running total is :func:`operators.ordered.ranged_running_sum`
+    (range-chunked two-level prefix sum — no single-partition window, no
+    driver-side iteration), so the cut is exact at any corpus size: the
+    kept set is precisely the maximal quality-prefix whose token sum fits
+    the budget. A document is kept only if it fits ENTIRELY (inclusive
+    sum ≤ budget; the first overflowing document is dropped, not
+    truncated — chunk-level packing is :mod:`operators.packing`'s job).
+    Returns the input columns plus ``out_col``.
+    """
+    order = [
+        F.col(score_col).desc(),
+        F.col(id_col).asc_nulls_last(),
+    ]
+    from duckdb_nats_jetstream_spark.operators.ordered import (
+        ranged_running_sum,
+    )
+
+    cum = ranged_running_sum(
+        df, order, token_col, out_col=out_col, num_chunks=num_chunks
+    )
+    return cum.filter(F.col(out_col) <= budget)

@@ -68,7 +68,9 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: ``docs_quota_topk`` (per-language-capped quality top-k), and
 #: ``text_bm25_rm3`` (RM3 pseudo-relevance-feedback expansion — the
 #: oracle re-derives the expansion terms offline and embeds them, the
-#: IVF-codebook pattern). Every other fingerprint-touched query
+#: IVF-codebook pattern), and ``docs_token_budget``
+#: (budget-constrained selection over a range-chunked distributed
+#: prefix sum). Every other fingerprint-touched query
 #: cleared on scheme-8 plan-hash equality backed by the regenerated
 #: 163/163 PARITY_EVIDENCE stamp on this exact tree. The remaining 40
 #: slots are pure rotation, oldest-green first (r08 greens then the
@@ -97,6 +99,7 @@ _PREFIX_R12 = [
     "sim_contrastive_triplets",
     "docs_quota_topk",
     "text_bm25_rm3",
+    "docs_token_budget",
     "corpus_clean",
     "text_stats",
     "text_token_frequency",
@@ -132,7 +135,6 @@ _PREFIX_R12 = [
     "multimodal_features",
     "scan_latest_per_key",
     "text_bigram_topk",
-    "multimodal_frame_sample",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

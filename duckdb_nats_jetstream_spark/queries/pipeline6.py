@@ -338,6 +338,51 @@ ORDER BY n_chars DESC NULLS LAST, doc_id LIMIT 50
 """
 
 
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained selection: keep documents in quality order
+    (length stand-in, doc_id tie-break) while the inclusive running token
+    total stays ≤ 20,000 — the fill-the-training-budget step, executed as
+    a range-chunked distributed prefix sum (no single-partition window;
+    see :func:`operators.sampling.select_token_budget`)."""
+    from duckdb_nats_jetstream_spark.functions.text import token_count
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return select_token_budget(
+        docs, score_col="n_chars", token_col="n_tokens", budget=20_000
+    )
+
+
+def _token_budget_sql() -> str:
+    from duckdb_nats_jetstream_spark.functions.text import sql_token_count
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST({sql_token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 20000
+"""
+
+
+TOKEN_BUDGET_SQL = _token_budget_sql()
+
+
 QUERIES = {
     "text_bm25_topk": (text_bm25_topk, BM25_TOPK_SQL),
     "sim_hybrid_rrf": (sim_hybrid_rrf, HYBRID_RRF_SQL),
@@ -350,4 +395,5 @@ QUERIES = {
     ),
     "docs_quota_topk": (docs_quota_topk, QUOTA_TOPK_SQL),
     "text_bm25_rm3": (text_bm25_rm3, _bm25_rm3_sql),
+    "docs_token_budget": (docs_token_budget, TOKEN_BUDGET_SQL),
 }

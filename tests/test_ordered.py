@@ -53,3 +53,65 @@ def test_gap_detection_plan_has_no_unpartitioned_window(spark):
     windows = [ln for ln in plan.splitlines() if "Window" in ln and "Sort" not in ln]
     big = [ln for ln in windows if "__ord_chunk#" in ln]
     assert big, f"expected chunk-partitioned window in plan:\n{plan}"
+
+
+def test_ranged_running_sum_equals_global_window(spark):
+    """The range-chunked two-level prefix sum must equal the plain global
+    window for ANY chunk count (long addition is associative and the
+    order is total, so chunk boundaries cannot change an answer)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from duckdb_nats_jetstream_spark.operators.ordered import (
+        ranged_running_sum,
+    )
+
+    rows = [(i, (i * 13) % 7, (i * 3) % 11) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, score long, v long")
+    order = [F.col("score").desc(), F.col("id").asc_nulls_last()]
+    gw = (
+        W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(gw)).collect()
+    }
+    for nc in (1, 3, 64):
+        got = {
+            r.id: r.running_sum
+            for r in ranged_running_sum(df, order, "v", num_chunks=nc).collect()
+        }
+        assert got == want, f"num_chunks={nc} diverged"
+
+
+def test_ranged_running_sum_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_nats_jetstream_spark.operators.ordered import (
+        ranged_running_sum,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="integral"):
+        ranged_running_sum(df, [F.col("id")], "v")
+    df2 = spark.createDataFrame([(1, 2)], "id long, __rs_off long")
+    with pytest.raises(ValueError, match="collide"):
+        ranged_running_sum(df2, [F.col("id")], "id", out_col="x")
+
+
+def test_select_token_budget_is_maximal_quality_prefix(spark):
+    """Kept set = the maximal quality-ordered prefix whose inclusive token
+    sum fits the budget; the first overflowing document is dropped whole."""
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    rows = [(1, 100, 40), (2, 90, 50), (3, 80, 20), (4, 70, 5), (5, 100, 15)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, toks long")
+    out = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(df, "score", "toks", budget=105).collect()
+    )
+    # order: (100,1)=40 ->55 incl doc5? order by score desc, id: doc1(40),
+    # doc5(+15=55), doc2(+50=105), doc3 would be 125 > 105 -> cut
+    assert out == [(1, 40), (2, 105), (5, 55)]
