@@ -106,6 +106,7 @@ def ranged_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     num_chunks: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed prefix sum of an INTEGRAL column over a globally ordered
     frame — ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
@@ -126,6 +127,16 @@ def ranged_running_sum(
     would make the answer depend on grouping — refused at bind time).
     NULL values contribute 0 (SUM skips them on both engines). Returns the
     input columns plus ``out_col`` (inclusive running sum).
+
+    ``partition_cols`` restarts the sum per group —
+    ``SUM(v) OVER (PARTITION BY g ORDER BY ...)`` — while keeping the
+    chunked decomposition: the range carve-up spans groups freely (a
+    chunk boundary may split a group), because the in-chunk window and
+    the offset chain are BOTH keyed by the group: offsets are per
+    (chunk, group), accumulated by a window over chunk ids partitioned
+    by group (still one fix-up row per non-empty (chunk, group)). The
+    group key rides in a struct, so NULL groups survive the offset join
+    (struct equality is null-safe — the stratified_hash_topn lesson).
     """
     field = df.schema[value_col].dataType.simpleString()
     if field not in ("tinyint", "smallint", "int", "bigint"):
@@ -134,7 +145,7 @@ def ranged_running_sum(
             f"order-independent exact sum (got {field}); doubles would make "
             "the result depend on chunk boundaries"
         )
-    reserved = {"__rs_pid", "__rs_psum", "__rs_off", out_col}
+    reserved = {"__rs_pid", "__rs_psum", "__rs_off", "__rs_gk", out_col}
     taken = reserved & set(df.columns)
     if taken:
         raise ValueError(
@@ -143,34 +154,38 @@ def ranged_running_sum(
         )
     if num_chunks is None:
         num_chunks = df.sparkSession.sparkContext.defaultParallelism * 2
-    r = df.repartitionByRange(num_chunks, *order_cols).withColumn(
-        "__rs_pid", F.spark_partition_id()
+    parts = list(partition_cols or [])
+    range_keys = [F.col(c) for c in parts] + list(order_cols)
+    r = (
+        df.repartitionByRange(num_chunks, *range_keys)
+        .withColumn("__rs_pid", F.spark_partition_id())
+        .withColumn("__rs_gk", F.struct(*[F.col(c) for c in parts]))
     )
     in_w = (
-        W.partitionBy("__rs_pid")
+        W.partitionBy("__rs_pid", "__rs_gk")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    # one row per non-empty chunk; the chunk-level window is the intended
-    # tiny fix-up table (num_chunks rows)
+    # one row per non-empty (chunk, group); the fix-up window runs over
+    # chunk ids WITHIN each group — still the intended tiny table
     offsets = (
-        r.groupBy("__rs_pid")
+        r.groupBy("__rs_pid", "__rs_gk")
         .agg(F.sum(F.col(value_col).cast("long")).alias("__rs_psum"))
         .withColumn(
             "__rs_off",
             F.coalesce(
                 F.sum("__rs_psum").over(
-                    W.orderBy("__rs_pid").rowsBetween(
-                        W.unboundedPreceding, -1
-                    )
+                    W.partitionBy("__rs_gk")
+                    .orderBy("__rs_pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0).cast("long"),
             ),
         )
-        .select("__rs_pid", "__rs_off")
+        .select("__rs_pid", "__rs_gk", "__rs_off")
     )
     return (
-        r.join(F.broadcast(offsets), "__rs_pid")
+        r.join(F.broadcast(offsets), ["__rs_pid", "__rs_gk"])
         .withColumn(
             out_col,
             F.col("__rs_off")
@@ -179,5 +194,5 @@ def ranged_running_sum(
                 F.lit(0).cast("long"),
             ),
         )
-        .drop("__rs_pid", "__rs_off")
+        .drop("__rs_pid", "__rs_off", "__rs_gk")
     )

@@ -354,3 +354,64 @@ def select_token_budget(
         df, order, token_col, out_col=out_col, num_chunks=num_chunks
     )
     return cum.filter(F.col(out_col) <= budget)
+
+
+def select_token_budget_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    id_col: str = "doc_id",
+    out_col: str = "cum_tokens",
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Mixture-aware token budgeting: each ``group_col`` stratum fills its
+    OWN token allocation in quality order — the step that materializes a
+    mixture plan ("8 B tokens of wiki, 3 B of forums, …") as an actual
+    document selection. Per group, keep documents while the inclusive
+    group-local running token total stays ≤ that group's budget
+    (``budgets[group]``, else ``default_budget``; a budget of 0 selects
+    nothing from unlisted strata — list every stratum you want).
+
+    The group-restarted running total is
+    :func:`operators.ordered.ranged_running_sum` with ``partition_cols``
+    — the same range-chunked two-level prefix sum, so a giant stratum
+    never funnels through one window task (chunk boundaries may split a
+    group; the offset chain is group-keyed). NULL strata take the
+    default budget under the module's NULL-stratum policy (the budget
+    WHEN-chain ends in an explicit ELSE, and the group key rides
+    null-safe through the operator). Returns the input columns plus
+    ``out_col`` (the group-local inclusive running sum).
+    """
+    from duckdb_nats_jetstream_spark.operators.ordered import (
+        ranged_running_sum,
+    )
+
+    order = [
+        F.col(score_col).desc(),
+        F.col(id_col).asc_nulls_last(),
+    ]
+    cum = ranged_running_sum(
+        df,
+        order,
+        token_col,
+        out_col=out_col,
+        num_chunks=num_chunks,
+        partition_cols=[group_col],
+    )
+    budget = None
+    for g, b in sorted(budgets.items()):
+        cond = F.col(group_col) == F.lit(g)
+        budget = (
+            F.when(cond, F.lit(int(b)))
+            if budget is None
+            else budget.when(cond, F.lit(int(b)))
+        )
+    budget = (
+        F.lit(int(default_budget))
+        if budget is None
+        else budget.otherwise(F.lit(int(default_budget)))
+    )
+    return cum.filter(F.col(out_col) <= budget)

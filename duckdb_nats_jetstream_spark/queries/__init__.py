@@ -70,7 +70,8 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: oracle re-derives the expansion terms offline and embeds them, the
 #: IVF-codebook pattern), and ``docs_token_budget``
 #: (budget-constrained selection over a range-chunked distributed
-#: prefix sum). Every other fingerprint-touched query
+#: prefix sum) with its mixture twin ``docs_token_budget_mix``
+#: (group-restarted prefix sum: per-language token allocations). Every other fingerprint-touched query
 #: cleared on scheme-8 plan-hash equality backed by the regenerated
 #: 163/163 PARITY_EVIDENCE stamp on this exact tree. The remaining 40
 #: slots are pure rotation, oldest-green first (r08 greens then the
@@ -100,6 +101,7 @@ _PREFIX_R12 = [
     "docs_quota_topk",
     "text_bm25_rm3",
     "docs_token_budget",
+    "docs_token_budget_mix",
     "corpus_clean",
     "text_stats",
     "text_token_frequency",
@@ -134,7 +136,6 @@ _PREFIX_R12 = [
     "text_udtf_tokens",
     "multimodal_features",
     "scan_latest_per_key",
-    "text_bigram_topk",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

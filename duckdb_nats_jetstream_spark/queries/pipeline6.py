@@ -383,6 +383,68 @@ FROM c WHERE cum_tokens <= 20000
 TOKEN_BUDGET_SQL = _token_budget_sql()
 
 
+#: per-language token allocations for the mixture-budget query: english
+#: dominant, the rest capped tighter, one deliberately unlisted language
+#: ('zh') exercising the default-budget arm
+_LANG_BUDGETS = {"en": 8000, "de": 2000, "es": 2000, "fr": 1500}
+
+
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-aware token budgeting: every language fills its OWN token
+    allocation in quality order (the step that turns a mixture plan into
+    an actual selection); 'zh' is unlisted and takes the default budget
+    1000. Group-restarted range-chunked prefix sum — a giant stratum
+    never funnels one window task (see
+    :func:`operators.sampling.select_token_budget_by_group`)."""
+    from duckdb_nats_jetstream_spark.functions.text import token_count
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        select_token_budget_by_group,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return select_token_budget_by_group(
+        docs,
+        group_col="lang",
+        score_col="n_chars",
+        token_col="n_tokens",
+        budgets=_LANG_BUDGETS,
+        default_budget=1000,
+    )
+
+
+def _token_budget_mix_sql() -> str:
+    from duckdb_nats_jetstream_spark.functions.text import sql_token_count
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in sorted(_LANG_BUDGETS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST({sql_token_count('text')} AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC NULLS LAST, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_chars, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= (CASE lang {cases} ELSE 1000 END)
+"""
+
+
+TOKEN_BUDGET_MIX_SQL = _token_budget_mix_sql()
+
+
 QUERIES = {
     "text_bm25_topk": (text_bm25_topk, BM25_TOPK_SQL),
     "sim_hybrid_rrf": (sim_hybrid_rrf, HYBRID_RRF_SQL),
@@ -396,4 +458,5 @@ QUERIES = {
     "docs_quota_topk": (docs_quota_topk, QUOTA_TOPK_SQL),
     "text_bm25_rm3": (text_bm25_rm3, _bm25_rm3_sql),
     "docs_token_budget": (docs_token_budget, TOKEN_BUDGET_SQL),
+    "docs_token_budget_mix": (docs_token_budget_mix, TOKEN_BUDGET_MIX_SQL),
 }

@@ -115,3 +115,64 @@ def test_select_token_budget_is_maximal_quality_prefix(spark):
     # order: (100,1)=40 ->55 incl doc5? order by score desc, id: doc1(40),
     # doc5(+15=55), doc2(+50=105), doc3 would be 125 > 105 -> cut
     assert out == [(1, 40), (2, 105), (5, 55)]
+
+
+def test_ranged_running_sum_grouped_equals_per_group_window(spark):
+    """partition_cols restarts the sum per group and must equal the plain
+    PARTITION BY window for any chunk count — including when a chunk
+    boundary splits a group, and for a NULL group (the struct-wrapped key
+    survives the offset join null-safely)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from duckdb_nats_jetstream_spark.operators.ordered import (
+        ranged_running_sum,
+    )
+
+    rows = [
+        (i, None if i % 11 == 0 else "g" + str(i % 3), (i * 13) % 7, (i * 3) % 11)
+        for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, score long, v long")
+    order = [F.col("score").desc(), F.col("id").asc_nulls_last()]
+    gw = (
+        W.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(gw)).collect()
+    }
+    for nc in (1, 5, 64):
+        got = {
+            r.id: r.running_sum
+            for r in ranged_running_sum(
+                df, order, "v", num_chunks=nc, partition_cols=["g"]
+            ).collect()
+        }
+        assert got == want, f"num_chunks={nc} diverged"
+    assert any(r[1] is None for r in rows)  # the NULL stratum was exercised
+
+
+def test_select_token_budget_by_group_budgets_and_default(spark):
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        select_token_budget_by_group,
+    )
+
+    rows = [
+        (1, "a", 100, 30), (2, "a", 90, 30), (3, "a", 80, 30),
+        (4, "b", 100, 50), (5, "b", 90, 50),
+        (6, None, 100, 10), (7, None, 90, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score long, toks long"
+    )
+    out = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget_by_group(
+            df, "lang", "score", "toks",
+            budgets={"a": 60, "b": 50}, default_budget=15,
+        ).collect()
+    )
+    # a: 30, 60 kept, 90 cut; b: 50 kept, 100 cut; NULL: 10 kept, 20 cut
+    assert out == [(1, 30), (2, 60), (4, 50), (6, 10)]
