@@ -61,22 +61,24 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: dedup_embedding_cosine, sim_ivf_topk, sim_srp_bucket_stats,
 #: sim_srp_topk, sim_knn_join, sim_bucket_centroids, dedup_semantic,
 #: sim_kmeans, dedup_semantic_kmeans, sim_pq_topk — those honest
-#: re-queues head this prefix, followed by the round's one new
+#: re-queues head this prefix, followed by the round's SIX new
 #: registrations (never-green): ``sim_hybrid_rrf_ann`` (the
 #: IVF-candidate hybrid, r11 verdict ask #6), ``sim_contrastive_triplets``
-#: (anchor/positive/hard-negative rows for a triplet loss), and
-#: ``docs_quota_topk`` (per-language-capped quality top-k), and
+#: (anchor/positive/hard-negative rows for a triplet loss),
+#: ``docs_quota_topk`` (per-language-capped quality top-k),
 #: ``text_bm25_rm3`` (RM3 pseudo-relevance-feedback expansion — the
 #: oracle re-derives the expansion terms offline and embeds them, the
-#: IVF-codebook pattern), and ``docs_token_budget``
-#: (budget-constrained selection over a range-chunked distributed
-#: prefix sum) with its mixture twin ``docs_token_budget_mix``
-#: (group-restarted prefix sum: per-language token allocations). Every other fingerprint-touched query
-#: cleared on scheme-8 plan-hash equality backed by the regenerated
-#: 163/163 PARITY_EVIDENCE stamp on this exact tree. The remaining 40
-#: slots are pure rotation, oldest-green first (r08 greens then the
-#: oldest r09 greens), per the r11 verdict's ask #4 — post-r12 the
-#: histogram should contain nothing older than r09-green.
+#: IVF-codebook pattern), ``docs_token_budget`` (budget-constrained
+#: selection over a range-chunked distributed prefix sum), and
+#: ``docs_token_budget_mix`` (group-restarted prefix sum: per-language
+#: token allocations). Every other fingerprint-touched query cleared on
+#: scheme-8 plan-hash equality backed by the regenerated 169/169
+#: PARITY_EVIDENCE stamp on this exact tree. The remaining 34 slots are
+#: pure rotation, oldest-green first: all 25 r08 greens plus the 9
+#: oldest r09 greens (each new registration displaced the NEWEST
+#: rotation entry — the tail r09 greens — never an r08 one), so the
+#: post-r12 histogram still contains nothing older than r09-green, per
+#: the r11 verdict's ask #4.
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
 #: ``tests/test_registry_freshness.py::test_prefix_matches_recommendation``
