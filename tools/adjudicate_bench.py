@@ -40,19 +40,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+#: Default mover set = the r12 driver-shot inflators named by the r12
+#: verdict (ask #1): uniform-slow per-attempt arrays, no plan change.
+#: Override on the command line: ``python tools/adjudicate_bench.py q1 q2``.
 MOVERS = [
-    "sim_hybrid_rrf",
+    "scan_daily_dashboard",
     "sim_kmeans",
-    "sim_pq_topk",
-    "sim_knn_join",
-    "sim_ivf_topk",
-    "sim_srp_topk",
-    "sim_quantize_int8",
-    "scan_typed_extract",
-    "scan_variant_extract",
-    "text_bigram_topk",
-    "sim_cosine_topk",
-    "text_bm25_topk",  # +2.48 s in the driver shot; named in the verdict prose
+    "text_bpe_apply",
+    "nats_source_scan",
+    "dedup_simhash",
 ]
 
 RUNS = 8
@@ -78,8 +74,9 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — comparison columns are best-effort
         pass
 
+    movers = sys.argv[1:] or MOVERS
     out: dict[str, dict] = {}
-    for name in MOVERS:
+    for name in movers:
         fn, _sql = registry[name]
         runs: list[float] = []
         for i in range(RUNS):
@@ -93,7 +90,7 @@ def main() -> None:
             "runs": runs,
             "median": round(statistics.median(runs), 3),
             "steady": round(statistics.median(runs[1:]), 3),
-            "driver_r10": prior.get("spark_s"),
+            "driver_shot": prior.get("spark_s"),
             "trio_prev": prior.get("prev_s"),
         }
 

@@ -76,6 +76,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     9: "972bd7f^",
     10: "866ec97^",
     11: "4ae1364^",
+    12: "67128b5^",
 }
 
 
