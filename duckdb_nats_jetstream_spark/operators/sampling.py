@@ -286,6 +286,14 @@ def quota_topk(
     DuckDB's defaults NULLS LAST, so a NULL id on a score tie would
     otherwise rank differently across engines (r12 sweep). Returns the input columns plus ``rank_col``
     (the within-group rank), ordered by the global selection order.
+
+    PRECONDITION: ``(order_col, id_col)`` must be a TOTAL order — i.e.
+    ``id_col`` unique within any ``(group, order_col)`` tie (unique
+    non-null ids satisfy this trivially). Both the salted path's
+    bit-identity proof and the deterministic global cut assume it;
+    duplicate ids on a tie would let the ``n_salts`` cascade silently
+    diverge from the plain window with no error (r12 ADVICE — stated
+    loudly here, matching ``ranged_running_sum``'s discipline).
     """
     reserved = {rank_col} | ({"__salt", "__r1"} if n_salts is not None else set())
     taken = reserved & set(df.columns)

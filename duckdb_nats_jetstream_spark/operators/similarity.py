@@ -155,7 +155,15 @@ def block_pair_memberships(n_blocks: int) -> F.Column:
     of the intended n_blocks× shuffle replication). Per-row eval is still
     O(n_blocks) work and the shuffle still replicates n_blocks× — that is
     the block-pair product's intrinsic cost, documented at both call sites
-    with the "use SRP/IVF beyond a few million vectors" caveat."""
+    with the "use SRP/IVF beyond a few million vectors" caveat.
+
+    Raises :class:`BindError` for ``n_blocks < 1``: ``sequence(0, -1)`` is
+    a DESCENDING ``[0, -1]`` in Spark, so a user-pinned 0 would silently
+    yield bogus negative block pairs instead of an error (r12 ADVICE)."""
+    if int(n_blocks) < 1:
+        from duckdb_nats_jetstream_spark.errors import BindError
+
+        raise BindError(f"n_blocks must be >= 1, got {n_blocks}")
     return F.array_distinct(
         F.expr(
             f"transform(sequence(0, {int(n_blocks)} - 1), "

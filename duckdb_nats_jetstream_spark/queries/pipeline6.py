@@ -419,9 +419,13 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _token_budget_mix_sql() -> str:
     from duckdb_nats_jetstream_spark.functions.text import sql_token_count
+    from duckdb_nats_jetstream_spark.operators.retrieval import _sql_str
 
+    # _sql_str: '' quote-escaping (r12 ADVICE — byte-identical for the
+    # quote-free _LANG_BUDGETS keys, but keeps the r11 escaping discipline
+    # if a group key ever contains a quote)
     cases = " ".join(
-        f"WHEN '{g}' THEN {b}" for g, b in sorted(_LANG_BUDGETS.items())
+        f"WHEN {_sql_str(g)} THEN {b}" for g, b in sorted(_LANG_BUDGETS.items())
     )
     return f"""
 WITH t AS (

@@ -83,6 +83,45 @@ def test_ranged_running_sum_equals_global_window(spark):
         assert got == want, f"num_chunks={nc} diverged"
 
 
+def test_ranged_running_sum_branches_share_one_range_exchange(spark):
+    """Correctness of the offset fix-up depends on the offsets branch and
+    the main join branch observing the SAME range carve-up (the same
+    ``spark_partition_id`` labeling of ``r``): range-boundary sampling is
+    deterministic AND the physical plan must reuse one range exchange for
+    both branches. Value-equality tests can't see that invariant — a
+    cache/AQE/plan change that re-executes the exchange with divergent
+    sampling would mis-join offsets to chunks. Pin it at the plan level
+    (r12 ADVICE): exactly one rangepartitioning Exchange, and the second
+    consumer reads it through ReusedExchange/TableCacheQueryStage."""
+    from duckdb_nats_jetstream_spark.operators.ordered import (
+        ranged_running_sum,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = ranged_running_sum(df, [F.col("id")], "v", num_chunks=8)
+    out.collect()  # finalize THIS QueryExecution's adaptive stages
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    materialized = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    reused = [
+        ln
+        for ln in final.splitlines()
+        if "ReusedExchange" in ln and "rangepartitioning" in ln
+    ]
+    assert len(materialized) == 1, (
+        f"expected exactly ONE materialized range exchange shared by both "
+        f"branches, found {len(materialized)}:\n{final}"
+    )
+    assert reused, f"no ReusedExchange of the range exchange in:\n{final}"
+
+
 def test_ranged_running_sum_guards(spark):
     import pytest
     from pyspark.sql import functions as F

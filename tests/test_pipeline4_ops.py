@@ -545,3 +545,19 @@ def test_block_pair_memberships_plan_size_constant_in_n_blocks(spark):
         x._jdf.queryExecution().analyzed().toString() for x in (small, big)
     )
     assert len(pb) < len(ps) + 50, (len(ps), len(pb))
+
+
+def test_block_pair_memberships_rejects_nonpositive_n_blocks():
+    """r12 ADVICE: sequence(0, -1) is a DESCENDING [0, -1] in Spark, so a
+    user-pinned n_blocks=0 used to yield bogus negative block pairs
+    silently; it must be a bind-time error."""
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        block_pair_memberships,
+    )
+
+    for bad in (0, -1):
+        with pytest.raises(BindError, match="n_blocks"):
+            block_pair_memberships(bad)
