@@ -1,0 +1,216 @@
+"""Linear text-quality classifier scoring (fastText-style, CCNet/RefinedWeb
+class): hashed unigram+bigram features → bucket-weight mean → raw margin.
+
+This is the learned-classifier shape the pretraining-data stack filters
+with (Wenzek et al., *CCNet*, LREC 2020; Penedo et al., *RefinedWeb*,
+2023): a linear model over hashed n-gram features, scored corpus-wide and
+thresholded / rank-selected. The engine-side contract is deliberately
+*inference only* — training happens offline; the model arrives as a flat
+weight vector. Design rules:
+
+- **Map-only.** Scoring touches each document once with built-in JVM
+  expressions (split → transform → aggregate fold); no shuffle, no UDF,
+  no driver round-trip. At 100 TB this is the same single-scan cost as
+  ``quality_score``.
+- **Transcendental-free.** fastText's P(label) = sigmoid(margin) is
+  monotone in the margin, so ranking / thresholding uses the RAW margin
+  and never evaluates exp() — which keeps the score a pure left fold of
+  IEEE double adds, bit-identical across engines (the
+  :mod:`functions.vector` dot-product discipline).
+- **Weights as literals.** The bucket table rides in the plan as an
+  array literal (O(n_buckets) plan size — bind-guarded). Real fastText
+  models hash into ~2M buckets; at that size embed the weights as a
+  2-column relation and broadcast-join on the bucket id instead. The
+  literal form is the right call for the distilled/compressed models
+  (≤ a few thousand buckets) this surface registers.
+
+Feature hashing must agree byte-for-byte across engines: bucket =
+``int(md5('fb:' || feature)[:8], 16) % n_buckets`` — Spark
+``conv(substring(md5(..),1,8),16,10)`` and DuckDB
+``('0x' || substr(md5(..),1,8))::BIGINT`` both parse the same 32-bit
+hex slice (verified equal; 32 bits fits BIGINT non-negative, so ``%``
+agrees too).
+
+The reference engine has no classifier surface (ref:README.md scopes it
+to scan+extract; its relational host would run the same fold through
+SQL); this extends SURVEY §2's LLM-pipeline block per the r12 verdict
+(ask #5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, functions as F
+
+from duckdb_nats_jetstream_spark.errors import BindError
+from duckdb_nats_jetstream_spark.functions.text import (
+    LANG_STOPWORDS,
+    sql_tokens,
+    tokens,
+)
+
+#: Salt for feature-bucket hashing: keeps the classifier's hash stream
+#: independent of the sampling/minhash md5 streams.
+_FEAT_SALT = "fb:"
+
+#: Literal-weight plan-size guard; beyond this, use a broadcast weights
+#: relation (module docstring).
+MAX_LITERAL_BUCKETS = 4096
+
+
+def feature_bucket_py(feature: str, n_buckets: int) -> int:
+    """Python twin of the engine-side bucket hash (weight seeding + the
+    hypothesis reference implementation share it)."""
+    h = hashlib.md5(f"{_FEAT_SALT}{feature}".encode()).hexdigest()
+    return int(h[:8], 16) % n_buckets
+
+
+def _check_n_buckets(n_buckets: int) -> int:
+    n = int(n_buckets)
+    if n < 1:
+        raise BindError(f"n_buckets must be >= 1, got {n_buckets}")
+    if n > MAX_LITERAL_BUCKETS:
+        raise BindError(
+            f"n_buckets={n_buckets} exceeds the literal-weights bound "
+            f"({MAX_LITERAL_BUCKETS}); embed the weights as a relation and "
+            "broadcast-join on the bucket id instead"
+        )
+    return n
+
+
+def hashed_text_features(c: Column) -> Column:
+    """Unigrams + consecutive bigrams of the normalized token stream
+    (fastText ``wordNgrams=2``). The bigram branch is guarded: Spark's
+    ``sequence(1, 0)`` is a DESCENDING [1, 0] (the n_blocks defect
+    class), so single-token docs take an explicit empty array."""
+    toks = tokens(c)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def sql_hashed_text_features(x: str) -> str:
+    t = sql_tokens(x)
+    # DuckDB range(1, 1) is already empty — no guard needed on that side
+    return (
+        f"list_concat({t}, "
+        f"list_transform(range(1, len({t})), "
+        f"i -> ({t})[i] || ' ' || ({t})[i + 1]))"
+    )
+
+
+def feature_bucket(feature: Column, n_buckets: int) -> Column:
+    n = _check_n_buckets(n_buckets)
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(_FEAT_SALT), feature)), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(n)
+    )
+
+
+def sql_feature_bucket(feature: str, n_buckets: int) -> str:
+    n = _check_n_buckets(n_buckets)
+    return (
+        f"(('0x' || substr(md5('{_FEAT_SALT}' || {feature}), 1, 8))::BIGINT % {n})"
+    )
+
+
+def linear_margin(c: Column, weights: list[float], bias: float) -> Column:
+    """Raw classifier margin: ``bias + mean(weights[bucket(f)] for f in
+    features)`` — fastText's hidden-layer average with a 1-d output and
+    the sigmoid dropped (monotone, so top/bottom-k and thresholds are
+    unchanged). Left-fold sum in feature order over doubles, one IEEE
+    division: bit-identical to :func:`sql_linear_margin` and to
+    :func:`linear_margin_py`. NULL text → NULL margin; ``try_divide``
+    keeps a (theoretical) empty feature array NULL instead of an
+    ANSI-mode job kill."""
+    n = _check_n_buckets(len(weights))
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    feats = hashed_text_features(c)
+    vals = F.transform(
+        feats,
+        lambda f: F.element_at(warr, (feature_bucket(f, n) + 1).cast("int")),
+    )
+    total = F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v)
+    return F.lit(float(bias)) + F.try_divide(total, F.size(feats))
+
+
+def sql_linear_margin(x: str, weights: list[float], bias: float) -> str:
+    from duckdb_nats_jetstream_spark.operators.similarity import (
+        sql_lit_f64,
+        sql_lit_vec,
+    )
+
+    n = _check_n_buckets(len(weights))
+    feats = sql_hashed_text_features(x)
+    w = sql_lit_vec([float(v) for v in weights])
+    bucket = sql_feature_bucket("f", n)
+    return (
+        f"CAST({sql_lit_f64(float(bias))} AS DOUBLE) + "
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({feats}, f -> ({w})[{bucket} + 1])), "
+        f"(acc, v) -> acc + v) / len({feats})"
+    )
+
+
+def linear_margin_py(text: str, weights: list[float], bias: float) -> float:
+    """Pure-Python reference (normalization → unigrams+bigrams → bucket
+    weights → left-fold mean). The hypothesis suite pins the Spark column
+    to this bit-for-bit."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    toks = norm.split(" ")
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    total = 0.0
+    for f in feats:
+        total = total + weights[feature_bucket_py(f, len(weights))]
+    return float(bias) + total / len(feats)
+
+
+#: Seed features for the default distilled quality model: high-frequency
+#: well-formed-prose markers up-weighted, boilerplate/spam markers
+#: down-weighted. Public-knowledge lists (English stopwords + the
+#: fixtures' junk vocabulary); a production pipeline replaces the whole
+#: weight vector with offline-trained values.
+GOOD_SEED_FEATURES: tuple[str, ...] = tuple(
+    sorted(set(LANG_STOPWORDS["en"]))
+) + ("of the", "in the", "to the", "on the", "it is", "this is")
+BAD_SEED_FEATURES: tuple[str, ...] = (
+    "dup",
+    "dup dup",
+    "click here",
+    "buy now",
+    "free free",
+    "zzz",
+    "xxx",
+    "lorem ipsum",
+)
+
+
+def quality_classifier_weights(n_buckets: int = 64) -> list[float]:
+    """Deterministic distilled weight vector: small md5-derived noise (the
+    srp_hyperplanes discipline — seedless, reproducible everywhere) plus
+    seeded mass on the GOOD/BAD feature buckets. Every component is a
+    dyadic rational (k/1024, ±1/2, ±3/4), so the doubles round-trip
+    EXACTLY through :func:`operators.similarity.sql_lit_f64` literals and
+    the cross-engine fold stays bit-identical."""
+    n = _check_n_buckets(n_buckets)
+    w = []
+    for i in range(n):
+        h = hashlib.md5(f"ltcw:{i}".encode()).hexdigest()
+        w.append((int(h[:8], 16) % 257 - 128) / 1024.0)
+    for f in GOOD_SEED_FEATURES:
+        w[feature_bucket_py(f, n)] += 0.5
+    for f in BAD_SEED_FEATURES:
+        w[feature_bucket_py(f, n)] -= 0.75
+    return w
