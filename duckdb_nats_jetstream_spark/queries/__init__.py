@@ -50,35 +50,24 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: cut get no row at all, and rows-only queries inside the prefix burn a slot
 #: on a "no_oracle" non-verdict).
 #:
-#: Round-12 allocation — the ENV-GATED registration freeze continues
+#: Round-13 allocation — the ENV-GATED registration freeze continues
 #: (spark-protobuf jar, google.protobuf, and nats-py re-checked ABSENT at
-#: the r12 open): no proto/NATS queries. The r12 open landed the
-#: fold_gram row-tiled in-place kernel (docs/R12_PLAN.md §4; bit-equality
-#: vs the untiled form pinned in tests/test_vector_np.py), an
-#: execution-only edit to functions/vector_np.py. ``--plan-check``
-#: refused to clear exactly the TEN queries whose Arrow closures capture
-#: the kernel (the pickled UDF body is inside the plan hash):
-#: dedup_embedding_cosine, sim_ivf_topk, sim_srp_bucket_stats,
-#: sim_srp_topk, sim_knn_join, sim_bucket_centroids, dedup_semantic,
-#: sim_kmeans, dedup_semantic_kmeans, sim_pq_topk — those honest
-#: re-queues head this prefix, followed by the round's SIX new
-#: registrations (never-green): ``sim_hybrid_rrf_ann`` (the
-#: IVF-candidate hybrid, r11 verdict ask #6), ``sim_contrastive_triplets``
-#: (anchor/positive/hard-negative rows for a triplet loss),
-#: ``docs_quota_topk`` (per-language-capped quality top-k),
-#: ``text_bm25_rm3`` (RM3 pseudo-relevance-feedback expansion — the
-#: oracle re-derives the expansion terms offline and embeds them, the
-#: IVF-codebook pattern), ``docs_token_budget`` (budget-constrained
-#: selection over a range-chunked distributed prefix sum), and
-#: ``docs_token_budget_mix`` (group-restarted prefix sum: per-language
-#: token allocations). Every other fingerprint-touched query cleared on
-#: scheme-8 plan-hash equality backed by the regenerated 169/169
-#: PARITY_EVIDENCE stamp on this exact tree. The remaining 34 slots are
-#: pure rotation, oldest-green first: all 25 r08 greens plus the 9
-#: oldest r09 greens (each new registration displaced the NEWEST
-#: rotation entry — the tail r09 greens — never an r08 one), so the
-#: post-r12 histogram still contains nothing older than r09-green, per
-#: the r11 verdict's ask #4.
+#: the r13 open): no proto/NATS queries. The round's TWO new
+#: registrations (never-green) head the prefix: ``text_quality_classifier``
+#: (fastText/CCNet-class hashed-bigram linear margin, r12 verdict ask #5)
+#: and ``docs_curation_v4`` (the selection-layer capstone composing
+#: quota_topk → select_token_budget_by_group → leakage-safe split, ask
+#: #4). The other 48 slots are pure rotation per ask #2, oldest-green
+#: first: all 21 r09 greens plus the 27 oldest r10 greens (each new
+#: registration displaced the NEWEST rotation entry — the tail r10
+#: greens — never an r09 one), so the post-r13 staleness histogram
+#: contains nothing older than r10-green. ``--plan-check`` cleared all
+#: 38 fingerprint-touched queries on scheme-8 plan-hash equality backed
+#: by the 171/171 PARITY_EVIDENCE stamp on this exact tree (the r13
+#: edits — ADVICE guards/docstrings, oracle-SQL escaping, the
+#: parametrized components-SQL source — are all plan-neutral by
+#: construction, and the WindowExec-warning fix was done at the bench
+#: logger, not the plans, precisely so no honest re-queue was owed).
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
 #: ``tests/test_registry_freshness.py::test_prefix_matches_recommendation``
@@ -87,57 +76,57 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: (fingerprint-at-clear, hash equality, own-segment guard) on each run.
 #: Rows-only (no-oracle) queries sit at the VERY END of the registry
 #: (_ROWS_ONLY_LAST): a "no_oracle" row is a wasted slot.
-_PREFIX_R12 = [
-    "dedup_embedding_cosine",
-    "sim_ivf_topk",
-    "sim_srp_bucket_stats",
-    "sim_srp_topk",
-    "sim_knn_join",
-    "sim_bucket_centroids",
-    "dedup_semantic",
-    "sim_kmeans",
-    "dedup_semantic_kmeans",
-    "sim_pq_topk",
-    "sim_hybrid_rrf_ann",
-    "sim_contrastive_triplets",
-    "docs_quota_topk",
-    "text_bm25_rm3",
-    "docs_token_budget",
-    "docs_token_budget_mix",
-    "corpus_clean",
-    "text_stats",
-    "text_token_frequency",
-    "text_tfidf_topk",
-    "docs_hash_sample",
-    "decon_ngram_overlap",
-    "text_lang_confusion",
-    "text_quality",
-    "rel_customer_order_histogram",
-    "rel_small_qty_revenue",
-    "rel_large_orders",
-    "rel_top_supplier",
-    "rel_dormant_rich_customers",
-    "rel_market_share",
-    "rel_unpivot",
-    "rel_intersect_except",
-    "rel_approx_aggs",
-    "rel_rank_functions",
-    "rel_rollup",
-    "rel_cte_sql_api",
-    "rel_pricing_summary",
-    "rel_top_revenue_orders",
-    "rel_nation_revenue",
-    "rel_filter_matrix",
-    "rel_cast_projection",
-    "dedup_exact_groups",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "docs_winnow_fingerprints",
-    "dedup_winnow",
-    "dedup_winnow_capped",
-    "text_udtf_tokens",
-    "multimodal_features",
-    "scan_latest_per_key",
+_PREFIX_R13 = [
+    "text_quality_classifier",
+    "docs_curation_v4",
+    "text_bigram_topk",
+    "multimodal_frame_sample",
+    "multimodal_audio_stats",
+    "scan_cumulative_uniques",
+    "rel_cube_segment_nation",
+    "rel_promo_revenue",
+    "rel_volume_shipping",
+    "rel_profit_by_nation_year",
+    "rel_returned_items",
+    "rel_priority_shipping",
+    "rel_order_priority_exists",
+    "rel_supplier_diversity",
+    "rel_nation_balance_share",
+    "scan_proto_roundtrip",
+    "scan_proto_repeated",
+    "scan_time_range_compat",
+    "scan_typed_extract",
+    "rel_price_histogram",
+    "rel_string_functions",
+    "rel_pivot_status",
+    "rel_percentiles",
+    "docs_stratified_sample",
+    "docs_winsorize",
+    "docs_pack_sequences",
+    "text_repetition",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "profile_events",
+    "docs_weighted_mix",
+    "scan_scd2_intervals",
+    "text_pii_redact",
+    "dedup_prune",
+    "text_gopher_filters",
+    "docs_boilerplate",
+    "dedup_prefix_containment",
+    "docs_snapshot_diff",
+    "docs_mixture_plan",
+    "scan_ewma_trend",
+    "rel_zorder_layout",
+    "docs_leakage_safe_split",
+    "scan_fuzzy_subjects",
+    "scan_cohort_retention",
+    "docs_curation_v2",
+    "docs_quality_percentile",
+    "scan_asof_tolerance",
+    "dedup_span_fraction",
+    "docs_quality_quantiles",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.
@@ -154,6 +143,7 @@ def full_registry() -> Registry:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         relational,
         relational2,
         stream,
@@ -167,6 +157,7 @@ def full_registry() -> Registry:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         relational2,
         stream,
         relational,
@@ -175,7 +166,7 @@ def full_registry() -> Registry:
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = (fn, _resolve_oracle(sql))
 
-    prefix = _PREFIX_R12
+    prefix = _PREFIX_R13
     out: Registry = {}
     for name in prefix:
         out[name] = merged[name]

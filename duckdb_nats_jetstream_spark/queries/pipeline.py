@@ -157,7 +157,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql(k: int = 8, band_size: int = 2, threshold: float = 0.2) -> str:
+def _minhash_lsh_sql(
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    source: str = "documents",
+) -> str:
+    # ``source``: the relation to pair over — default the base table;
+    # the curation-v4 capstone splices a kept-subset CTE in (byte-identical
+    # output for every pre-existing caller)
     sig = TX.sql_minhash_signature("sh", k)
     sig_cols = ", ".join(f"{s} AS sig_{i}" for i, s in enumerate(sig))
     n_bands = k // band_size
@@ -173,7 +181,7 @@ def _minhash_lsh_sql(k: int = 8, band_size: int = 2, threshold: float = 0.2) -> 
     jac = TX.sql_jaccard("a.sh", "b.sh")
     return f"""
 WITH docs AS (
-  SELECT doc_id, {TX.sql_shingles(_TOKS)} AS sh FROM documents
+  SELECT doc_id, {TX.sql_shingles(_TOKS)} AS sh FROM {source}
 ), nonempty AS (
   SELECT * FROM docs WHERE len(sh) > 0
 ), sigs AS (
@@ -441,11 +449,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_components_sql() -> str:
-    # edges = the exact minhash pair query; closure via recursive CTE
+def _dedup_components_sql(source: str = "documents") -> str:
+    # edges = the exact minhash pair query; closure via recursive CTE.
+    # ``source`` threads through to the pair query (curation-v4 splice).
     return f"""
 WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({_minhash_lsh_sql()}) mp
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql(source=source)}) mp
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs

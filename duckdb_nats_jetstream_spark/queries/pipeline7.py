@@ -1,0 +1,218 @@
+"""Training-data pipeline queries, batch 7 (round 13): learned quality
+scoring + the selection-layer capstone.
+
+- ``text_quality_classifier`` — fastText-style linear classifier inference
+  (:mod:`functions.classifier`): hashed unigram+bigram features → bucket
+  weights → raw margin, map-only and transcendental-free; the query
+  surfaces the top-10 and bottom-10 documents by margin (the
+  keep/drop extremes a CCNet-class filter acts on).
+- ``docs_curation_v4`` — the r12-verdict capstone (ask #4): compose the
+  round-12 selection layer end-to-end — quota-capped quality top-k →
+  mixture-aware token budgeting → leakage-safe component-atomic split —
+  as ONE oracle-checked plan. Each stage is verified alone
+  (``docs_quota_topk``, ``docs_token_budget_mix``,
+  ``docs_leakage_safe_split``); the composition is what a real pipeline
+  runs, and composition is where interface drift hides (the
+  curation-v2/v3 lesson).
+
+The reference engine has no curation surface (its host would run these
+through SQL); both extend SURVEY §2's LLM-pipeline block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_nats_jetstream_spark.functions import classifier as C
+from duckdb_nats_jetstream_spark.tables import read_table
+
+#: Distilled-model dials for the registered classifier query: 64 hashed
+#: buckets (well under the literal-weights bound), zero bias (margin sign
+#: = prose-vs-junk by construction of the seeded weights).
+_CLF_BUCKETS = 64
+_CLF_BIAS = 0.0
+_CLF_TOPK = 10
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide linear-classifier scoring, surfacing the margin-ranked
+    top-10 (keep) and bottom-10 (drop) documents. Both extremes plan as
+    TakeOrderedAndProject over the same map-only scoring scan — no global
+    sort, no shuffle beyond the two k-row driver merges; at 100 TB the
+    realistic downstream is a margin threshold filter, which is the same
+    single scan minus the top-k."""
+    w = C.quality_classifier_weights(_CLF_BUCKETS)
+    scored = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        C.linear_margin(F.col("text"), w, _CLF_BIAS).alias("margin"),
+    )
+    top = (
+        scored.orderBy(F.col("margin").desc_nulls_last(), "doc_id")
+        .limit(_CLF_TOPK)
+        .withColumn("side", F.lit("top"))
+    )
+    bottom = (
+        scored.orderBy(F.col("margin").asc_nulls_last(), "doc_id")
+        .limit(_CLF_TOPK)
+        .withColumn("side", F.lit("bottom"))
+    )
+    return top.unionAll(bottom)
+
+
+def _quality_classifier_sql() -> str:
+    w = C.quality_classifier_weights(_CLF_BUCKETS)
+    margin = C.sql_linear_margin("text", w, _CLF_BIAS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {margin} AS margin FROM documents
+),
+top AS (
+  SELECT doc_id, margin, 'top' AS side
+  FROM scored ORDER BY margin DESC NULLS LAST, doc_id LIMIT {_CLF_TOPK}
+),
+bottom AS (
+  SELECT doc_id, margin, 'bottom' AS side
+  FROM scored ORDER BY margin ASC NULLS LAST, doc_id LIMIT {_CLF_TOPK}
+)
+SELECT * FROM top UNION ALL SELECT * FROM bottom
+"""
+
+
+#: Capstone dials. Stage 1 caps any language at 60 of the global
+#: length-ranked top-200; stage 2 gives each language its own token
+#: allocation ('zh' deliberately unlisted → default 800); measured at
+#: sf0.01: every stratum keeps a nonzero strict subset (the cut binds).
+_V4_PER_GROUP = 60
+_V4_TOPK = 200
+_V4_BUDGETS = {"en": 3000, "de": 1200, "es": 1200, "fr": 1000}
+_V4_DEFAULT_BUDGET = 800
+
+
+def docs_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-layer capstone: quota-capped quality top-k (no language
+    monopolizes the ranked slice) → mixture-aware token budgeting (each
+    language fills its own allocation in quality order, group-restarted
+    distributed prefix sum) → leakage-safe split of the SELECTED set
+    (near-dup LSH components computed over the kept documents, split
+    assignment component-atomic via the salted-md5 hex-threshold trick).
+
+    Scale shape: stage 1 is one group-keyed window + TakeOrderedAndProject;
+    stage 2 is the range-chunked prefix sum (no single-partition window);
+    stage 3's pair join runs over the ALREADY-SELECTED subset — the
+    banded self-join shrinks quadratically with the selection, which is
+    the right order (split keys are only needed for documents that
+    survive selection). Output: (doc_id, lang, n_tokens, cum_tokens,
+    grp, split)."""
+    from duckdb_nats_jetstream_spark.functions.text import token_count
+    from duckdb_nats_jetstream_spark.operators import dedup as D
+    from duckdb_nats_jetstream_spark.operators.components import (
+        connected_components,
+    )
+    from duckdb_nats_jetstream_spark.operators.sampling import (
+        quota_topk,
+        select_token_budget_by_group,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    sel = quota_topk(
+        docs, "lang", "n_chars", per_group=_V4_PER_GROUP, topk=_V4_TOPK
+    ).drop("grp_rank")
+    kept = select_token_budget_by_group(
+        sel,
+        group_col="lang",
+        score_col="n_chars",
+        token_col="n_tokens",
+        budgets=_V4_BUDGETS,
+        default_budget=_V4_DEFAULT_BUDGET,
+    )
+    pairs = D.minhash_lsh_pairs(
+        kept.select("doc_id", "text"), k=8, band_size=2, threshold=0.2
+    )
+    comp = connected_components(pairs, "id_a", "id_b", edges_unique=True)
+    grp = F.coalesce(F.col("component"), F.col("doc_id"))
+    h = F.md5(F.concat(F.lit("split:"), grp.cast("string")))
+    split = (
+        F.when(h < F.lit("cc"), F.lit("train"))
+        .when(h < F.lit("e6"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "cum_tokens",
+            grp.alias("grp"),
+            split.alias("split"),
+        )
+    )
+
+
+def _curation_v4_sql() -> str:
+    from duckdb_nats_jetstream_spark.functions.text import sql_token_count
+    from duckdb_nats_jetstream_spark.operators.retrieval import _sql_str
+    from duckdb_nats_jetstream_spark.queries.pipeline import (
+        _dedup_components_sql,
+    )
+
+    cases = " ".join(
+        f"WHEN {_sql_str(g)} THEN {b}" for g, b in sorted(_V4_BUDGETS.items())
+    )
+    # the pair/component chain is the VERIFIED oracle shape of
+    # docs_leakage_safe_split, spliced over the kept subset via the
+    # parametrized source (pipeline._dedup_components_sql(source=...))
+    comp = _dedup_components_sql(source="kept").replace("ORDER BY doc_id", "")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars, text,
+         CAST({sql_token_count('text')} AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC NULLS LAST, doc_id)
+              AS BIGINT) AS grp_rank
+  FROM documents
+),
+sel AS (
+  SELECT doc_id, lang, n_chars, text, n_tokens
+  FROM ranked WHERE grp_rank <= {_V4_PER_GROUP}
+  ORDER BY n_chars DESC NULLS LAST, doc_id LIMIT {_V4_TOPK}
+),
+cum AS (
+  SELECT doc_id, lang, text, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC NULLS LAST, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM sel
+),
+kept AS (
+  SELECT * FROM cum
+  WHERE cum_tokens <= (CASE lang {cases} ELSE {_V4_DEFAULT_BUDGET} END)
+),
+comp AS (SELECT doc_id, component FROM ({comp}) t)
+SELECT k.doc_id, k.lang, k.n_tokens, k.cum_tokens,
+       coalesce(c.component, k.doc_id) AS grp,
+       CASE WHEN md5('split:' || CAST(coalesce(c.component, k.doc_id) AS VARCHAR)) < 'cc'
+              THEN 'train'
+            WHEN md5('split:' || CAST(coalesce(c.component, k.doc_id) AS VARCHAR)) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM kept k LEFT JOIN comp c USING (doc_id)
+"""
+
+
+QUERIES = {
+    "text_quality_classifier": (
+        text_quality_classifier,
+        _quality_classifier_sql,
+    ),
+    "docs_curation_v4": (docs_curation_v4, _curation_v4_sql),
+}
