@@ -123,8 +123,68 @@ def capture_checkpoint_plans():
         _CAPTURE_ACTIVE = False
 
 
+def _trailing_bracket_groups(line: str) -> int:
+    """Count the trailing top-level ``[...]`` groups of a plan-node line
+    (balanced-bracket scan from the right, groups separated by ", ").
+    A physical ``Window`` node prints 3 groups when partitioned
+    (``[funcs], [partitionSpec], [orderSpec]``) and 2 when not."""
+    s = line.rstrip()
+    groups = 0
+    i = len(s) - 1
+    while i >= 0 and s[i] == "]":
+        depth = 0
+        j = i
+        while j >= 0:
+            if s[j] == "]":
+                depth += 1
+            elif s[j] == "[":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            break
+        groups += 1
+        i = j - 1
+        if i >= 1 and s[i - 1 : i + 1] == ", ":
+            i -= 2
+        else:
+            break
+    return groups
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    """Number of WindowExec nodes with an EMPTY partition spec — the
+    single-partition-collapse shape Spark warns about at runtime. Spark 4
+    constant-folds literal partition keys OUT of the spec (verified:
+    ``partitionBy(lit(0))`` and ``partitionBy(struct())`` both still
+    collapse and still warn), so the only honest accounting is this plan
+    column plus the pinned allowlist in tests/test_plans.py — every
+    allowlisted query's window runs over a provably bounded relation
+    (top-k survivors, per-chunk offsets, per-day/source grains)."""
+    n = 0
+    for ln in plan.splitlines():
+        stripped = ln.lstrip(" +-:*()0123456789")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _trailing_bracket_groups(ln)
+        # groups counts [funcs](, [partitionSpec])?(, [orderSpec])? —
+        # 3 = partitioned+ordered; 1 = bare aggregate window (neither);
+        # 2 is ambiguous: an orderSpec group carries ASC/DESC sort
+        # directions, a partitionSpec never does.
+        if groups == 1:
+            n += 1
+        elif groups == 2:
+            last = ln.rstrip()
+            last_group = last[last.rfind("["):]
+            if " ASC" in last_group or " DESC" in last_group:
+                n += 1
+    return n
+
+
 def audit_row(plan: str) -> dict[str, int | bool]:
     return {
+        "uw": count_unpartitioned_windows(plan),
         "exch": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
         "bcast": plan.count("BroadcastExchange"),
         "sorts": len(re.findall(r"\bSort \[", plan)),
@@ -188,7 +248,7 @@ def build_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[tuple[str, dict]
                     b = audit_row(bp)
                     for k in (
                         "exch", "bcast", "sorts", "py",
-                        "row_py", "cart", "scans", "pushed",
+                        "row_py", "cart", "scans", "pushed", "uw",
                     ):
                         row[k] += b[k]
                     row["topk"] = row["topk"] or b["topk"]
@@ -207,7 +267,11 @@ def render_md(rows: list[tuple[str, dict]]) -> str:
         "plans built at sf0.001 (shape is scale-invariant). Columns:",
         "shuffle exchanges / broadcast exchanges / full sorts / top-k operator /",
         "Arrow-Python stages (row-at-a-time Python must be 0) / cartesians /",
-        "parquet scans (with pushed filters).",
+        "parquet scans (with pushed filters) / unpartitioned windows (`uw`:",
+        "single-partition-collapse Window nodes — every non-zero row is",
+        "pinned to tests/test_plans.py's bounded-relation allowlist, and the",
+        "runtime WindowExec warning is logger-suppressed in bench.py because",
+        "this column is the authoritative account).",
         "",
         "",
         "Known deliberate exception: `text_udtf_tokens` carries one",
@@ -229,19 +293,19 @@ def render_md(rows: list[tuple[str, dict]]) -> str:
         "remain pinned in `tests/test_plans.py`, and the registry-wide sweep",
         "there asserts zero cache-entry leakage after each query runs).",
         "",
-        "| query | exch | bcast | sorts | topk | py | row-py | cart | scans | pushed |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| query | exch | bcast | sorts | topk | py | row-py | cart | scans | pushed | uw |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in rows:
         if "error" in r:
-            out.append(f"| {name} | ERROR: {r['error']} | | | | | | | | |")
+            out.append(f"| {name} | ERROR: {r['error']} | | | | | | | | | |")
             continue
         if r.get("eager"):
             name = f"{name} †({r.get('builds', 0)})"
         out.append(
             f"| {name} | {r['exch']} | {r['bcast']} | {r['sorts']} | "
             f"{'✓' if r['topk'] else ''} | {r['py']} | {r['row_py']} | "
-            f"{r['cart']} | {r['scans']} | {r['pushed']} |"
+            f"{r['cart']} | {r['scans']} | {r['pushed']} | {r['uw']} |"
         )
     ok = [r for _, r in rows if "error" not in r]
     out += [
@@ -251,6 +315,8 @@ def render_md(rows: list[tuple[str, dict]]) -> str:
         f"{sum(r['cart'] for r in ok)} cartesian products; "
         f"{sum(r['row_py'] for r in ok)} row-at-a-time Python stages; "
         f"{sum(1 for r in ok if r['py'])} queries with Arrow stages; "
+        f"{sum(1 for r in ok if r['uw'])} queries with bounded "
+        f"unpartitioned windows (allowlisted); "
         f"median shuffles/query = "
         f"{sorted(r['exch'] for r in ok)[len(ok) // 2] if ok else 'n/a'}; "
         f"{sum(r.get('builds', 0) for r in ok)} pre-checkpoint build plans "

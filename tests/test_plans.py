@@ -594,3 +594,55 @@ def test_excess_volume_materializes_per_supp_once(spark, sf_dir):
     # the guarded side joins supplier via broadcast at test scale
     assert "BroadcastHashJoin" in physical_plan(df)
     assert_no_cartesian(df)
+
+
+#: Queries whose plans contain an UNPARTITIONED Window node — legal ONLY
+#: because each window provably runs over a bounded relation, never the
+#: corpus (r12 verdict nit → r13: the runtime WindowExec warning is
+#: logger-suppressed in bench.py, so this pinned allowlist + the audit's
+#: `uw` column now carry the lint value the warning used to provide).
+#: name → why the window input is bounded.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # rank over the ≤topk survivors of TakeOrderedAndProject
+    "text_bm25_topk": "window over top-100 BM25 survivors",
+    "text_bm25_rm3": "window over top-k survivors (both passes)",
+    "sim_hybrid_rrf": "window over top-100 lexical survivors",
+    "sim_hybrid_rrf3": "windows over top-100 lexical + phrase survivors",
+    "sim_hybrid_rrf_ann": "window over top-100 lexical survivors",
+    # per-chunk offset fix-up: one row per range chunk (~2x parallelism)
+    "docs_token_budget": "ranged_running_sum offset chain (1 row/chunk)",
+    # per-chunk boundary fix-up: one row per non-empty 2^20-wide chunk
+    "scan_gap_detection": "chunked_lag boundary table (1 row/chunk)",
+    # day-grain cumulative: one row per observed day
+    "scan_cumulative_uniques": "exact-cumulative window over day grain",
+    # source-grain share/rate: one row per source
+    "docs_mixture_plan": "aggregate window over #sources rows",
+}
+
+
+def test_unpartitioned_windows_match_allowlist():
+    """Every PLAN_AUDIT row with uw > 0 must be allowlisted above with a
+    boundedness argument, and every allowlist entry must still have one
+    (drop stale entries). A NEW unpartitioned window anywhere in the
+    registry fails here until its boundedness is argued in the allowlist."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders: set[str] = set()
+    for line in open(os.path.join(repo, "PLAN_AUDIT.md")):
+        m = re.match(r"\| ([A-Za-z0-9_]+)(?: †\(\d+\))? \|(.*)\|", line)
+        if not m or m.group(1) == "query":
+            continue
+        cells = [c.strip() for c in m.group(2).split("|")]
+        if len(cells) >= 10 and cells[-1].isdigit() and int(cells[-1]) > 0:
+            offenders.add(m.group(1))
+    allow = set(UNPARTITIONED_WINDOW_ALLOWLIST)
+    assert offenders - allow == set(), (
+        f"NEW unpartitioned windows (argue boundedness in the allowlist "
+        f"or partition the window): {sorted(offenders - allow)}"
+    )
+    assert allow - offenders == set(), (
+        f"stale allowlist entries (window gone — drop them): "
+        f"{sorted(allow - offenders)}"
+    )
