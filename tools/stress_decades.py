@@ -76,6 +76,8 @@ HEADLINES = [
     "text_gopher_filters",  # map-only text quality
     "docs_quality_quantiles",  # exact distributed quantiles
     "docs_curation_v3",  # heaviest multi-stage capstone
+    "docs_curation_v4",  # selection-layer capstone (r13: quota→budget→split)
+    "text_quality_classifier",  # hashed-feature linear margin (r13, map-only)
     "docs_pack_sequences",  # sequence packing
     "scan_funnel",  # events funnel (skew-safe cascade)
     "rel_pricing_summary",  # TPC-H Q1 aggregation shape
