@@ -53,6 +53,10 @@ MOVERS = [
 
 RUNS = 8
 
+#: cheap, long-stable plan; its quiet-week steady state is ~0.28 s at
+#: sf0.1 — any elevation here is host regime by definition
+CONTROL = "rel_pricing_summary"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,22 +78,41 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — comparison columns are best-effort
         pass
 
+    def _steal():
+        f = open("/proc/stat").readline().split()
+        return int(f[8]), sum(int(x) for x in f[1:])
+
+    # CONTROL first (r13 adjudication lesson): a cheap query whose plan
+    # has not changed in many rounds. If the control's steady state is
+    # elevated over its quiet-week value, the host regime is slower and
+    # mover elevation must be judged against the control's factor, not
+    # against prev_s alone — that single column turned the r13 pass from
+    # ambiguous to decisive. Steal% per run rules hypervisor CPU steal
+    # in or out (it was ~0 during the r13 bursts: host state, not steal).
     movers = sys.argv[1:] or MOVERS
+    if CONTROL not in movers:
+        movers = [CONTROL] + movers
     out: dict[str, dict] = {}
     for name in movers:
         fn, _sql = registry[name]
         runs: list[float] = []
+        steals: list[float] = []
         for i in range(RUNS):
+            s0, c0 = _steal()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 3))
+            s1, c1 = _steal()
+            steals.append(round(100 * (s1 - s0) / max(c1 - c0, 1), 2))
             print(f"  {name} run {i + 1}/{RUNS}: {runs[-1]:.3f}s", file=sys.stderr)
         prior = driver_detail.get(name, {})
         out[name] = {
             "runs": runs,
             "median": round(statistics.median(runs), 3),
             "steady": round(statistics.median(runs[1:]), 3),
+            "steal_pct": steals,
+            "load1": round(os.getloadavg()[0], 1),
             "driver_shot": prior.get("spark_s"),
             "trio_prev": prior.get("prev_s"),
         }
