@@ -70,6 +70,35 @@ def test_margin_duckdb_equals_python_reference(texts):
         assert m == linear_margin_py(texts[i], _W, _BIAS), (i, texts[i])
 
 
+def test_margin_jvm_path_bit_equals_arrow_path(spark):
+    """arrow=False (pure-JVM column fold) must reproduce the default
+    Arrow path bit-for-bit — including NULL text and degenerate inputs
+    (the proven-kernel twin-path discipline from with_srp_bucket)."""
+    texts = [
+        None,
+        "",
+        "solo",
+        "the quick brown fox of the morning",
+        "dup dup click here  spaced\tout",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    a = {
+        r.id: r.m
+        for r in df.select(
+            "id", linear_margin(F.col("text"), _W, _BIAS, arrow=True).alias("m")
+        ).collect()
+    }
+    j = {
+        r.id: r.m
+        for r in df.select(
+            "id", linear_margin(F.col("text"), _W, _BIAS, arrow=False).alias("m")
+        ).collect()
+    }
+    assert a == j
+
+
 def test_feature_bucket_cross_engine(spark):
     feats = ["", "a", "dup dup", "of the", "hello world", "123", "x'y"]
     df = spark.createDataFrame([(f,) for f in feats], "f string")
