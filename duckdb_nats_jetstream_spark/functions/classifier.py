@@ -110,6 +110,52 @@ def sql_hashed_text_features(x: str) -> str:
     )
 
 
+def hashed_feature_buckets(
+    c: Column, n_buckets: int, arrow: bool = True
+) -> Column:
+    """``array<long>`` of feature-bucket ids for the text column —
+    unigrams then bigrams, same order as :func:`hashed_text_features`.
+    Default path is an Arrow-batched pandas UDF with a per-batch
+    feature→bucket memo (one md5 per DISTINCT feature per batch; the
+    same interpreted-HOF cliff as :func:`linear_margin` — the JVM twin
+    pays one interpreted md5→conv chain per feature per row).
+    NULL text → NULL array on both paths (explode/unnest then drops the
+    document, mirrored by the oracles)."""
+    n = _check_n_buckets(n_buckets)
+    if arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def buckets_udf(texts: pd.Series) -> pd.Series:
+            import re
+
+            memo: dict[str, int] = {}
+
+            def bk(f: str) -> int:
+                v = memo.get(f)
+                if v is None:
+                    v = feature_bucket_py(f, n)
+                    memo[f] = v
+                return v
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                out.append(
+                    [bk(f) for f in toks]
+                    + [bk(a + " " + b) for a, b in zip(toks, toks[1:])]
+                )
+            return pd.Series(out, dtype="object")
+
+        return buckets_udf(c)
+    return F.transform(
+        hashed_text_features(c), lambda f: feature_bucket(f, n)
+    )
+
+
 def feature_bucket(feature: Column, n_buckets: int) -> Column:
     n = _check_n_buckets(n_buckets)
     return (

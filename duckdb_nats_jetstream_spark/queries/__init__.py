@@ -52,13 +52,15 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #:
 #: Round-13 allocation — the ENV-GATED registration freeze continues
 #: (spark-protobuf jar, google.protobuf, and nats-py re-checked ABSENT at
-#: the r13 open): no proto/NATS queries. The round's TWO new
+#: the r13 open): no proto/NATS queries. The round's THREE new
 #: registrations (never-green) head the prefix: ``text_quality_classifier``
-#: (fastText/CCNet-class hashed-bigram linear margin, r12 verdict ask #5)
-#: and ``docs_curation_v4`` (the selection-layer capstone composing
+#: (fastText/CCNet-class hashed-bigram linear margin, r12 verdict ask #5),
+#: ``docs_curation_v4`` (the selection-layer capstone composing
 #: quota_topk → select_token_budget_by_group → leakage-safe split, ask
-#: #4). The other 48 slots are pure rotation per ask #2, oldest-green
-#: first: all 21 r09 greens plus the 27 oldest r10 greens (each new
+#: #4), and ``docs_dsir_select`` (DSIR domain-targeted selection with the
+#: whole-bit integer importance weight). The other 47 slots are pure
+#: rotation per ask #2, oldest-green
+#: first: all 21 r09 greens plus the 26 oldest r10 greens (each new
 #: registration displaced the NEWEST rotation entry — the tail r10
 #: greens — never an r09 one), so the post-r13 staleness histogram
 #: contains nothing older than r10-green. ``--plan-check`` cleared all
@@ -79,6 +81,7 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 _PREFIX_R13 = [
     "text_quality_classifier",
     "docs_curation_v4",
+    "docs_dsir_select",
     "text_bigram_topk",
     "multimodal_frame_sample",
     "multimodal_audio_stats",
@@ -126,7 +129,6 @@ _PREFIX_R13 = [
     "docs_quality_percentile",
     "scan_asof_tolerance",
     "dedup_span_fraction",
-    "docs_quality_quantiles",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

@@ -209,10 +209,49 @@ FROM kept k LEFT JOIN comp c USING (doc_id)
 """
 
 
+#: DSIR dials: 'src0' is the curated target domain; 256 hashed buckets;
+#: top-50 of the raw pool. Weight signal on the synthetic fixtures is
+#: arbitrary — the fit-two-LMs → score-one-scan → top-k machinery is
+#: what the query verifies.
+_DSIR_TARGET_SRC = "src0"
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 50
+
+
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain-targeted selection: the 50 raw-pool documents
+    whose hashed n-gram profile is most target-like under the whole-bit
+    importance weight (target domain = source 'src0'; see
+    :mod:`operators.dsir` for the integer formulation and scale shape)."""
+    from duckdb_nats_jetstream_spark.operators.dsir import dsir_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        is_target=F.col("source") == _DSIR_TARGET_SRC,
+        topk=_DSIR_TOPK,
+        n_buckets=_DSIR_BUCKETS,
+        keep_cols=["source", "lang"],
+    )
+
+
+def _dsir_sql() -> str:
+    from duckdb_nats_jetstream_spark.operators.dsir import sql_dsir_select
+    from duckdb_nats_jetstream_spark.operators.retrieval import _sql_str
+
+    return sql_dsir_select(
+        f"source = {_sql_str(_DSIR_TARGET_SRC)}",
+        topk=_DSIR_TOPK,
+        n_buckets=_DSIR_BUCKETS,
+        keep_cols=["source", "lang"],
+    )
+
+
 QUERIES = {
     "text_quality_classifier": (
         text_quality_classifier,
         _quality_classifier_sql,
     ),
     "docs_curation_v4": (docs_curation_v4, _curation_v4_sql),
+    "docs_dsir_select": (docs_dsir_select, _dsir_sql),
 }

@@ -99,6 +99,40 @@ def test_margin_jvm_path_bit_equals_arrow_path(spark):
     assert a == j
 
 
+def test_hashed_feature_buckets_paths_agree(spark):
+    """hashed_feature_buckets: Arrow (memoized) and JVM paths must emit
+    the identical bucket sequence, and NULL text → NULL array on both."""
+    from duckdb_nats_jetstream_spark.functions.classifier import (
+        hashed_feature_buckets,
+    )
+
+    texts = [None, "", "solo", "the  quick\tbrown fox", "dup dup dup"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    a = {
+        r.id: r.b
+        for r in df.select(
+            "id", hashed_feature_buckets(F.col("text"), 32, arrow=True).alias("b")
+        ).collect()
+    }
+    j = {
+        r.id: r.b
+        for r in df.select(
+            "id", hashed_feature_buckets(F.col("text"), 32, arrow=False).alias("b")
+        ).collect()
+    }
+    assert a == j
+    assert a[0] is None
+    # reference: unigrams then bigrams through the python bucket hash
+    toks = "dup dup dup".split(" ")
+    want = [feature_bucket_py(f, 32) for f in toks] + [
+        feature_bucket_py("dup dup", 32),
+        feature_bucket_py("dup dup", 32),
+    ]
+    assert a[4] == want
+
+
 def test_feature_bucket_cross_engine(spark):
     feats = ["", "a", "dup dup", "of the", "hello world", "123", "x'y"]
     df = spark.createDataFrame([(f,) for f in feats], "f string")

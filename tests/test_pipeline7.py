@@ -81,3 +81,66 @@ def test_curation_v4_split_consistent_with_leakage_split(spark):
             assert split == fsplit, doc_id
             checked += 1
     assert checked > 0
+
+
+def test_dsir_prefers_target_like_raw_docs(spark):
+    """Signal check on a crafted corpus: raw docs sharing the target
+    domain's vocabulary must outrank raw docs that don't."""
+    from duckdb_nats_jetstream_spark.operators.dsir import dsir_select
+
+    rows = (
+        # target domain: legal-ish vocabulary
+        [(i, "tgt", "whereas the party hereto agrees to the covenant")
+         for i in range(10)]
+        # raw, target-like
+        + [(100 + i, "raw", "the party hereto agrees whereas covenant stands")
+           for i in range(3)]
+        # raw, off-domain
+        + [(200 + i, "raw", "buy cheap pills online casino jackpot winner now")
+           for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = dsir_select(
+        df, F.col("source") == "tgt", topk=6, n_buckets=64,
+        keep_cols=["source"],
+    ).collect()
+    assert [r.source for r in got] == ["raw"] * 6  # target pool excluded
+    ranked = [r.doc_id for r in got]
+    assert set(ranked[:3]) == {100, 101, 102}, ranked  # target-like first
+    ws = {r.doc_id: r.dsir_weight for r in got}
+    assert min(ws[i] for i in (100, 101, 102)) > max(
+        ws[i] for i in (200, 201, 202)
+    )
+
+
+def test_dsir_null_source_is_raw_and_empty_target_is_empty(spark):
+    from duckdb_nats_jetstream_spark.operators.dsir import dsir_select
+
+    df = spark.createDataFrame(
+        [
+            (1, "tgt", "alpha beta gamma"),
+            (2, None, "alpha beta gamma"),
+            (3, "raw", "delta epsilon zeta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = dsir_select(
+        df, F.col("source") == "tgt", topk=10, n_buckets=32
+    ).collect()
+    # NULL-source doc competes in the raw pool (coalesce-to-false policy)
+    assert {r.doc_id for r in got} == {2, 3}
+    # empty target pool -> empty result (no distribution to match)
+    empty = dsir_select(
+        df, F.col("source") == "nope", topk=10, n_buckets=32
+    ).collect()
+    assert empty == []
+
+
+def test_dsir_guards():
+    import pytest
+
+    from duckdb_nats_jetstream_spark.errors import BindError
+    from duckdb_nats_jetstream_spark.operators.dsir import dsir_select
+
+    with pytest.raises(BindError, match="topk"):
+        dsir_select(None, F.lit(True), topk=0)
