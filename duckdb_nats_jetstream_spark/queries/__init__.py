@@ -52,24 +52,29 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #:
 #: Round-13 allocation — the ENV-GATED registration freeze continues
 #: (spark-protobuf jar, google.protobuf, and nats-py re-checked ABSENT at
-#: the r13 open): no proto/NATS queries. The round's THREE new
+#: the r13 open): no proto/NATS queries. The round's FOUR new
 #: registrations (never-green) head the prefix: ``text_quality_classifier``
 #: (fastText/CCNet-class hashed-bigram linear margin, r12 verdict ask #5),
 #: ``docs_curation_v4`` (the selection-layer capstone composing
 #: quota_topk → select_token_budget_by_group → leakage-safe split, ask
-#: #4), and ``docs_dsir_select`` (DSIR domain-targeted selection with the
-#: whole-bit integer importance weight). The other 47 slots are pure
+#: #4), ``docs_dsir_select`` (DSIR domain-targeted selection with the
+#: whole-bit integer importance weight), and ``text_bigram_bits``
+#: (held-out bigram-LM fluency scoring with integer backoff — the
+#: KenLM-class perplexity-filter shape). The other 46 slots are pure
 #: rotation per ask #2, oldest-green
-#: first: all 21 r09 greens plus the 26 oldest r10 greens (each new
+#: first: all 21 r09 greens plus the 25 oldest r10 greens (each new
 #: registration displaced the NEWEST rotation entry — the tail r10
 #: greens — never an r09 one), so the post-r13 staleness histogram
 #: contains nothing older than r10-green. ``--plan-check`` cleared all
 #: 38 fingerprint-touched queries on scheme-8 plan-hash equality backed
-#: by the 171/171 PARITY_EVIDENCE stamp on this exact tree (the r13
+#: by the full-registry PARITY_EVIDENCE stamp regenerated per edit
+#: batch (173/173 on the closing tree; the r13
 #: edits — ADVICE guards/docstrings, oracle-SQL escaping, the
 #: parametrized components-SQL source — are all plan-neutral by
 #: construction, and the WindowExec-warning fix was done at the bench
 #: logger, not the plans, precisely so no honest re-queue was owed).
+#: Never-green registrations carry no ledger debt, so the late Arrow/
+#: slim-plan iterations on the four new queries cost no extra slots.
 #: Staleness remains DEPENDENCY-AWARE (semantic hash of every reachable
 #: package module);
 #: ``tests/test_registry_freshness.py::test_prefix_matches_recommendation``
@@ -82,6 +87,7 @@ _PREFIX_R13 = [
     "text_quality_classifier",
     "docs_curation_v4",
     "docs_dsir_select",
+    "text_bigram_bits",
     "text_bigram_topk",
     "multimodal_frame_sample",
     "multimodal_audio_stats",
@@ -128,7 +134,6 @@ _PREFIX_R13 = [
     "docs_curation_v2",
     "docs_quality_percentile",
     "scan_asof_tolerance",
-    "dedup_span_fraction",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.

@@ -98,8 +98,13 @@ def docs_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment component-atomic via the salted-md5 hex-threshold trick).
 
     Scale shape: stage 1 is one group-keyed window + TakeOrderedAndProject;
-    stage 2 is the range-chunked prefix sum (no single-partition window);
-    stage 3's pair join runs over the ALREADY-SELECTED subset — the
+    stage 2 is the range-chunked prefix sum (no single-partition window)
+    — both run over SLIM columns only (doc_id, lang, n_chars, n_tokens):
+    shuffling full text bytes through the window and range exchanges
+    would dominate at 100 TB, and the kept set is top-k-BOUNDED by
+    construction, so stage 3 late-materializes text with a broadcast
+    semi-join of the kept ids against the scan (zero text shuffle);
+    stage 3's pair join then runs over the already-selected subset — the
     banded self-join shrinks quadratically with the selection, which is
     the right order (split keys are only needed for documents that
     survive selection). Output: (doc_id, lang, n_tokens, cum_tokens,
@@ -114,11 +119,11 @@ def docs_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         select_token_budget_by_group,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
+    raw = read_table(spark, sf_dir, "documents")
+    docs = raw.select(
         "doc_id",
         "lang",
         "n_chars",
-        "text",
         token_count(F.col("text")).alias("n_tokens"),
     )
     sel = quota_topk(
@@ -132,9 +137,16 @@ def docs_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         budgets=_V4_BUDGETS,
         default_budget=_V4_DEFAULT_BUDGET,
     )
-    pairs = D.minhash_lsh_pairs(
-        kept.select("doc_id", "text"), k=8, band_size=2, threshold=0.2
+    # kept is top-k-BOUNDED (≤ _V4_TOPK rows at any corpus size) with two
+    # consumers (the text fetch's broadcast side + the final output
+    # join): eager-checkpoint it so the quota+budget chain over the
+    # corpus executes ONCE (the †-lifecycle; without this each consumer
+    # re-ran both corpus shuffles — measured 2× the stage-1/2 cost)
+    kept = kept.localCheckpoint(eager=True)
+    kept_text = raw.select("doc_id", "text").join(
+        F.broadcast(kept.select("doc_id")), "doc_id"
     )
+    pairs = D.minhash_lsh_pairs(kept_text, k=8, band_size=2, threshold=0.2)
     comp = connected_components(pairs, "id_a", "id_b", edges_unique=True)
     grp = F.coalesce(F.col("component"), F.col("doc_id"))
     h = F.md5(F.concat(F.lit("split:"), grp.cast("string")))
@@ -247,6 +259,143 @@ def _dsir_sql() -> str:
     )
 
 
+def text_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (KenLM-class perplexity filter,
+    CCNet-style, in the package's whole-bit integer formulation): build a
+    bigram model from the REFERENCE half of the corpus (even doc ids),
+    score the held-out half token-by-token —
+
+        seen bigram:   bits = floor(log2(c(w1) / c(w1 w2)))
+        unseen bigram: bits = floor(log2(total / c(w2))) + 1   (backoff,
+                       stupid-backoff α quantized to one whole bit;
+                       unseen unigram scores against count 1)
+
+    — and report per-doc totals + mean. A held-out split (unlike the
+    self-scoring ``text_unigram_bits``) is what makes the backoff arm
+    real: the scored half contains bigrams the model never saw, exactly
+    the production shape (model from a reference corpus, score the
+    candidate pool). All counts/bits are int64 (``length(bin(x)) - 1``);
+    the mean is one IEEE division — bit-exact cross-engine.
+
+    Scale shape: two model aggregations (unigram + bigram vocab,
+    map-side combined), then the scoring joins run CO-KEYED on the
+    token keys (w1,w2)/(w2) — the standard distributed LM-scoring
+    shuffle — and one per-doc aggregation. No driver-side state; the
+    model lives in shuffled relations, never in a broadcast (a bigram
+    vocabulary scales with the corpus)."""
+    from duckdb_nats_jetstream_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size(F.col("t"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    model_tok = tok.filter(F.col("doc_id") % 2 == 0)
+    uni = (
+        model_tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("total"))
+    big = (
+        model_tok.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+
+    scored = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2")), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.length(F.bin(F.expr("c1w1 div c2"))) - 1,
+            )
+            .otherwise(
+                F.length(F.bin(F.expr("total div coalesce(c1w2, 1L)"))) - 1 + F.lit(1)
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("bits_total"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bits_total",
+            (
+                F.col("bits_total").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_bits"),
+        )
+    )
+
+
+def _bigram_bits_sql() -> str:
+    from duckdb_nats_jetstream_spark.functions.text import sql_tokens
+
+    t = sql_tokens("text")
+    return f"""
+WITH tok AS (SELECT doc_id, {t} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> struct_pack(w1 := t[i], w2 := t[i + 1])))
+           AS s
+  FROM tok
+),
+pairs AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+uni AS (
+  SELECT unnest(t) AS w FROM tok WHERE doc_id % 2 = 0
+),
+unic AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM unic),
+bigc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM pairs WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(CASE WHEN b.c2 IS NOT NULL
+                   THEN length(bin(u1.c1 // b.c2)) - 1
+                   ELSE length(bin(tot.total // coalesce(u2.c1, 1))) - 1 + 1
+              END AS BIGINT) AS bits
+  FROM pairs p
+  LEFT JOIN bigc b USING (w1, w2)
+  LEFT JOIN unic u1 ON u1.w = p.w1
+  LEFT JOIN unic u2 ON u2.w = p.w2
+  CROSS JOIN tot
+  WHERE p.doc_id % 2 = 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS bits_total,
+       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_classifier": (
         text_quality_classifier,
@@ -254,4 +403,5 @@ QUERIES = {
     ),
     "docs_curation_v4": (docs_curation_v4, _curation_v4_sql),
     "docs_dsir_select": (docs_dsir_select, _dsir_sql),
+    "text_bigram_bits": (text_bigram_bits, _bigram_bits_sql),
 }

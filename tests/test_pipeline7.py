@@ -144,3 +144,44 @@ def test_dsir_guards():
 
     with pytest.raises(BindError, match="topk"):
         dsir_select(None, F.lit(True), topk=0)
+
+
+def test_bigram_bits_backoff_and_edge_docs(spark, tmp_path):
+    """The held-out split must actually exercise the backoff arm, and
+    degenerate docs (single-token, NULL text) must be absent — not
+    zero-row artifacts — on the scored side."""
+    import pandas as pd
+
+    from duckdb_nats_jetstream_spark.queries.pipeline7 import (
+        text_bigram_bits,
+    )
+
+    rows = [
+        # model half (even ids): 'a b' seen twice, vocab {a, b}
+        (0, "a b a b"),
+        (2, "a b"),
+        # scored half (odd ids)
+        (1, "a b"),        # seen bigram only
+        (3, "a zzz"),      # unseen bigram, unseen w2 -> deep backoff
+        (5, "solo"),       # single token: no bigrams -> absent
+        (7, None),         # NULL text -> absent
+    ]
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(r[1] or "") for r in rows],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in text_bigram_bits(spark, sf).collect()}
+    assert set(got) == {1, 3}
+    # model: c(a)=3, c(b)=3, total=6, c2('a b')=3... (0: a b a b has
+    # 'a b' twice + 'b a' once; 2 adds 'a b' once) -> c2('a b')=3
+    # doc 1: bits = floor(log2(3/3)) = 0
+    assert (got[1].n_bigrams, got[1].bits_total) == (1, 0)
+    # doc 3: 'a zzz' unseen bigram, zzz unseen unigram ->
+    # bits = floor(log2(6/1)) + 1 = 2 + 1 = 3
+    assert (got[3].n_bigrams, got[3].bits_total) == (1, 3)

@@ -79,6 +79,7 @@ HEADLINES = [
     "docs_curation_v4",  # selection-layer capstone (r13: quota→budget→split)
     "text_quality_classifier",  # hashed-feature linear margin (r13, map-only)
     "docs_dsir_select",  # DSIR importance selection (r13: 2 hashed LMs + broadcast weights)
+    "text_bigram_bits",  # held-out bigram-LM scoring (r13: co-keyed model joins)
     "docs_pack_sequences",  # sequence packing
     "scan_funnel",  # events funnel (skew-safe cascade)
     "rel_pricing_summary",  # TPC-H Q1 aggregation shape
