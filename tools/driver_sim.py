@@ -8,7 +8,11 @@ harness from ``tests/oracle_harness``.
 Run before round end: every query shown here is one the driver WILL
 check; a failure here is a red CORRECTNESS row next round.
 
-    python tools/driver_sim.py [N=50 | all]
+    python tools/driver_sim.py [N=50 | all | name ...]
+
+Passing explicit query names (r13 optimization round) checks just those
+entries — the per-edit oracle gate while optimizing; PARITY_EVIDENCE is
+only written by a full ``all`` run.
 
 ``all`` runs the FULL registry; if every oracle-backed query is green it
 writes ``PARITY_EVIDENCE.json`` — a committed artifact tying the run to
@@ -33,7 +37,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 def main() -> None:
     arg = sys.argv[1] if len(sys.argv) > 1 else "50"
-    n = 10**9 if arg == "all" else int(arg)
+    explicit_names: list[str] | None = None
+    if arg == "all":
+        n = 10**9
+    elif arg.isdigit():
+        n = int(arg)
+    else:
+        explicit_names = sys.argv[1:]
+        n = len(explicit_names)
 
     # Fingerprint the package tree BEFORE the (long) run: evidence must
     # vouch for the tree the queries actually executed against, and an
@@ -54,7 +65,14 @@ def main() -> None:
 
     registry = full_registry()
     con = duckdb_conn(SF_DIR)
-    names = list(registry)[:n]
+    if explicit_names is not None:
+        unknown = [q for q in explicit_names if q not in registry]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            sys.exit(2)
+        names = explicit_names
+    else:
+        names = list(registry)[:n]
     failures = 0
     for i, name in enumerate(names):
         fn, sql = registry[name]
