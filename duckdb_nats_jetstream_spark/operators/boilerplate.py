@@ -60,12 +60,23 @@ def segment_boilerplate_stats(
             )
         ).alias("fp"),
     )
-    flagged = (
-        segs.groupBy("fp")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("fp", F.lit(1).alias("is_b"))
-    )
+    if min_docs == 2:
+        # min(id) < max(id) ⟺ ≥2 distinct docs: one exchange instead of
+        # the distinct-agg's two (r13 optimization; the generic arm below
+        # stays for min_docs > 2, where a true distinct count is needed)
+        flagged = (
+            segs.groupBy("fp")
+            .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+            .filter(F.col("__mn") < F.col("__mx"))
+            .select("fp", F.lit(1).alias("is_b"))
+        )
+    else:
+        flagged = (
+            segs.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("fp", F.lit(1).alias("is_b"))
+        )
     return (
         segs.join(flagged, "fp", "left")
         .groupBy(id_col)

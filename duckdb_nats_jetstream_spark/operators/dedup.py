@@ -595,10 +595,14 @@ def dup_span_stats(
         .select(id_col, F.substring(F.md5("__s"), 1, 8).alias("fp"))
         .persist()
     )
+    # "appears in ≥2 DISTINCT docs" ⟺ min(id) < max(id): count_distinct
+    # plans as TWO exchanges (partial distinct on (fp, id), then the merge),
+    # min/max as ONE (guide §2.4 — r13 optimization round; NULL ids agree:
+    # both formulations ignore them)
     hot = (
         grams.groupBy("fp")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .filter(F.col("__mn") < F.col("__mx"))
         .select("fp", F.lit(1).alias("__hot"))
     )
     out = (
@@ -971,10 +975,12 @@ def span_scrub(
         F.substring(F.md5("__s"), 1, 8).alias("fp"),
     )
     grams = grams.persist()
+    # min(id) < max(id) ⟺ ≥2 distinct docs — one exchange instead of the
+    # distinct-agg's two (same rewrite as dup_span_stats; r13 optimization)
     hot = (
         grams.groupBy("fp")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .filter(F.col("__mn") < F.col("__mx"))
         .select("fp")
     )
     starts = (

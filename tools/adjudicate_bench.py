@@ -51,7 +51,7 @@ MOVERS = [
     "dedup_simhash",
 ]
 
-RUNS = 8
+RUNS = int(os.environ.get("SPARK_GRAFT_ADJ_RUNS", "8"))
 
 #: cheap, long-stable plan; its quiet-week steady state is ~0.28 s at
 #: sf0.1 — any elevation here is host regime by definition
