@@ -73,10 +73,22 @@ def _pair_counts(enc: DataFrame) -> DataFrame:
 
 def _learn_merges(
     df: DataFrame, rounds: int, text_col: str
-) -> tuple[DataFrame, list[tuple[str, int]]]:
-    """Shared training core: returns the post-merge encoded vocabulary
-    ``(w, cnt, seq)`` (persisted — caller must unpersist) and the list of
-    chosen ``(pair, n)`` merges in order."""
+) -> tuple[DataFrame, DataFrame, list[tuple[str, int]]]:
+    """Shared training core: returns ``(base, enc, merges)`` — the
+    PERSISTED character-encoded vocabulary ``base`` (caller must
+    unpersist), the post-merge encoded vocabulary ``enc`` (a lazy chain
+    of per-round replaces over ``base``) and the chosen ``(pair, n)``
+    merges in order.
+
+    r13 optimization: the corpus-scale work is the ONE vocab aggregation,
+    persisted once. Each round's replace is a row-local string op over
+    that cached relation, so the per-round ``persist → count → unpersist
+    parent`` lifecycle (one extra materialization job per round) is
+    replaced by a lazy projection chain — round r's pair-count pass
+    re-applies r cheap replaces against the cache instead of paying a
+    full materialization barrier per round. Guide §1.2: remove passes
+    first; §5: cache only what is reused (the base is, the per-round
+    frames are not)."""
     from duckdb_nats_jetstream_spark.tables import spread
 
     vocab = (
@@ -86,8 +98,9 @@ def _learn_merges(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
-    enc = vocab.select("w", "cnt", _encode(F.col("w")).alias("seq")).persist()
+    base = vocab.select("w", "cnt", _encode(F.col("w")).alias("seq")).persist()
 
+    enc = base
     merges: list[tuple[str, int]] = []
     for _ in range(rounds):
         best = (
@@ -101,17 +114,14 @@ def _learn_merges(
         pair, n = best[0].pair, best[0].n
         merges.append((pair, n))
         a, b = pair.split(" ", 1)
-        nxt = enc.select(
+        enc = enc.select(
             "w",
             "cnt",
             F.replace(
                 F.col("seq"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")
             ).alias("seq"),
-        ).persist()
-        nxt.count()  # materialize before dropping the parent cache
-        enc.unpersist(blocking=True)
-        enc = nxt
-    return enc, merges
+        )
+    return base, enc, merges
 
 
 def bpe_merge_table(
@@ -131,7 +141,7 @@ def bpe_merge_table(
     re-run all prior rounds' replacements).
     """
     spark = df.sparkSession
-    enc, merges = _learn_merges(df, rounds, text_col)
+    base, enc, merges = _learn_merges(df, rounds, text_col)
     out_rows = [(r + 1, 1, pair, n) for r, (pair, n) in enumerate(merges)]
     frontier = (
         _pair_counts(enc)
@@ -139,7 +149,7 @@ def bpe_merge_table(
         .limit(top_k)
         .collect()
     )
-    enc.unpersist(blocking=True)
+    base.unpersist(blocking=True)
     out_rows += [
         (rounds + 1, i + 1, row.pair, row.n) for i, row in enumerate(frontier)
     ]
@@ -167,7 +177,7 @@ def bpe_token_counts(
     """
     from duckdb_nats_jetstream_spark.tables import spread
 
-    enc, _ = _learn_merges(df, rounds, text_col)
+    base, enc, _ = _learn_merges(df, rounds, text_col)
     word_syms = enc.select(
         "w",
         F.size(F.expr(_SYMS)).cast("long").alias("n_syms"),
@@ -186,7 +196,7 @@ def bpe_token_counts(
         )
     )
     out = out.localCheckpoint(eager=True)
-    enc.unpersist(blocking=True)
+    base.unpersist(blocking=True)
     return out
 
 
