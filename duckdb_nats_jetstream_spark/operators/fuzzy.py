@@ -25,7 +25,19 @@ from pyspark.sql import DataFrame, functions as F
 def fuzzy_key_pairs(df: DataFrame, key_col: str) -> DataFrame:
     """Distinct unordered pairs of ``key_col`` values at Levenshtein
     distance exactly 1 (equal values are identical keys, not fuzzy
-    matches). Returns (s_a, s_b, dist) with s_a < s_b."""
+    matches). Returns (s_a, s_b, dist) with s_a < s_b.
+
+    Candidates are generated WITHIN deletion-key groups (r13 optimization):
+    ``groupBy(k).collect_list`` then a row-local ordered-pair expansion,
+    instead of the previous self-join of the keyed relation — which planned
+    the scan→distinct→explode subtree TWICE (no exchange reuse across the
+    join aliases) plus the join's own exchanges. One pass and one shuffle
+    now build every candidate group. This is safe at any corpus size
+    because a deletion-key group is bounded by construction: the strings
+    matching key ``k`` are ``k`` itself plus single-character insertions
+    into ``k`` — at most ``(len(k)+1) × |alphabet| + 1`` DISTINCT values,
+    independent of row count (duplicates are collapsed by the upstream
+    ``distinct`` and ``array_distinct``)."""
     s = df.select(F.col(key_col).alias("s")).distinct()
     dels = F.transform(
         F.sequence(F.lit(1), F.length("s")),
@@ -37,12 +49,26 @@ def fuzzy_key_pairs(df: DataFrame, key_col: str) -> DataFrame:
     keyed = s.select(
         "s", F.explode(F.array_distinct(F.concat(F.array(F.col("s")), dels))).alias("k")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
-        .distinct()
+    groups = (
+        keyed.groupBy("k")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
     )
+    # ordered pairs (x, y) with x < y — the array is sorted and duplicate-
+    # free (each s contributes a given key once via array_distinct), so
+    # pairing each element with its successors preserves the old
+    # ``a.s < b.s`` join condition exactly
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> struct(x, y)))"
+            )
+        )
+    ).alias("p")
+    cand = groups.select(pair).select(
+        F.col("p.x").alias("s_a"), F.col("p.y").alias("s_b")
+    ).distinct()
     dist = F.levenshtein("s_a", "s_b")
     return cand.filter(dist <= 1).select(
         "s_a", "s_b", dist.cast("long").alias("dist")
