@@ -425,26 +425,56 @@ def winnow_pairs(
     Pass ``df_cap=None`` to opt out explicitly — exhaustive pairs over a
     corpus known to be boilerplate-free.
     """
-    # persist: both join sides read the same fingerprint relation — without
-    # this the whole k-gram/window pipeline runs twice (same pattern as
+    if df_cap is not None:
+        # r13 optimization — capped path, single-subtree plan: document
+        # frequency via a window count over fp (ONE fp exchange; the
+        # spillable window buffer replaces the old rare-agg + semi-join
+        # pair), then in-group ordered-pair expansion over the SAME fp
+        # partitioning (groupBy(fp) reuses the window's exchange — no new
+        # shuffle) instead of the self-join. Safe at corpus scale because
+        # the post-filter group is ≤ df_cap members by construction, so
+        # collect_list buffers and the row-local pair arrays are bounded
+        # (≤ df_cap·(df_cap−1)/2 structs). No persist/checkpoint lifecycle:
+        # the fingerprint relation has exactly one consumer now.
+        from pyspark.sql import Window as W
+
+        fps = winnow_fingerprints(df, text_col, id_col, k, w)
+        kept = fps.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("fp"))
+        ).filter(F.col("__df") <= df_cap)
+        groups = (
+            kept.groupBy("fp")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+            .filter(F.size("__ids") >= 2)
+        )
+        # (id, fp) is distinct per document, so the sorted per-fp id array
+        # is duplicate-free: pairing each element with its successors is
+        # exactly the old a.id < b.id self-join condition
+        pair = F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids)), "
+                    "y -> struct(x, y)))"
+                )
+            )
+        ).alias("p")
+        return (
+            groups.select(pair)
+            .groupBy(
+                F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b")
+            )
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+
+    # UNCAPPED opt-in (exhaustive oracle twin): the self-join needs the
+    # fingerprint relation on both sides — persist it so the whole
+    # k-gram/window pipeline doesn't run twice (same pattern as
     # minhash_lsh_pairs; on a cluster swap localCheckpoint for checkpoint)
     fps_cached = winnow_fingerprints(df, text_col, id_col, k, w).persist()
-    fps = fps_cached
-    if df_cap is not None:
-        # (id, fp) is already distinct per document, so count(*) per fp IS
-        # document frequency; the semi-join keeps fps under the cap.
-        # NB: keep unpersisting the ORIGINAL handle — rebinding fps to the
-        # join and unpersisting that leaks the cache entry (storage memory
-        # pinned for the rest of the application).
-        rare = (
-            fps_cached.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= df_cap)
-            .select("fp")
-        )
-        fps = fps_cached.join(rare, "fp", "left_semi")
-    a = fps.alias("a")
-    b = fps.alias("b")
+    a = fps_cached.alias("a")
+    b = fps_cached.alias("b")
     out = (
         a.join(
             b,
