@@ -358,10 +358,12 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     any codec asymmetry fails the gate. (For the default JVM-only typed
     scan plan see ``scan_typed_extract``; this query IS the compatibility
     codec's gate.)"""
+    from pyspark.sql import types as T
+
     from duckdb_nats_jetstream_spark.functions.proto import (
         encode_message,
         parse_proto,
-        proto_extract,
+        path_extractor,
     )
     from duckdb_nats_jetstream_spark.tables import read_table
 
@@ -370,43 +372,57 @@ def proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
 
-    def encode(it):
+    # bind-time validation as in proto_extract; the SAME extract kernel
+    # decodes the wire bytes — the query still gates encode + decode
+    paths = ["seq", "user_id", "value", "event_type", "props.k"]
+    out_names, types, extract = path_extractor(EVENTS_PROTO, "Event", paths)
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in zip(out_names, types)]
+    )
+
+    def roundtrip(it):
+        # r13 optimization (guide §4): encode→decode FUSED in one Python
+        # stage. The previous mapInPandas(encode) → proto_extract chain
+        # planned two MapInPandas operators — every payload byte crossed
+        # JVM↔Python twice more than needed; the wire bytes now live and
+        # die inside one Python worker and only the decoded typed columns
+        # cross back.
+        import pandas as pd
+
         for pdf in it:
-            payloads = []
+            rows = []
             for eid, uid, val, etype, k in zip(
                 pdf["event_id"], pdf["user_id"], pdf["value"],
                 pdf["event_type"], pdf["k"],
             ):
-                payloads.append(
-                    encode_message(
-                        dict(
-                            seq=int(eid) + 1,
-                            user_id=int(uid),
-                            value=float(val),
-                            event_type=etype,
-                            props=dict(k=int(k)) if k is not None else None,
-                        ),
-                        desc, messages, enums,
-                    )
+                payload = encode_message(
+                    dict(
+                        seq=int(eid) + 1,
+                        user_id=int(uid),
+                        value=float(val),
+                        event_type=etype,
+                        props=dict(k=int(k)) if k is not None else None,
+                    ),
+                    desc, messages, enums,
                 )
-            import pandas as pd
-
-            yield pd.DataFrame({"payload": payloads})
+                rows.append(extract(payload))
+            yield pd.DataFrame(
+                dict(zip(out_names, zip(*rows)))
+                if rows
+                else {n: [] for n in out_names}
+            )
 
     from duckdb_nats_jetstream_spark.tables import spread
 
-    # JSON parse stays JVM-side (get_json_object) — only the wire encode is
+    # JSON parse stays JVM-side (get_json_object) — only the wire codec is
     # Python; spread so a single-file input doesn't serialize the codec
     encoded = spread(
         ev.select(
             "event_id", "user_id", "value", "event_type",
             F.get_json_object("props", "$.k").cast("long").alias("k"),
         )
-    ).mapInPandas(encode, "payload binary")
-    return proto_extract(
-        encoded, EVENTS_PROTO, "Event",
-        ["seq", "user_id", "value", "event_type", "props.k"],
-    ).select("seq", "user_id", "value", "event_type", "props_k")
+    ).mapInPandas(roundtrip, out_schema)
+    return encoded.select("seq", "user_id", "value", "event_type", "props_k")
 
 
 PROTO_ROUNDTRIP_SQL = """
@@ -433,46 +449,57 @@ def proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64s, repeated strings, and a string→int64 map; extract as native
     Spark array/map columns; reduce to scalars so the DuckDB oracle checks
     every element's value."""
+    from pyspark.sql import types as T
+
     from duckdb_nats_jetstream_spark.functions.proto import (
         encode_message,
         parse_proto,
-        proto_extract,
+        path_extractor,
     )
     from duckdb_nats_jetstream_spark.tables import read_table
 
     messages, enums = parse_proto(REPEATED_EVENTS_PROTO)
     desc = messages["EventR"]
 
-    def encode(it):
+    # fused encode→decode, one Python stage (guide §4; see proto_roundtrip)
+    paths = ["seq", "vals", "tags", "attrs"]
+    out_names, types, extract = path_extractor(
+        REPEATED_EVENTS_PROTO, "EventR", paths
+    )
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in zip(out_names, types)]
+    )
+
+    def roundtrip(it):
         import pandas as pd
 
         for pdf in it:
-            payloads = []
+            rows = []
             for eid, uid, etype in zip(
                 pdf["event_id"], pdf["user_id"], pdf["event_type"]
             ):
                 eid, uid = int(eid), int(uid)
-                payloads.append(
-                    encode_message(
-                        dict(
-                            seq=eid,
-                            vals=[eid, uid, eid % 7],
-                            tags=[etype, etype.upper()],
-                            attrs={"u": uid, "m": eid % 5},
-                        ),
-                        desc, messages, enums,
-                    )
+                payload = encode_message(
+                    dict(
+                        seq=eid,
+                        vals=[eid, uid, eid % 7],
+                        tags=[etype, etype.upper()],
+                        attrs={"u": uid, "m": eid % 5},
+                    ),
+                    desc, messages, enums,
                 )
-            yield pd.DataFrame({"payload": payloads})
+                rows.append(extract(payload))
+            yield pd.DataFrame(
+                dict(zip(out_names, zip(*rows)))
+                if rows
+                else {n: [] for n in out_names}
+            )
 
     from duckdb_nats_jetstream_spark.tables import spread
 
-    encoded = spread(
+    ex = spread(
         read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    ).mapInPandas(encode, "payload binary")
-    ex = proto_extract(
-        encoded, REPEATED_EVENTS_PROTO, "EventR", ["seq", "vals", "tags", "attrs"]
-    )
+    ).mapInPandas(roundtrip, out_schema)
     return ex.select(
         "seq",
         F.size("vals").alias("n_vals"),
