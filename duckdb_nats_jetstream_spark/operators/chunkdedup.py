@@ -68,12 +68,24 @@ def chunk_dedup(
         )
     )
     # document frequency per chunk hash (distinct docs, not occurrences:
-    # a chunk repeated WITHIN one doc is repetition, not boilerplate)
-    freq = exploded.groupBy("ch").agg(
-        F.count_distinct(F.col(id_col)).alias("doc_freq")
-    )
-    marked = exploded.join(freq, "ch").withColumn(
-        "keep", F.col("doc_freq") <= F.lit(max_doc_freq)
+    # a chunk repeated WITHIN one doc is repetition, not boilerplate).
+    # r13 optimization: attach it IN PLACE with two window passes over one
+    # ch-keyed exchange — dense_rank by id then its per-ch max IS the
+    # exact distinct-doc count — instead of a count_distinct aggregate
+    # (two exchanges) joined back to the exploded relation (which planned
+    # the tokenize+explode subtree twice). A hot boilerplate chunk lands
+    # on one spillable window group either way; the join-back put it on
+    # one join partition, so skew is unchanged while two exchanges and a
+    # second explode pass are gone.
+    from pyspark.sql import Window as W
+
+    wch = W.partitionBy("ch")
+    marked = (
+        exploded.withColumn(
+            "__dr", F.dense_rank().over(wch.orderBy(id_col))
+        )
+        .withColumn("doc_freq", F.max("__dr").over(wch))
+        .withColumn("keep", F.col("doc_freq") <= F.lit(max_doc_freq))
     )
     cleaned = F.array_join(
         F.transform(
