@@ -72,14 +72,27 @@ def _unigram_bit_scores(tok: DataFrame) -> DataFrame:
 
     floor(log2(total/n)) with integer division: ``bin()`` of a positive
     int64 has no leading zeros in either engine, so its length − 1 IS the
-    floor log2 — no floating point anywhere in the surprisal."""
+    floor log2 — no floating point anywhere in the surprisal.
+
+    Plan shape (r13 optimization): the old vocab-aggregate + join-back
+    form planned the tokenize→explode→(doc,token)-count subtree THREE
+    times (join left, vocab broadcast, corpus total) with six exchanges
+    and no exchange reuse. The corpus frequency ``n`` is now attached IN
+    PLACE by a token-partitioned window sum over the (doc, token) counts
+    (a hot token buffers one spillable window group — the same rows the
+    join previously sent to one hash partition), and the corpus total is
+    a separate map-only 1-row count of ``tok`` (no explode-side shuffle).
+    Two passes over ``tok``, three exchanges, zero equi-joins."""
+    from pyspark.sql import Window as W
+
     dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
-    total = vocab.agg(F.sum("n").alias("total"))
+    n_attached = dtc.withColumn(
+        "n", F.sum("c").over(W.partitionBy("token"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
     bits = F.length(F.bin(F.expr("total div n"))) - 1
     return (
-        dtc.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
+        n_attached.crossJoin(F.broadcast(total))
         .select("doc_id", "c", bits.cast("long").alias("bits"))
         .groupBy("doc_id")
         .agg(
