@@ -178,13 +178,53 @@ def bm25_scored(
     """
     _require_terms(terms, "bm25_scored")
     _guard_id_col(id_col, len(terms), "bm25_scored")
+    base = _word_base(docs, terms, text_col, id_col)
+    return _bm25_from_base(base, len(terms), k1, b, id_col)
+
+
+def _word_base(
+    docs: DataFrame, terms: list[str], text_col: str, id_col: str
+) -> DataFrame:
     toks = TX.tokens(F.col(text_col))
-    base = docs.select(
+    return docs.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
         *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
     )
-    return _bm25_from_base(base, len(terms), k1, b, id_col)
+
+
+def _topk_from_base(
+    base: DataFrame,
+    n_terms: int,
+    topk: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    score_out: str,
+) -> DataFrame:
+    """Shared top-k assembly with the single-scan lifecycle (r13
+    optimization): the stats aggregate and the scoring projection both
+    consume ``base``, and Catalyst plans that subtree TWICE (the stats
+    side is a broadcast, so there is no exchange to reuse) — at corpus
+    scale that is two full tokenize/tf passes over the text. ``base`` is
+    a NARROW integer relation (id, dl, tf_0..n), far smaller than the
+    text it derives from, so persisting it turns BM25 into one text scan
+    + two cheap cached passes. The bounded top-k output is eager-
+    checkpointed so the cache can be dropped before returning (the
+    package's † persist → localCheckpoint(eager) → unpersist lifecycle).
+    """
+    cached = base.persist()
+    scored = _bm25_from_base(cached, n_terms, k1, b, id_col)
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
+    w = W.orderBy(F.col("score").desc(), F.col(id_col))
+    out = top.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.col("score").alias(score_out),
+    )
+    out = out.localCheckpoint(eager=True)
+    cached.unpersist(blocking=True)
+    return out
 
 
 def bm25_topk(
@@ -201,16 +241,13 @@ def bm25_topk(
     ``orderBy(...).limit(k)`` plans TakeOrderedAndProject (per-partition
     heap + driver merge of k rows); ``row_number`` then runs over the k
     surviving rows only — the unpartitioned window is bounded by
-    construction, never corpus-sized.
+    construction, never corpus-sized. One text scan: see
+    :func:`_topk_from_base`.
     """
-    scored = bm25_scored(docs, terms, k1=k1, b=b, text_col=text_col, id_col=id_col)
-    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
-    w = W.orderBy(F.col("score").desc(), F.col(id_col))
-    return top.select(
-        F.col(id_col),
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.col("score").alias("bm25_r"),
-    )
+    _require_terms(terms, "bm25_topk")
+    _guard_id_col(id_col, len(terms), "bm25_topk")
+    base = _word_base(docs, terms, text_col, id_col)
+    return _topk_from_base(base, len(terms), topk, k1, b, id_col, "bm25_r")
 
 
 def _phrase_ngrams(n: int) -> Column:
@@ -246,12 +283,19 @@ def bm25_phrase_scored(
     single-row broadcast stats aggregate."""
     _require_phrases(phrases, "bm25_phrase_scored")
     _guard_id_col(id_col, len(phrases), "bm25_phrase_scored")
+    base = _phrase_base(docs, phrases, text_col, id_col)
+    return _bm25_from_base(base, len(phrases), k1, b, id_col)
+
+
+def _phrase_base(
+    docs: DataFrame, phrases: list[str], text_col: str, id_col: str
+) -> DataFrame:
     widths = {len(p.split()) for p in phrases}
     toked = docs.select(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
     )
     grams = {n: _phrase_ngrams(n) for n in widths}
-    base = toked.select(
+    return toked.select(
         F.col(id_col),
         F.size("toks").alias("dl"),
         *[
@@ -259,7 +303,6 @@ def bm25_phrase_scored(
             for i, p in enumerate(phrases)
         ],
     )
-    return _bm25_from_base(base, len(phrases), k1, b, id_col)
 
 
 def bm25_phrase_topk(
@@ -273,17 +316,11 @@ def bm25_phrase_topk(
 ) -> DataFrame:
     """Top-``topk`` documents by phrase BM25 → ``(id_col, rnk, score)``
     (TakeOrderedAndProject + a window over the k survivors, like
-    :func:`bm25_topk`)."""
-    scored = bm25_phrase_scored(
-        docs, phrases, k1=k1, b=b, text_col=text_col, id_col=id_col
-    )
-    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
-    w = W.orderBy(F.col("score").desc(), F.col(id_col))
-    return top.select(
-        F.col(id_col),
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.col("score"),
-    )
+    :func:`bm25_topk`). One text scan: see :func:`_topk_from_base`."""
+    _require_phrases(phrases, "bm25_phrase_topk")
+    _guard_id_col(id_col, len(phrases), "bm25_phrase_topk")
+    base = _phrase_base(docs, phrases, text_col, id_col)
+    return _topk_from_base(base, len(phrases), topk, k1, b, id_col, "score")
 
 
 def rrf_fuse_many(
