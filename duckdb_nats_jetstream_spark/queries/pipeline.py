@@ -86,31 +86,45 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     position counts): per-document duplicate-2gram / duplicate-3gram
     fractions and the share of the single most frequent word.
 
-    Scale shape: the dup-n-gram fractions are pure per-row array math —
-    zero shuffle at any corpus size. Only the word-mode branch shuffles,
-    keyed (doc_id, token) with map-side partial aggregation, then joins
-    back on doc_id."""
+    Scale shape (r13 optimization): ZERO shuffle at any corpus size. The
+    dup-n-gram fractions were always pure per-row array math; the word-
+    mode branch — previously an explode + (doc, token) aggregation +
+    per-doc max + join-back, i.e. two shuffles and a second scan — is the
+    max run length of the per-row SORTED token array, another row-local
+    fold. Docs whose token array is empty had no exploded rows and were
+    dropped by the old inner join; the explicit size filter preserves
+    that contract."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    toks = TX.tokens(F.col("text"))
-    base = docs.select(
+    # materialize the split once; re-deriving it inside every consumer
+    # expression re-runs the tokenizer per expression (the PERF.md
+    # transform-lambda trap)
+    toked = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("__t")
+    ).filter(F.size("__t") > 0)
+    toks = F.col("__t")
+    run = lambda acc, x: F.when(  # noqa: E731 — two-use lambda
+        x == acc.getField("prev"), acc.getField("run") + F.lit(1).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc.getField("best"), run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    return toked.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         TX.dup_ngram_fraction(toks, 2).alias("dup_2gram_r"),
         TX.dup_ngram_fraction(toks, 3).alias("dup_3gram_r"),
-    )
-    top = (
-        docs.select("doc_id", F.explode(toks).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_cnt"))
-    )
-    return base.join(top, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "dup_2gram_r",
-        "dup_3gram_r",
-        (F.col("top_cnt") / F.col("n_tokens")).alias("top_word_share"),
+        (top_cnt / F.size(toks).cast("long")).alias("top_word_share"),
     )
 
 
