@@ -948,7 +948,13 @@ def docs_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = spread(read_table(spark, sf_dir, "documents")).select(
         "source", F.explode(TX.tokens(F.col("text"))).alias("token")
     )
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o"))
+    # persisted (r13): three consumers below (corpus top-50, per-source
+    # totals, the scoring join) each replanned the tokenize→explode→agg
+    # subtree — three corpus scans instead of one. † lifecycle: the
+    # per-source result is eager-checkpointed before unpersist.
+    st = (
+        tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("o")).persist()
+    )
     corpus = (
         st.groupBy("token")
         .agg(F.sum("o").alias("c"))
@@ -986,11 +992,14 @@ def docs_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (x["o"] - (x["c"] * F.col("src_total")) / x["ct"])
         * (x["o"] - (x["c"] * F.col("src_total")) / x["ct"])
     ) / ((x["c"] * F.col("src_total")) / x["ct"])
-    return agg.select(
+    out = agg.select(
         "source",
         F.col("src_total").cast("long").alias("n_tokens"),
         F.aggregate("xs", F.lit(0.0), term).alias("chi2"),
     )
+    out = out.localCheckpoint(eager=True)
+    st.unpersist(blocking=True)
+    return out
 
 
 DOMAIN_SHIFT_SQL = f"""
