@@ -83,11 +83,34 @@ def _resolve_oracle(sql: OracleSql) -> str | None:
 #: (fingerprint-at-clear, hash equality, own-segment guard) on each run.
 #: Rows-only (no-oracle) queries sit at the VERY END of the registry
 #: (_ROWS_ONLY_LAST): a "no_oracle" row is a wasted slot.
+#:
+#: r13 OPTIMIZATION-round update: the round's plan-shape optimizations
+#: (min<max hot aggs, BPE lazy-replace, in-group pair expansion, fused
+#: proto codec, single-scan BM25, window-attached frequencies) touched
+#: ~20 queries' dependency closures, so the prefix was re-derived with
+#: ``tools/registry_status.py`` — every fingerprint-changed query is
+#: re-queued ahead of the rotation tail, and each one was additionally
+#: oracle-checked exact-value during the round (driver_sim per edit +
+#: full-registry run at close). The 4 never-green r13 registrations keep
+#: their head slots.
 _PREFIX_R13 = [
     "text_quality_classifier",
     "docs_curation_v4",
     "docs_dsir_select",
     "text_bigram_bits",
+    "scan_proto_roundtrip",
+    "scan_proto_repeated",
+    "text_repetition",
+    "docs_boilerplate",
+    "scan_fuzzy_subjects",
+    "docs_curation_v2",
+    "docs_domain_shift",
+    "dedup_winnow_capped",
+    "dedup_span_fraction",
+    "docs_chunk_dedup",
+    "text_bpe_merges",
+    "docs_curation_v3",
+    "docs_span_scrub",
     "text_bigram_topk",
     "multimodal_frame_sample",
     "multimodal_audio_stats",
@@ -101,39 +124,26 @@ _PREFIX_R13 = [
     "rel_order_priority_exists",
     "rel_supplier_diversity",
     "rel_nation_balance_share",
-    "scan_proto_roundtrip",
-    "scan_proto_repeated",
     "scan_time_range_compat",
     "scan_typed_extract",
     "rel_price_histogram",
     "rel_string_functions",
     "rel_pivot_status",
     "rel_percentiles",
-    "docs_stratified_sample",
-    "docs_winsorize",
-    "docs_pack_sequences",
-    "text_repetition",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_components",
-    "profile_events",
-    "docs_weighted_mix",
-    "scan_scd2_intervals",
-    "text_pii_redact",
     "dedup_prune",
-    "text_gopher_filters",
-    "docs_boilerplate",
     "dedup_prefix_containment",
-    "docs_snapshot_diff",
-    "docs_mixture_plan",
-    "scan_ewma_trend",
-    "rel_zorder_layout",
     "docs_leakage_safe_split",
-    "scan_fuzzy_subjects",
-    "scan_cohort_retention",
-    "docs_curation_v2",
-    "docs_quality_percentile",
-    "scan_asof_tolerance",
+    "dedup_incremental",
+    "text_bpe_apply",
+    "dedup_graph_triangles",
+    "text_bm25_topk",
+    "docs_stratified_sample",
+    "docs_winsorize",
+    "docs_pack_sequences",
+    "profile_events",
 ]
 #: rows-only queries (no oracle): the driver records "no_oracle" for these,
 #: so inside the prefix they waste a verification slot — keep them LAST.
