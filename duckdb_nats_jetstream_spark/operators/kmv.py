@@ -67,6 +67,48 @@ def _kth_num(h: F.Column) -> F.Column:
     return F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
 
 
+def kmv_union_with_membership(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union sketch with per-side membership flags →
+    ``(h, in_ka, in_kb)``, ≤ k rows (r14 branch fold, r13 verdict ask #8).
+
+    Same ``h`` set as ``kmv_union(a, b)`` — the groupBy IS the dedup —
+    but each union-sketch row also records which input sketches contain
+    it (``max`` of the tagged stack), so intersection/Jaccard counting
+    needs NO semi-joins back into the inputs: each input is consumed
+    exactly once and nothing needs to be persisted."""
+    tagged = a.select(
+        "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    ).unionByName(b.select("h", F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+    return (
+        tagged.groupBy("h")
+        .agg(F.max("ia").alias("in_ka"), F.max("ib").alias("in_kb"))
+        .sort("h")
+        .limit(K)
+    )
+
+
+def kmv_intersection_stats(ku_flagged: DataFrame) -> DataFrame:
+    """ONE single-row aggregate over :func:`kmv_union_with_membership`
+    output: ``(n_union, n_match, est_union)`` — the union cardinality
+    estimate (exact below k, (k−1)/U_k otherwise — same CASE as
+    :func:`kmv_estimate`) and the both-sides match count
+    (``h ∈ ka ∧ h ∈ kb`` ⇔ ``in_ka·in_kb``, exactly what a semi-join
+    pair against the input sketches would test)."""
+    agg = ku_flagged.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_ka") * F.col("in_kb")).alias("n_match"),
+    )
+    est = F.when(
+        F.col("n_sketch") < K, F.col("n_sketch").cast("double")
+    ).otherwise((F.lit(float(K - 1)) * F.lit(_SPACE)) / _kth_num(F.col("kth")))
+    return agg.select(
+        F.col("n_sketch").cast("long").alias("n_union"),
+        F.col("n_match").cast("long").alias("n_match"),
+        est.alias("est_union"),
+    )
+
+
 def kmv_estimate(sketch: DataFrame) -> DataFrame:
     """One-row ``(n_sketch, estimate)``: (k−1)/U_k, or the exact count when
     the sketch holds the whole set (n < k)."""

@@ -74,25 +74,29 @@ def _unigram_bit_scores(tok: DataFrame) -> DataFrame:
     int64 has no leading zeros in either engine, so its length − 1 IS the
     floor log2 — no floating point anywhere in the surprisal.
 
-    Plan shape (r13 optimization): the old vocab-aggregate + join-back
-    form planned the tokenize→explode→(doc,token)-count subtree THREE
-    times (join left, vocab broadcast, corpus total) with six exchanges
-    and no exchange reuse. The corpus frequency ``n`` is now attached IN
-    PLACE by a token-partitioned window sum over the (doc, token) counts
-    (a hot token buffers one spillable window group — the same rows the
-    join previously sent to one hash partition), and the corpus total is
-    a separate map-only 1-row count of ``tok`` (no explode-side shuffle).
-    Two passes over ``tok``, three exchanges, zero equi-joins."""
-    from pyspark.sql import Window as W
-
-    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    n_attached = dtc.withColumn(
-        "n", F.sum("c").over(W.partitionBy("token"))
-    )
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    Plan shape (r14, replacing the r13 window form): the pre-r13
+    vocab-aggregate + join-back planned the tokenize→explode→(doc,token)
+    count subtree THREE times (join left, vocab build, corpus total); the
+    r13 rewrite fixed that with a token-partitioned window sum — but that
+    traded a *broadcast probe* for a full exchange of every (doc, token)
+    row on ``token``, a stopword-skewed key whose hottest group one window
+    task must buffer (a §2.5 straggler/spill hazard at corpus scale; the
+    r13 driver also measured it 29 % slower locally). Now the narrow
+    (doc_id, token, c) relation is persisted ONCE († lifecycle — the
+    caller-facing result is eager-checkpointed and the cache dropped
+    before return), the vocab is a hash aggregate over the cache with
+    map-side partial aggregation (the skew-proof reduction), the corpus
+    total derives from the ≤|vocab|-row aggregate, and scoring probes the
+    vocab via the join Catalyst picks (broadcast when the vocab estimate
+    is small, SMJ co-keyed on token otherwise). One tokenize pass, zero
+    token-keyed windows."""
+    dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c")).persist()
+    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
     bits = F.length(F.bin(F.expr("total div n"))) - 1
-    return (
-        n_attached.crossJoin(F.broadcast(total))
+    out = (
+        dtc.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
         .select("doc_id", "c", bits.cast("long").alias("bits"))
         .groupBy("doc_id")
         .agg(
@@ -100,6 +104,9 @@ def _unigram_bit_scores(tok: DataFrame) -> DataFrame:
             F.sum(F.col("c") * F.col("bits")).cast("long").alias("bits_total"),
         )
     )
+    out = out.localCheckpoint(eager=True)
+    dtc.unpersist(blocking=True)
+    return out
 
 
 def text_unigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +729,18 @@ def rel_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches AND the exact-intersection audit derive from it, so the fact
     table is never rescanned (was 8 scans when every sketch/audit consumer
     re-read parquet). ``kmv_sketch`` dedups internally, so feeding it the
-    pre-distinct key relation is value-identical to feeding raw orders."""
+    pre-distinct key relation is value-identical to feeding raw orders.
+
+    Branch fold (r14, r13 verdict ask #8): the union/match/estimate
+    branches used to be three consumers over two ADDITIONALLY persisted
+    ≤k-row sketches (a distinct + two broadcast semi-joins). Sketch
+    membership now rides ALONG the union as presence flags — each side's
+    k-smallest list is tagged, the union sketch is one (h)-keyed
+    aggregation over the tagged stack, and ONE single-row aggregate
+    yields n_union, the kth hash, and the both-sides match count
+    (``h ∈ ka ∧ h ∈ kb`` ⇔ max(ia)·max(ib) — exactly what the semi-join
+    pair tested). Two persists, one distinct exchange and two broadcast
+    builds gone; values identical."""
     from duckdb_nats_jetstream_spark.operators import kmv as KMV
 
     orders = read_table(spark, sf_dir, "orders")
@@ -734,27 +752,18 @@ def rel_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    ka = KMV.kmv_sketch(ck.filter("in_a"), "o_custkey").persist()
-    kb = KMV.kmv_sketch(ck.filter("in_b"), "o_custkey").persist()
-    ku = KMV.kmv_union(ka, kb)
-    est_u = KMV.kmv_estimate(ku).select(
-        F.col("n_sketch").alias("n_union"), F.col("estimate").alias("est_union")
-    )
-    matches = (
-        ku.join(ka, "h", "left_semi")
-        .join(kb, "h", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_match"))
-    )
+    ka = KMV.kmv_sketch(ck.filter("in_a"), "o_custkey")
+    kb = KMV.kmv_sketch(ck.filter("in_b"), "o_custkey")
+    stats = KMV.kmv_intersection_stats(KMV.kmv_union_with_membership(ka, kb))
     exact = ck.filter("in_a AND in_b").agg(
         F.count(F.lit(1)).cast("long").alias("exact_inter")
     )
     jac = F.col("n_match").cast("double") / F.col("n_union").cast("double")
     out = (
-        est_u.crossJoin(F.broadcast(matches))
-        .crossJoin(F.broadcast(exact))
+        stats.crossJoin(F.broadcast(exact))
         .select(
             "n_union",
-            F.col("n_match").cast("long").alias("n_match"),
+            "n_match",
             "est_union",
             jac.alias("jaccard_est"),
             (jac * F.col("est_union")).alias("inter_est"),
@@ -762,8 +771,7 @@ def rel_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = out.localCheckpoint(eager=True)
-    for cached in (ka, kb, ck):
-        cached.unpersist(blocking=True)
+    ck.unpersist(blocking=True)
     return out
 
 

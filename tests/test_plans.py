@@ -484,14 +484,21 @@ def test_audit_capture_hooks_all_materializations(spark):
 
 
 def test_unigram_bits_scalar_total_is_broadcast(spark, sf_dir):
-    """The corpus-total scalar must join by broadcast (1 row), and the
-    vocabulary join must be a hash join on the token key — never cartesian."""
-    from duckdb_nats_jetstream_spark.plans.explain import physical_plan
+    """The corpus-total scalar must join by broadcast (1 row), the
+    vocabulary join must be a hash join on the token key — never
+    cartesian — and the r13 token-keyed window (a stopword-skew hazard;
+    reverted r14) must stay gone. The query is now eager († lifecycle),
+    so assert on the captured pre-checkpoint build plan."""
+    from duckdb_nats_jetstream_spark.plans.audit import capture_checkpoint_plans
     from duckdb_nats_jetstream_spark.queries.pipeline5 import text_unigram_bits
 
-    plan = physical_plan(text_unigram_bits(spark, sf_dir))
+    with capture_checkpoint_plans() as plans:
+        text_unigram_bits(spark, sf_dir)
+    assert plans, "expected the † lifecycle to checkpoint a build plan"
+    plan = "\n".join(plans)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, "token-keyed window shuffle is back"
 
 
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):

@@ -206,10 +206,15 @@ def test_sorted_run_fold_equals_mode_count(spark, toks):
     assert TX.tokens is not None  # imported symbol used by the query
 
 
-# --- unigram bit scores: window frequency == vocab join reference -------------
+# --- unigram bit scores: persisted join chain == window reference -------------
 
 
-def test_unigram_bits_window_matches_join_reference(spark):
+def test_unigram_bits_matches_window_reference(spark):
+    """r14 reverted the r13 window-on-token form (stopword-skew hazard)
+    back to the persisted hash-agg vocab + join-back; pin value identity
+    against the WINDOW formulation as the independent reference."""
+    from pyspark.sql import Window as W
+
     from duckdb_nats_jetstream_spark.queries.pipeline5 import _unigram_bit_scores
 
     rows = [
@@ -224,13 +229,12 @@ def test_unigram_bits_window_matches_join_reference(spark):
     }
 
     dtc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    vocab = dtc.groupBy("token").agg(F.sum("c").alias("n"))
-    total = vocab.agg(F.sum("n").alias("total"))
+    n_attached = dtc.withColumn("n", F.sum("c").over(W.partitionBy("token")))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
     bits = F.length(F.bin(F.expr("total div n"))) - 1
     ref = {
         (r.doc_id, r.n_tokens, r.bits_total)
-        for r in dtc.join(vocab, "token")
-        .crossJoin(F.broadcast(total))
+        for r in n_attached.crossJoin(F.broadcast(total))
         .select("doc_id", "c", bits.cast("long").alias("bits"))
         .groupBy("doc_id")
         .agg(
