@@ -34,6 +34,8 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from duckdb_nats_jetstream_spark.errors import BindError
+
 
 def connected_components(
     edges: DataFrame,
@@ -57,9 +59,11 @@ def connected_components(
     two-direction union automatically duplicate-free.
 
     ``on_round``, if given, is called with the 1-based round number after
-    each propagation round has fully materialized (the eager checkpoint) —
-    convergence progress is otherwise invisible on a long-diameter graph,
-    and the stress harness uses it to measure rounds and per-round wall.
+    each propagation round has fully materialized (the round's single
+    checkpoint-and-count action — r14 folded the old separate convergence
+    probe into it) — convergence progress is otherwise invisible on a
+    long-diameter graph, and the stress harness uses it to measure rounds
+    and per-round wall.
 
     ``skew_safe=True`` materializes the intermediate label relation before
     the pointer-doubling self-join. Pointer doubling SELF-INFLICTS a hot
@@ -104,8 +108,81 @@ def connected_components(
     return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
 
 
+def connected_components_bounded(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "doc_id",
+    comp_out: str = "component",
+    max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Driver-side union-find fast path for edge lists that are BOUNDED BY
+    CONSTRUCTION (r13 verdict ask #4, guide §1.2 pass elimination).
+
+    The iterative :func:`connected_components` pays a persisted edge
+    relation plus one checkpoint + one convergence job per round — the
+    right lifecycle for a corpus-sized graph, pure overhead for a pair
+    list over a top-k selection whose size is capped AT ANY CORPUS SCALE
+    (e.g. ``docs_curation_v4``'s kept set is ≤ topk rows by construction,
+    so its near-dup pairs are ≤ C(topk, 2)). This variant collects the
+    edge list once (the same bounded-driver-pull class as the pinned
+    BPE-merge / quantile / RM3 pulls — tests/test_lint.py allowlist),
+    runs union-find with path compression labeling every component by
+    its MINIMUM vertex id (value-identical to the distributed fixpoint),
+    and returns a local relation typed like the input.
+
+    ``max_edges`` is a fail-loud guard, not a truncation: a caller whose
+    "bounded" edge list exceeds it gets :class:`BindError`, never a
+    silently wrong (or driver-OOM) answer. Do NOT use this on pair lists
+    that scale with the corpus — that is exactly the driver-work §5 bans.
+    """
+    id_type = edges.schema[src].dataType
+    rows = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .limit(max_edges + 1)
+        .collect()
+    )
+    if len(rows) > max_edges:
+        raise BindError(
+            f"connected_components_bounded: edge list exceeds max_edges="
+            f"{max_edges} — use connected_components for unbounded graphs"
+        )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        for v in (r.a, r.b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            # union by MIN id so every root is its component's minimum —
+            # the same label the distributed hash-min fixpoint converges to
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = sorted((v, find(v)) for v in parent)
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_out, id_type, False),
+            StructField(comp_out, id_type, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
 def _propagate(und, labels, max_iter, skew_safe, on_round):
     """Iterate propagation + pointer-doubling rounds to the fixpoint."""
+    from pyspark.sql import Observation
+
     for _round in range(2, max_iter + 1):
         nbr_min = (
             und.alias("e")
@@ -132,6 +209,14 @@ def _propagate(und, labels, max_iter, skew_safe, on_round):
         hop = stepped.select(
             F.col("id").alias("cid"), F.col("comp1").alias("ccomp")
         )
+        # Convergence metric RIDES the materialization job (r14, guide
+        # §1.2): an `observe` CollectMetrics node computes the changed-row
+        # count inside the eager checkpoint's own job — measured 1 job per
+        # round vs 2 for BOTH the old eager-checkpoint + isEmpty probe and
+        # a lazy-checkpoint + count fold (AQE gives the count its own
+        # sub-job). Observation names must be unique per query execution,
+        # hence the round suffix; id() disambiguates concurrent callers.
+        obs = Observation(f"cc_upd_{id(und)}_{_round}")
         labels = (
             stepped.join(hop, stepped.comp1 == hop.cid, "left")
             .select(
@@ -146,13 +231,11 @@ def _propagate(und, labels, max_iter, skew_safe, on_round):
                     < F.col("old")
                 ).alias("upd"),
             )
+            .observe(obs, F.sum(F.col("upd").cast("long")).alias("n_upd"))
             .localCheckpoint(eager=True)
         )
         if on_round is not None:
             on_round(_round)
-        # Convergence flag rides the checkpointed frame — detecting the
-        # fixpoint costs a take(1) over cached partitions, not an extra
-        # old-vs-new shuffle join per round.
-        if labels.filter(F.col("upd")).isEmpty():
+        if not obs.get["n_upd"]:
             break
     return labels

@@ -112,7 +112,7 @@ def docs_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_nats_jetstream_spark.functions.text import token_count
     from duckdb_nats_jetstream_spark.operators import dedup as D
     from duckdb_nats_jetstream_spark.operators.components import (
-        connected_components,
+        connected_components_bounded,
     )
     from duckdb_nats_jetstream_spark.operators.sampling import (
         quota_topk,
@@ -147,7 +147,16 @@ def docs_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(kept.select("doc_id")), "doc_id"
     )
     pairs = D.minhash_lsh_pairs(kept_text, k=8, band_size=2, threshold=0.2)
-    comp = connected_components(pairs, "id_a", "id_b", edges_unique=True)
+    # kept is ≤ _V4_TOPK rows AT ANY CORPUS SCALE (quota_topk's limit), so
+    # its near-dup pair list is ≤ C(_V4_TOPK, 2) by construction — the
+    # bounded union-find fast path replaces the iterative checkpoint-per-
+    # round lifecycle that ran corpus-scale machinery over ≤ 200 vertices
+    # (r13 verdict ask #4; §1.2 pass elimination). max_edges pins the
+    # construction bound fail-loud.
+    comp = connected_components_bounded(
+        pairs, "id_a", "id_b",
+        max_edges=_V4_TOPK * (_V4_TOPK - 1) // 2,
+    )
     grp = F.coalesce(F.col("component"), F.col("doc_id"))
     h = F.md5(F.concat(F.lit("split:"), grp.cast("string")))
     split = (

@@ -121,6 +121,8 @@ def test_timeout_branch_never_rearms():
 #: requires adding it HERE with a boundedness argument in the PR/commit.
 _COLLECT_ALLOWLIST = {
     "operators/bpe.py": 2,  # vocabulary-bound merge table pulls
+    # caller-asserted ≤max_edges pull, fail-loud via limit(max_edges+1)
+    "operators/components.py": 1,
     "operators/kmeans.py": 2,  # k·dim centroid partials per iteration
     "operators/pq.py": 2,  # codebook (k·m·dsub floats)
     "operators/quantiles.py": 2,  # one row per requested quantile
