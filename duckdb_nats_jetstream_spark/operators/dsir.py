@@ -83,15 +83,18 @@ def dsir_select(
     # per-(doc, bucket) counts: the only corpus-sized shuffle (map-side
     # combine on (id, t, b)). Two consumers — the LM/weight chain and
     # the scoring join — i.e. the classic two-pass stats-then-score
-    # shape (Catalyst pushes the scoring branch's ~t filter below the
-    # aggregation, so the two exchanges are deliberately NOT identical
-    # and each pass scans only what it needs). The first draft's
-    # per-side filter chain ran FIVE scans (8.3 s at sf0.1 / 213 s at
-    # sf10); two memoized-Arrow passes + one conditional-agg pivot is
-    # the fix.
+    # shape. The first draft's per-side filter chain ran FIVE scans
+    # (8.3 s at sf0.1 / 213 s at sf10); two memoized-Arrow passes + one
+    # conditional-agg pivot was the r13-build fix. r14 (§2.3/§5, the
+    # bm25/domain_shift pattern): both consumers replanned the
+    # explode+md5-hash subtree — two full feature-hash passes over the
+    # text. ``db`` is a NARROW integer relation, far smaller than the
+    # text it derives from, so it is persisted once and the bounded
+    # top-k output eager-checkpointed so the cache drops before return
+    # († lifecycle). One feature-hash pass, two cheap cached passes.
     db = fb.groupBy(id_col, "__t", "__b").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
-    )
+    ).persist()
     # both sides' bucket LMs in ONE conditional aggregation (n_buckets
     # rows), totals in one more row — no per-side re-scans
     sc = db.groupBy("__b").agg(
@@ -128,11 +131,14 @@ def dsir_select(
     out = scored
     if keep:
         out = scored.join(df.select(id_col, *keep), id_col)
-    return (
+    out = (
         out.select(id_col, *keep, "dsir_weight")
         .orderBy(F.col("dsir_weight").desc(), F.col(id_col))
         .limit(topk)
     )
+    out = out.localCheckpoint(eager=True)
+    db.unpersist(blocking=True)
+    return out
 
 
 def sql_dsir_select(
