@@ -88,7 +88,15 @@ def _learn_merges(
     re-applies r cheap replaces against the cache instead of paying a
     full materialization barrier per round. Guide §1.2: remove passes
     first; §5: cache only what is reused (the base is, the per-round
-    frames are not)."""
+    frames are not).
+
+    Small-rounds assumption (r13 ADVICE): the lazy chain makes round r
+    re-apply r replaces, i.e. O(rounds²) row-local replace work total,
+    and the plan's expression depth grows with rounds — fine at the
+    registry's rounds=3 and cheap next to a materialization barrier up
+    to a few dozen rounds, but a large-rounds caller should
+    re-materialize the chain every N rounds (localCheckpoint ``enc`` and
+    continue from it) to cap both the replay and the codegen depth."""
     from duckdb_nats_jetstream_spark.tables import spread
 
     vocab = (

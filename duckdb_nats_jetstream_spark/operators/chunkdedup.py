@@ -50,6 +50,13 @@ def chunk_dedup(
     chunks in original position order) — the text itself stays distributed;
     only its fingerprint crosses the driver boundary, so the output row is
     narrow and the driver's value-hash is byte-stable.
+
+    Precondition: ``id_col`` must be NON-NULL (r13 ADVICE). The dense_rank
+    doc-frequency below counts a NULL id as one distinct document, whereas
+    the count_distinct it replaced ignored NULLs — a NULL-id row would
+    inflate doc_freq by 1 for every chunk it contains and flip keep
+    decisions. Every in-repo caller feeds fixture ``doc_id``s (non-null by
+    schema); filter NULL ids first when feeding external data.
     """
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")

@@ -38,10 +38,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 def main() -> None:
     arg = sys.argv[1] if len(sys.argv) > 1 else "50"
     explicit_names: list[str] | None = None
-    if arg == "all":
-        n = 10**9
-    elif arg.isdigit():
-        n = int(arg)
+    if arg == "all" or arg.isdigit():
+        # r13 ADVICE: `driver_sim.py 50 docs_boilerplate` used to silently
+        # ignore the trailing names, making a user believe specific queries
+        # were checked — reject the mixed form loudly instead.
+        if len(sys.argv) > 2:
+            raise SystemExit(
+                f"driver_sim: a numeric/'all' first argument takes no "
+                f"further arguments (got {sys.argv[2:]}) — pass EITHER a "
+                f"prefix size OR explicit query names"
+            )
+        n = 10**9 if arg == "all" else int(arg)
     else:
         explicit_names = sys.argv[1:]
         n = len(explicit_names)

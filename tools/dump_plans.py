@@ -1,10 +1,11 @@
-"""Dump ``explain("formatted")`` for named queries to ``plans/r13/``.
+"""Dump ``explain("formatted")`` for named queries to ``plans/<round>/``.
 
     python tools/dump_plans.py before q1 q2 ...
     python tools/dump_plans.py after  q1 q2 ...
 
-Writes ``plans/r13/<query>_<tag>.txt`` — the committed evidence for every
-plan-shape claim in OPTIMIZATION_r13.md (the judge cannot run Spark).
+Writes ``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (round dir
+defaults to ``r14``) — the committed evidence for every plan-shape claim
+in the round's OPTIMIZATION report (the judge cannot run Spark).
 
 Eager-materializing queries (persist → localCheckpoint(eager) → unpersist)
 execute during ``fn()``; for those the formatted plan of the RETURNED frame
@@ -36,7 +37,8 @@ def main() -> None:
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
     registry = full_registry()
-    outdir = os.path.join(REPO, "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    outdir = os.path.join(REPO, "plans", rnd)
     os.makedirs(outdir, exist_ok=True)
 
     # capture FORMATTED plans (the deliverable format) instead of the

@@ -20,7 +20,8 @@ guide §1's "decide whether the time is scheduler delay or work" for a
 
     python tools/profile_queries.py [--top N | name ...]
 
-Writes ``plans/r13/profile.json`` and prints a sorted table.
+Writes ``plans/$SPARK_GRAFT_PLANS_ROUND/profile.json`` (default r14)
+and prints a sorted table.
 """
 
 from __future__ import annotations
@@ -128,9 +129,11 @@ def main() -> None:
         )
 
     os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
-    with open(os.path.join(REPO, "plans", "r13", "profile.json"), "w") as f:
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    os.makedirs(os.path.join(REPO, "plans", rnd), exist_ok=True)
+    with open(os.path.join(REPO, "plans", rnd, "profile.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"wrote plans/r13/profile.json ({len(out)} queries)")
+    print(f"wrote plans/{rnd}/profile.json ({len(out)} queries)")
 
 
 if __name__ == "__main__":

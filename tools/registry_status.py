@@ -77,6 +77,7 @@ ROUND_CODE_REFS: dict[int, str] = {
     10: "866ec97^",
     11: "4ae1364^",
     12: "67128b5^",
+    13: "63eb9e4^",
 }
 
 
