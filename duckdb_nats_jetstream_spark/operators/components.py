@@ -217,7 +217,7 @@ def _propagate(und, labels, max_iter, skew_safe, on_round):
         # sub-job). Observation names must be unique per query execution,
         # hence the round suffix; id() disambiguates concurrent callers.
         obs = Observation(f"cc_upd_{id(und)}_{_round}")
-        labels = (
+        observed = (
             stepped.join(hop, stepped.comp1 == hop.cid, "left")
             .select(
                 "id",
@@ -232,10 +232,19 @@ def _propagate(und, labels, max_iter, skew_safe, on_round):
                 ).alias("upd"),
             )
             .observe(obs, F.sum(F.col("upd").cast("long")).alias("n_upd"))
-            .localCheckpoint(eager=True)
         )
+        labels = observed.localCheckpoint(eager=True)
         if on_round is not None:
             on_round(_round)
-        if not obs.get["n_upd"]:
+        if labels is observed:
+            # an instrument patched checkpointing to IDENTITY (the plan
+            # hasher, tools/plan_hash.py::_identity_checkpoints) — no
+            # action has executed, so Observation.get would block forever;
+            # fall back to the plain probe (values identical, and the
+            # extra job exists only under such instrumented builds)
+            converged = labels.filter(F.col("upd")).isEmpty()
+        else:
+            converged = not obs.get["n_upd"]
+        if converged:
             break
     return labels
