@@ -244,6 +244,30 @@ def _semantic_hash(src: str | None) -> bytes:
     ).digest()
 
 
+def _semantic_hash_node(node: "ast.AST") -> bytes:
+    """sha256 of ONE function's docstring-stripped AST dump — used for
+    same-module HELPER functions a query calls (r14): a helper's semantics
+    are part of the query's behavior, but comment/docstring churn must not
+    re-queue callers (same normalization as dependency modules). Deep-copies
+    before stripping — the node belongs to the snapshot's cached parse."""
+    import copy
+
+    node = copy.deepcopy(node)
+    for sub in ast.walk(node):
+        if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            body = sub.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                del body[0]
+    return hashlib.sha256(
+        ast.dump(node, include_attributes=False).encode()
+    ).digest()
+
+
 class _SourceTree:
     """AST/dependency resolution over one source snapshot (a git ref or the
     working tree), with per-snapshot caches — fingerprinting runs for every
@@ -412,12 +436,20 @@ class _SourceTree:
                 if isinstance(node.target, ast.Name):
                     consts[node.target.id] = node
 
-        # names used by the fn, chasing same-module helpers' deps (not
-        # their source — see module docstring) and same-module constants'
-        # SOURCE (a constant IS behavior; unlike helpers it has no
-        # operator module behind it to hash instead), cycle-safe
+        # names used by the fn, chasing same-module helpers' SOURCE + deps
+        # and same-module constants' SOURCE (both ARE behavior), cycle-safe.
+        # r14: helpers used to contribute only their dependencies on the
+        # theory that "the operators they route to are the behavior
+        # surface" — but pipeline5's `_unigram_bit_scores` is a same-module
+        # helper that IS a whole computation chain, and its r13 rewrite
+        # re-queued NEITHER of its two callers (exactly the r13-verdict #3
+        # unverified-query escape). Helper SEMANTIC hashes (docstring-
+        # stripped AST dump, same normalization as dependency modules) now
+        # fold into the material, so editing a helper re-queues every
+        # caller while comment/docstring churn still doesn't.
         roots: set[str] = set()
         const_segs: set[str] = set()
+        helper_sems: set[bytes] = set()
         seen_helpers: set[str] = {fn_name}
         seen_consts: set[str] = set()
         stack: list[tuple[str, str]] = [("fn", fn_name)]
@@ -431,6 +463,9 @@ class _SourceTree:
                     elif node.id in fns:
                         if node.id not in seen_helpers:
                             seen_helpers.add(node.id)
+                            helper_sems.add(
+                                _semantic_hash_node(fns[node.id])
+                            )
                             stack.append(("fn", node.id))
                     elif node.id in consts and node.id not in seen_consts:
                         seen_consts.add(node.id)
@@ -442,6 +477,11 @@ class _SourceTree:
             # fingerprints of constant-free queries stay byte-identical
             # to the pre-r09 definition (material == fn segment alone)
             seg = seg + "\0#consts\0" + "\0".join(sorted(const_segs))
+        if helper_sems:
+            # helper-free queries likewise keep their pre-r14 fingerprint
+            seg = seg + "\0#helpers\0" + b"\0".join(
+                sorted(helper_sems)
+            ).hex()
 
         # transitive closure over package imports of the used modules
         closure: set[str] = set()
