@@ -202,8 +202,8 @@ def test_dsir_select_single_explode_scan(spark):
     assert 0 < len(rows) <= 5
     ckpt = [p for p in plans if "InMemoryTableScan" in p]
     assert ckpt, "expected the scoring pass to read the cached (doc,bucket) base"
-    # exactly one Generate (explode) may appear in the materialization plan:
-    # the persisted base's child prints once per InMemoryRelation consumer,
-    # so count DISTINCT generate sites conservatively via the cached scan
+    # (plan-string Generate counts over-state shared work — a persisted
+    # relation's child plan prints under each InMemoryRelation consumer —
+    # so single-pass-ness is pinned by the cached-scan assertion above)
     jspark = spark._jsparkSession
     assert jspark.sharedState().cacheManager().isEmpty()
